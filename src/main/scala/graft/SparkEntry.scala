@@ -1,13 +1,129 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions (shared by every query + oracle pair):
+  *  - identical column aliases on both sides (driver hash-compares after
+  *    sorting columns by name);
+  *  - identical total ORDER BY on both sides so row order is defined;
+  *  - DECIMAL casts for double sums (order-independent exactness),
+  *    plain double for 0/1-flag averages and int/int divisions (exact
+  *    operands → bit-identical IEEE results in both engines).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01FlagShareCount(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_flag_share_count" -> Relational.q01FlagShareCount _,
+    "q02_two_key_count"    -> Relational.q02TwoKeyCount _,
+    "q03_pivot_wide"       -> Relational.q03PivotWide _,
+    "q04_unpivot_long"     -> Relational.q04UnpivotLong _,
+    "q05_join_agg"         -> Relational.q05JoinAgg _,
+    "q06_window_share"     -> Relational.q06WindowShare _,
+    "q07_grouped_sum_multi" -> Relational.q07GroupedSumMulti _,
+    "q08_time_grains"      -> Relational.q08TimeGrains _,
+    "q09_dedup_first"      -> Relational.q09DedupFirst _,
+    "q10_filter_project"   -> Relational.q10FilterProject _,
+    "q11_ingest_projection" -> Relational.q11IngestProjection _,
+    "q12_star_join"        -> Relational.q12StarJoin _,
+    "q13_topk_orders"      -> Relational.q13TopkOrders _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_flag_share_count" ->
+      """SELECT l_returnflag,
+         round(avg(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END), 4) AS disc_share,
+         count(l_returnflag) AS counts
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q02_two_key_count" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS counts
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q03_pivot_wide" ->
+      """SELECT l_returnflag,
+         CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS "F",
+         CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q04_unpivot_long" ->
+      """WITH w AS (
+           SELECT l_returnflag,
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS f_qty,
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS o_qty
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'F' AS l_linestatus, f_qty AS sum_qty FROM w
+         UNION ALL
+         SELECT l_returnflag, 'O' AS l_linestatus, o_qty AS sum_qty FROM w
+         ORDER BY l_returnflag, l_linestatus""",
+    "q05_join_agg" ->
+      """WITH rates AS (
+           SELECT l_returnflag,
+           round(avg(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END), 4) AS disc_share,
+           count(*) AS counts
+           FROM lineitem GROUP BY l_returnflag),
+         wide AS (
+           SELECT l_returnflag,
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS "F",
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS "O"
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT r.l_returnflag, r.disc_share, r.counts, w."F", w."O"
+         FROM rates r JOIN wide w ON r.l_returnflag = w.l_returnflag
+         ORDER BY r.l_returnflag""",
+    "q06_window_share" ->
+      """WITH byday AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS date, count(*) AS counts
+           FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d'))
+         SELECT event_type, date, counts,
+         round(counts / sum(counts) OVER (PARTITION BY event_type), 6) AS share
+         FROM byday ORDER BY event_type, date""",
+    "q07_grouped_sum_multi" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q08_time_grains" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date, strftime(ts, '%H') AS hour,
+         count(*) AS counts
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q09_dedup_first" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+           SELECT event_id, user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q10_filter_project" ->
+      """SELECT upper(substr(event_type, 1, 2)) || CAST(event_id AS VARCHAR) AS key,
+         event_id, user_id, event_type
+         FROM events WHERE event_type <> 'error' ORDER BY event_id""",
+    "q11_ingest_projection" ->
+      """SELECT event_type,
+         sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+         count(*) AS counts
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q12_star_join" ->
+      """SELECT r_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+         count(*) AS counts
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q13_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+  )
 }
