@@ -5,6 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine._
+import graft.functions.{TextFunctions => TF}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,9 +19,11 @@ import graft.engine._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's end-to-end aggregate (enrich → positivity + counts +
+    * emotion pivot → join), SURVEY §3.2. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q01FlagShareCount(spark, "/root/testdata/sf0.001")
+    TextQueries.q20Flagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -37,6 +40,13 @@ object SparkEntry {
     "q11_ingest_projection" -> Relational.q11IngestProjection _,
     "q12_star_join"        -> Relational.q12StarJoin _,
     "q13_topk_orders"      -> Relational.q13TopkOrders _,
+    "q14_sentiment"        -> TextQueries.q14Sentiment _,
+    "q15_emotion_pivot"    -> TextQueries.q15EmotionPivot _,
+    "q16_token_freq"       -> TextQueries.q16TokenFreq _,
+    "q17_langid"           -> TextQueries.q17LangId _,
+    "q18_quality"          -> TextQueries.q18Quality _,
+    "q19_fingerprint"      -> TextQueries.q19Fingerprint _,
+    "q20_flagship"         -> TextQueries.q20Flagship _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,5 +135,52 @@ object SparkEntry {
     "q13_topk_orders" ->
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q14_sentiment" ->
+      s"""WITH e AS (SELECT source, ${TF.sentimentSql("text")} AS sentiment FROM documents)
+          SELECT source, sentiment, count(*) AS counts FROM e
+          GROUP BY source, sentiment ORDER BY source, sentiment""",
+    "q15_emotion_pivot" -> {
+      val cells = TF.EmotionLabels
+        .map(l => s"count(*) FILTER (WHERE emotion = '$l') AS $l").mkString(", ")
+      s"""WITH e AS (SELECT source, ${TF.emotionSql("text")} AS emotion FROM documents)
+          SELECT source, $cells FROM e GROUP BY source ORDER BY source"""
+    },
+    "q16_token_freq" ->
+      """SELECT token, count(*) AS counts FROM (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents) t
+         WHERE token <> '' GROUP BY token
+         ORDER BY counts DESC, token LIMIT 20""",
+    "q17_langid" ->
+      s"""WITH e AS (SELECT lang, ${TF.langIdSql("text")} AS pred FROM documents)
+          SELECT lang, pred, count(*) AS counts FROM e
+          GROUP BY lang, pred ORDER BY lang, pred""",
+    "q18_quality" ->
+      s"""WITH e AS (SELECT source, ${TF.qualityScoreSql("text")} AS q,
+            ${TF.tokenCountSql("text")} AS wc FROM documents)
+          SELECT source,
+          CAST(sum(CAST(q AS DECIMAL(12,6))) AS DECIMAL(12,6)) AS sum_quality,
+          min(wc) AS min_wc, max(wc) AS max_wc, count(*) AS counts
+          FROM e GROUP BY source ORDER BY source""",
+    "q19_fingerprint" ->
+      s"""SELECT ${TF.fingerprintSql("text")} AS fp, min(doc_id) AS keeper,
+          count(*) AS dups
+          FROM documents GROUP BY 1 ORDER BY fp""",
+    "q20_flagship" -> {
+      val cells = TF.EmotionLabels
+        .map(l => s"count(*) FILTER (WHERE emotion = '$l') AS $l").mkString(", ")
+      s"""WITH e AS (SELECT source, ${TF.sentimentSql("text")} AS sentiment,
+            ${TF.emotionSql("text")} AS emotion FROM documents),
+          rates AS (
+            SELECT source,
+            round(avg(CASE WHEN sentiment IS NOT DISTINCT FROM 'positive' THEN 1 ELSE 0 END), 4) AS positivity_rate,
+            count(*) AS counts
+            FROM e GROUP BY source),
+          wide AS (SELECT source, $cells FROM e GROUP BY source)
+          SELECT r.source, r.positivity_rate, r.counts,
+                 w.anger, w.fear, w.joy, w.love, w.sadness, w.surprise
+          FROM rates r JOIN wide w ON r.source = w.source
+          ORDER BY r.source"""
+    },
   )
 }

@@ -1,0 +1,121 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis / NLP-contract queries over the `documents` table —
+  * the reference's enrichment surface (SURVEY §2.7) plus the
+  * training-data-pipeline text ops (language-ID, quality scoring, token
+  * stats, fingerprinting).
+  *
+  * Scale posture: every op here is a narrow per-row projection followed
+  * by a low-cardinality aggregate — embarrassingly parallel, no shuffle
+  * beyond the final partial/final hash aggregate. The scalar functions
+  * are pure Column expressions, so they run inside whole-stage codegen
+  * over the parquet scan with only (doc_id, text, …) columns read.
+  */
+object TextQueries {
+
+  /** M1 (consumer.scala:125-128): sentiment enrichment → label counts
+    * per source. */
+  def q14Sentiment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"source", sentiment($"text").as("sentiment"))
+      .groupBy($"source", $"sentiment")
+      .agg(count(lit(1)).as("counts"))
+      .orderBy($"source", $"sentiment")
+  }
+
+  /** M2 + A4 (consumer.scala:132-148,170): emotion enrichment pivoted to
+    * the wide 6-label shape with explicit pivot values. */
+  def q15EmotionPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"source", emotion($"text").as("emotion"))
+      .groupBy($"source")
+      .pivot("emotion", EmotionLabels)
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy($"source")
+  }
+
+  /** M3 (consumer.scala:135-137): tokenizer as a generator — explode to
+    * one row per token, then global token frequencies. Top-20 with a
+    * total tiebreak so the limit is deterministic. */
+  def q16TokenFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("counts"))
+      .orderBy($"counts".desc, $"token")
+      .limit(20)
+  }
+
+  /** Language-ID heuristic vs the labeled `lang` column: agreement
+    * matrix (labeled lang × predicted lang). */
+  def q17LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"lang", langId($"text").as("pred"))
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("counts"))
+      .orderBy($"lang", $"pred")
+  }
+
+  /** Quality scoring: per-source decimal sum + count (sum kept decimal so
+    * the aggregate is accumulation-order independent), plus integer token
+    * stats. */
+  def q18Quality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"source", qualityScore($"text").as("q"), tokenCount($"text").as("wc"))
+      .groupBy($"source")
+      .agg(
+        sum($"q".cast("decimal(12,6)")).cast("decimal(12,6)").as("sum_quality"),
+        min($"wc").as("min_wc"),
+        max($"wc").as("max_wc"),
+        count(lit(1)).as("counts"))
+      .orderBy($"source")
+  }
+
+  /** Exact-dedup groups by content fingerprint: canonical keeper
+    * (min doc_id) + multiplicity per normalized-text md5. */
+  def q19Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("dups"))
+      .orderBy($"fp")
+  }
+
+  /** Flagship: the reference's full aggregate shape (consumer.scala:
+    * 158-174 — A1 positivity rate + A2 counts + A4 emotion pivot + J1
+    * join of the two aggregates) re-expressed over documents, with
+    * `source` standing in for `topic`. */
+  def q20Flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enriched = Tables.documents(spark, sfDir)
+      .select($"source",
+        sentiment($"text").as("sentiment"),
+        emotion($"text").as("emotion"))
+    val rates = enriched
+      .groupBy($"source")
+      .agg(
+        round(avg(when($"sentiment" <=> "positive", 1).otherwise(0)), 4)
+          .as("positivity_rate"),
+        count(lit(1)).as("counts"))
+    val wide = enriched
+      .groupBy($"source")
+      .pivot("emotion", EmotionLabels)
+      .agg(count(lit(1)))
+      .na.fill(0)
+    rates.join(wide, Seq("source"), "inner")
+      .orderBy($"source")
+  }
+}

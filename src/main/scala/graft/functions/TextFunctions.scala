@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / NLP-contract scalar functions.
+  *
+  * The reference's NLP surface is two pretrained Spark-NLP pipelines
+  * (sentiment: consumer.scala:85,125-128; 6-label emotion:
+  * consumer.scala:132-148) — black-box `text → label` column maps. This
+  * environment is zero-egress (no model downloads), so the same contracts
+  * are implemented as deterministic lexicon/arithmetic scorers, built
+  * entirely from `org.apache.spark.sql.functions` Column expressions:
+  * they stay inside whole-stage codegen (no UDF serialization boundary)
+  * and are expressible in ANSI SQL for the DuckDB oracle.
+  *
+  * Cross-engine determinism rules used here:
+  *  - substring-occurrence counts via the replace-trick are exact integer
+  *    arithmetic (numerator is always a multiple of the word length);
+  *  - int/int divisions produce identical doubles in Spark and DuckDB
+  *    given identical operands; results are rounded before comparison.
+  */
+object TextFunctions {
+
+  /** Non-overlapping occurrences of token `word` in `c`, counted against
+    * a single-space-padded copy so word boundaries are respected.
+    * Note: like SQL `replace`, consecutive occurrences sharing one
+    * separator space ("slow slow") count once — the contract is
+    * "non-overlapping padded matches", identically in both engines. */
+  def tokenOccurrences(c: Column, word: String): Column = {
+    val padded  = concat(lit(" "), c, lit(" "))
+    val needle  = s" $word "
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length)
+      .cast("int")
+  }
+
+  /** Whitespace tokenizer (M3 contract, consumer.scala:135-137). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token count over whitespace splits. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  private val PosWords = Seq("fast", "big", "value")
+  private val NegWords = Seq("slow", "small", "dup")
+
+  def positiveHits(c: Column): Column =
+    PosWords.map(tokenOccurrences(c, _)).reduce(_ + _)
+
+  def negativeHits(c: Column): Column =
+    NegWords.map(tokenOccurrences(c, _)).reduce(_ + _)
+
+  /** M1 contract: `sentiment(text)` → positive | negative | neutral. */
+  def sentiment(c: Column): Column =
+    when(positiveHits(c) > negativeHits(c), "positive")
+      .when(negativeHits(c) > positiveHits(c), "negative")
+      .otherwise("neutral")
+
+  /** The fixed 6-label emotion codomain (wrangling.py:26-27). */
+  val EmotionLabels = Seq("anger", "fear", "joy", "love", "sadness", "surprise")
+
+  /** M2 contract: `emotion(text)` → one of the 6 labels, via a
+    * deterministic arithmetic hash of length + marker-word counts. */
+  def emotion(c: Column): Column = {
+    val score = (length(c)
+      + tokenOccurrences(c, "spark") * 3
+      + tokenOccurrences(c, "join") * 5
+      + tokenOccurrences(c, "data") * 7) % 6
+    EmotionLabels.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (label, i)) => when(score === i, label).otherwise(acc)
+    }
+  }
+
+  /** Language-ID heuristic (marker-token frequencies). Codomain:
+    * en | de | fr | unk. On real corpora the markers would be per-language
+    * stopword n-grams; the contract (text → code) is what matters. */
+  def langId(c: Column): Column =
+    when(tokenOccurrences(c, "the") >= lit(3), "en")
+      .when(tokenOccurrences(c, "data") > tokenOccurrences(c, "value"), "de")
+      .when(tokenOccurrences(c, "vector") > lit(0), "fr")
+      .otherwise("unk")
+
+  /** Quality score ∈ [0,1]: length component + stopword-ratio component +
+    * average-word-length component (all int-ratio arithmetic). */
+  def qualityScore(c: Column): Column = {
+    val wc        = tokenCount(c).cast("double")
+    val stopHits  = (tokenOccurrences(c, "the") + tokenOccurrences(c, "a")).cast("double")
+    val awl       = length(replace(c, lit(" "), lit(""))) / wc
+    round(
+      least(lit(1.0), wc / 100.0) * 0.5
+        + least(lit(1.0), stopHits / wc * 10.0) * 0.25
+        + least(lit(1.0), awl / 10.0) * 0.25,
+      6)
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased text
+    * — the exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+
+  // ---- SQL mirrors (DuckDB oracle fragments) -------------------------
+
+  /** SQL for [[tokenOccurrences]] over column `col`. */
+  def occSql(col: String, word: String): String = {
+    val n = word.length + 2
+    s"CAST((length(' '||$col||' ') - length(replace(' '||$col||' ', ' $word ', ''))) / $n AS INT)"
+  }
+
+  def posSql(col: String): String = PosWords.map(occSql(col, _)).mkString("(", " + ", ")")
+  def negSql(col: String): String = NegWords.map(occSql(col, _)).mkString("(", " + ", ")")
+
+  def sentimentSql(col: String): String =
+    s"""CASE WHEN ${posSql(col)} > ${negSql(col)} THEN 'positive'
+        WHEN ${negSql(col)} > ${posSql(col)} THEN 'negative'
+        ELSE 'neutral' END"""
+
+  def emotionSql(col: String): String = {
+    val score = s"((length($col) + ${occSql(col, "spark")} * 3 + ${occSql(col, "join")} * 5 + ${occSql(col, "data")} * 7) % 6)"
+    val arms = EmotionLabels.zipWithIndex
+      .map { case (l, i) => s"WHEN $score = $i THEN '$l'" }.mkString(" ")
+    s"CASE $arms END"
+  }
+
+  def langIdSql(col: String): String =
+    s"""CASE WHEN ${occSql(col, "the")} >= 3 THEN 'en'
+        WHEN ${occSql(col, "data")} > ${occSql(col, "value")} THEN 'de'
+        WHEN ${occSql(col, "vector")} > 0 THEN 'fr'
+        ELSE 'unk' END"""
+
+  def tokenCountSql(col: String): String =
+    s"len(regexp_split_to_array(trim($col), '\\s+'))"
+
+  def qualityScoreSql(col: String): String = {
+    val wc   = s"CAST(${tokenCountSql(col)} AS DOUBLE)"
+    val stop = s"CAST(${occSql(col, "the")} + ${occSql(col, "a")} AS DOUBLE)"
+    val awl  = s"(length(replace($col, ' ', '')) / $wc)"
+    s"round(least(1.0, $wc / 100.0) * 0.5 + least(1.0, $stop / $wc * 10.0) * 0.25 + least(1.0, $awl / 10.0) * 0.25, 6)"
+  }
+
+  def fingerprintSql(col: String): String =
+    s"md5(lower(trim(regexp_replace($col, '\\s+', ' ', 'g'))))"
+}
