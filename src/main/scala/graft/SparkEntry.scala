@@ -47,6 +47,12 @@ object SparkEntry {
     "q18_quality"          -> TextQueries.q18Quality _,
     "q19_fingerprint"      -> TextQueries.q19Fingerprint _,
     "q20_flagship"         -> TextQueries.q20Flagship _,
+    "q21_minhash_lsh"      -> Dedup.q21MinhashLsh _,
+    "q22_simhash"          -> Dedup.q22Simhash _,
+    "q23_ngram_jaccard"    -> Dedup.q23NgramJaccard _,
+    "q24_cosine_topk"      -> Similarity.q24CosineTopk _,
+    "q25_ann_lsh"          -> Similarity.q25AnnLsh _,
+    "q26_embedding_neardup" -> Similarity.q26EmbeddingNearDup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,5 +188,11 @@ object SparkEntry {
           FROM rates r JOIN wide w ON r.source = w.source
           ORDER BY r.source"""
     },
+    "q21_minhash_lsh"       -> Dedup.q21Sql,
+    "q22_simhash"           -> Dedup.q22Sql,
+    "q23_ngram_jaccard"     -> Dedup.q23Sql,
+    "q24_cosine_topk"       -> Similarity.q24Sql,
+    "q25_ann_lsh"           -> Similarity.q25Sql,
+    "q26_embedding_neardup" -> Similarity.q26Sql,
   )
 }

@@ -1,0 +1,170 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection over `documents` — the training-data-pipeline
+  * dedup family: MinHash+LSH, SimHash, and n-gram Jaccard (exact dedup is
+  * q19's fingerprint group-by).
+  *
+  * Cross-engine hash: both Spark and DuckDB expose md5 over strings with
+  * identical lowercase-hex output, so "hash" here means hex substrings of
+  * md5 compared lexicographically — deterministic and oracle-checkable.
+  * (Spark's native `hash`/`xxhash64` would be faster but has no DuckDB
+  * twin; swapping it in changes only the hash expression.)
+  *
+  * Scale posture (100 TB): every op is shuffle-by-signature. MinHash
+  * shuffles (band_idx, band_val) — near-dup clusters co-locate, the join
+  * per bucket is tiny. SimHash reduces each doc to a 16-bit int grouped by
+  * prefix buckets. The all-pairs joins are always bounded: by LSH band
+  * buckets, never a global cross join.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles of the whitespace-tokenized text.
+    * Guarded so docs with <3 tokens yield no shingles (Spark's `sequence`
+    * would otherwise generate a descending range, unlike DuckDB's range). */
+  private def shingles(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** SQL mirror of [[shingles]] over DuckDB (1-based list indexing,
+    * exclusive-end `range`). */
+  private def shinglesSql(col: String): String = {
+    val toks = s"regexp_split_to_array(trim($col), '\\s+')"
+    s"list_transform(range(1, greatest(len($toks) - 1, 1)), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])"
+  }
+
+  /** MinHash + LSH banding (shingle → minhash → band → bucket-join).
+    * 4 minhash components from one md5 per shingle (4 disjoint hex
+    * substrings, min taken lexicographically), banded 2×2; candidate
+    * pairs are docs sharing ≥1 band bucket, reported with the number of
+    * shared bands. */
+  def q21MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(shingles($"text")).as("sh"))
+      .select($"doc_id", md5($"sh").as("h"))
+    val sig = sh.groupBy($"doc_id").agg(
+      min(substring($"h", 1, 8)).as("m0"),
+      min(substring($"h", 9, 8)).as("m1"),
+      min(substring($"h", 17, 8)).as("m2"),
+      min(substring($"h", 25, 8)).as("m3"))
+    val bands = sig.select($"doc_id",
+      explode(map(lit(0), concat($"m0", $"m1"), lit(1), concat($"m2", $"m3")))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def q21Sql: String = {
+    val sh = shinglesSql("text")
+    s"""WITH sh AS (
+          SELECT doc_id, md5(unnest($sh)) AS h FROM documents),
+        sig AS (
+          SELECT doc_id,
+            min(substr(h, 1, 8)) AS m0, min(substr(h, 9, 8)) AS m1,
+            min(substr(h, 17, 8)) AS m2, min(substr(h, 25, 8)) AS m3
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, m0 || m1 AS band_val FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band_idx, m2 || m3 AS band_val FROM sig)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+  }
+
+  /** SimHash: 16-bit signature per document. Bit j is the sign of the
+    * vote sum over tokens, where each token votes ±1 from the parity of
+    * hex digit j of its md5. Near-dups differ in few bits (compare with
+    * hamming ≤ k via xor+bit_count downstream). */
+  def q22Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("t"))
+      .select($"doc_id", md5($"t").as("h"))
+    val votes = (0 until 16).map { j =>
+      sum(when(ascii(substring($"h", j + 1, 1)) % 2 === 1, 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    val sig = tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    val simhash = (0 until 16)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    sig.select($"doc_id", simhash.as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  def q22Sql: String = {
+    val votes = (0 until 16).map(j =>
+      s"sum(CASE WHEN ascii(substr(h, ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val bits = (0 until 16)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+          SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h
+          FROM documents),
+        sig AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sig ORDER BY doc_id"""
+  }
+
+  /** n-gram Jaccard similarity on a deterministic 5% document sample:
+    * distinct word-3-gram sets, bucket-join on shared shingles, Jaccard =
+    * |A∩B| / |A∪B| for every candidate pair (pairs sharing ≥1 shingle —
+    * the bucket join itself is the candidate filter; a threshold would sit
+    * on top in a production near-dup pass). */
+  def q23NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sample = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id", explode(shingles($"text")).as("sh"))
+      .distinct()
+    val sizes = sample.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sample.as("a")
+      .join(sample.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        round($"inter" / ($"sa.n" + $"sb.n" - $"inter"), 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def q23Sql: String = {
+    val sh = shinglesSql("text")
+    s"""WITH sample AS (
+          SELECT DISTINCT doc_id, unnest($sh) AS sh
+          FROM documents WHERE doc_id % 20 = 0),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sample GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sample a JOIN sample b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        ORDER BY doc_a, doc_b"""
+  }
+}

@@ -1,0 +1,162 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Numeric contract shared with the DuckDB oracle: dot products and norms
+  * are left-to-right sequential folds over DOUBLE-cast elements
+  * (`aggregate(zip_with(...))` in Spark ≡ `list_reduce(list_transform)` in
+  * DuckDB), so identical inputs give bit-identical doubles — no
+  * tolerance-based comparison needed.
+  *
+  * Scale posture (100 TB): brute force is the correctness baseline and is
+  * already the right plan when the query set is small (broadcast the
+  * queries, scan the corpus once — no shuffle of the big side). The scale
+  * path is LSH bucketing: corpus and queries both shuffle by bucket id,
+  * the per-bucket join replaces the full scan, recall traded for a
+  * corpus-sized-to-bucket-sized cost drop. A production variant would
+  * pre-partition/bucket the corpus table by bucket id so repeated query
+  * batches skip the corpus shuffle entirely.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  /** Left-to-right sequential dot product over double-cast elements. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** SQL mirror: same fold shape (list_reduce is a left fold seeded by the
+    * first element; Spark's 0.0 seed is IEEE-neutral for the first add). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+
+  /** Brute-force cosine top-k: every 100th vector is a query; top 10
+    * neighbors (excluding self) over the full corpus. The query side is
+    * tiny and broadcast; the corpus is scanned once with no shuffle until
+    * the final per-query top-k. */
+  def q24CosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_emb")
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  def q24Sql: String =
+    s"""WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+            ${cosineSql("q.q_emb", "e.embedding")} AS cos
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** Sign-LSH bucket id: bit j (4 bits / 16 buckets) is the sign of
+    * the strided element sum over indices ≡ j (mod 4) — a deterministic, engine-
+    * portable stand-in for random-hyperplane projections (the projection
+    * vectors are 0/1 indicator masks). */
+  private def lshBucket(emb: Column): Column =
+    (0 until 4).map { j =>
+      val proj = aggregate(
+        transform(sequence(lit(j + 1), lit(Dim), lit(4)),
+          i => element_at(emb, i).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1 << j)).otherwise(0)
+    }.reduce(_ + _)
+
+  private def lshBucketSql(emb: String): String =
+    (0 until 4).map { j =>
+      val proj = s"list_reduce(list_transform(range(${j + 1}, ${Dim + 1}, 4), i -> CAST($emb[i] AS DOUBLE)), (x, y) -> x + y)"
+      s"(CASE WHEN $proj > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** LSH-bucketed approximate top-k — the scale path for q24: queries and
+    * corpus co-shuffle on bucket id, candidates are bucket-mates only.
+    * Same output shape as q24 (rank within retrieved candidates). */
+  def q25AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", lshBucket($"embedding").as("bucket"))
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
+    val scored = emb.join(queries, Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  def q25Sql: String =
+    s"""WITH e AS (
+          SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+          FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, bucket
+          FROM e WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+            ${cosineSql("q.q_emb", "e.embedding")} AS cos
+          FROM e JOIN q ON e.bucket = q.bucket
+          WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** Embedding-cosine near-duplicate pairs: within-label blocking (the
+    * label is the blocking key standing in for a coarse clustering),
+    * pairs with cosine ≥ 0.35 (the synthetic embeddings are near-
+    * orthogonal: within-label max cosine is ~0.45, so 0.35 marks the
+    * "suspiciously close" tail; a real corpus would use ~0.9). */
+  def q26EmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding", $"label")
+    val pairs = emb.as("a")
+      .join(emb.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        cosine($"a.embedding", $"b.embedding").as("cos"))
+    pairs.filter($"cos" >= 0.35)
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def q26Sql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35
+        ORDER BY vec_a, vec_b"""
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Dedup, Similarity, Tables}
+
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q21 minhash candidate pairs are unique and ordered") {
+    val pairs = Dedup.q21MinhashLsh(spark, sf)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("q22 simhash values fit in 16 bits and cover all docs") {
+    val rows = Dedup.q22Simhash(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val h = r.getAs[Long]("simhash")
+      assert(h >= 0L && h < (1L << 16))
+    }
+  }
+
+  test("q23 jaccard in (0,1], pairs ordered") {
+    val rows = Dedup.q23NgramJaccard(spark, sf).collect()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("q24 brute-force topk: 10 ranked neighbors per query, cos in [-1,1]") {
+    val rows = Similarity.q24CosineTopk(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach { g =>
+      assert(g.length == 10)
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      val cosInOrder = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cosInOrder.sliding(2).forall(p => p(0) >= p(1)))
+      assert(cosInOrder.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("q25 ANN recall: every ANN hit scores <= the true best (sanity)") {
+    val ann = Similarity.q25AnnLsh(spark, sf)
+      .groupBy($"query_id").agg(max($"cos").as("ann_best"))
+    val exact = Similarity.q24CosineTopk(spark, sf)
+      .filter($"rank" === 1)
+      .select($"query_id", $"cos".as("true_best"))
+    val joined = ann.join(exact, Seq("query_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("ann_best") <= r.getAs[Double]("true_best") + 1e-9)
+    }
+  }
+
+  test("q26 near-dup pairs are within-label and above threshold") {
+    val rows = Similarity.q26EmbeddingNearDup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cos") >= 0.35)
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+    }
+  }
+}

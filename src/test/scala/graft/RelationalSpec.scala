@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Relational
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q01: one row per returnflag, share in [0,1], counts positive") {
+    val rows = Relational.q01FlagShareCount(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("disc_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("counts") > 0)
+    }
+  }
+
+  test("q02 counts sum to lineitem row count") {
+    val total = Relational.q02TwoKeyCount(spark, sf)
+      .agg(sum($"counts")).as[Long].head()
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(total == expected)
+  }
+
+  test("q03 pivot row sums equal q07 per-flag quantity sums") {
+    val pivoted = Relational.q03PivotWide(spark, sf)
+      .select($"l_returnflag", ($"F" + $"O").as("qty")).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val grouped = Relational.q07GroupedSumMulti(spark, sf)
+      .select($"l_returnflag", $"sum_qty").collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(pivoted == grouped)
+  }
+
+  test("q04 unpivot is the long form of q03 (round trip)") {
+    val long = Relational.q04UnpivotLong(spark, sf)
+    val back = long.groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O")).agg(first($"sum_qty"))
+    val orig = Relational.q03PivotWide(spark, sf)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("q06 shares sum to 1 within each event_type") {
+    val sums = Relational.q06WindowShare(spark, sf)
+      .groupBy($"event_type").agg(sum($"share").as("s"))
+      .select($"s").as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-3))
+  }
+
+  test("q09 dedup is idempotent and keys are unique") {
+    val deduped = Relational.q09DedupFirst(spark, sf)
+    val keys = deduped.select($"user_id", $"event_type")
+    assert(keys.count() == keys.distinct().count())
+  }
+
+  test("q12 star join covers all 5 regions") {
+    val rows = Relational.q12StarJoin(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Long]("counts") > 0))
+  }
+
+  test("q13 top-k is sorted descending and unique") {
+    val prices = Relational.q13TopkOrders(spark, sf)
+      .select($"o_totalprice").collect().map(_.getDecimal(0))
+    assert(prices.length == 10)
+    assert(prices.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+  }
+}
