@@ -53,6 +53,17 @@ object SparkEntry {
     "q24_cosine_topk"      -> Similarity.q24CosineTopk _,
     "q25_ann_lsh"          -> Similarity.q25AnnLsh _,
     "q26_embedding_neardup" -> Similarity.q26EmbeddingNearDup _,
+    "q27_stream_window"    -> graft.streaming.Streaming.q27StreamWindow _,
+    "q28_stream_dedup"     -> graft.streaming.Streaming.q28StreamDedup _,
+    "q29_multimodal_meta"  -> Multimodal.q29MultimodalMeta _,
+    "q30_multimodal_decode" -> Multimodal.q30MultimodalDecode _,
+    "q31_rollup"           -> Relational2.q31Rollup _,
+    "q32_distinct_agg"     -> Relational2.q32DistinctAgg _,
+    "q33_approx_distinct"  -> Relational2.q33ApproxDistinct _,
+    "q34_semi_join"        -> Relational2.q34SemiJoin _,
+    "q35_anti_join"        -> Relational2.q35AntiJoin _,
+    "q36_array_ops"        -> Relational2.q36ArrayOps _,
+    "q37_fanout"           -> Relational2.q37FanOut _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -194,5 +205,48 @@ object SparkEntry {
     "q24_cosine_topk"       -> Similarity.q24Sql,
     "q25_ann_lsh"           -> Similarity.q25Sql,
     "q26_embedding_neardup" -> Similarity.q26Sql,
+    // q30 (mapPartitions decode) and q33 (HLL estimate) have no SQL twin
+    // → driver records rows-only checks for them.
+    "q27_stream_window"     -> graft.streaming.Streaming.q27Sql,
+    "q28_stream_dedup"      -> graft.streaming.Streaming.q28Sql,
+    "q29_multimodal_meta"   -> Multimodal.q29Sql,
+    "q31_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+         coalesce(l_linestatus, '(all)') AS ls,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         count(*) AS counts
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q32_distinct_agg" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS counts
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q34_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS counts FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q35_anti_join" ->
+      """SELECT p_brand, count(*) AS counts FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45)
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q36_array_ops" ->
+      """SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+')[1] AS first_tok,
+         regexp_split_to_array(trim(text), '\s+')[-1] AS last_tok,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+         FROM documents ORDER BY doc_id""",
+    "q37_fanout" ->
+      """WITH fan AS (
+           SELECT event_id, 'all' AS tag FROM events
+           UNION ALL
+           SELECT event_id, 'p' AS tag FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_id, 'hv' AS tag FROM events WHERE value > 100)
+         SELECT upper(tag) || ':' || CAST(event_id AS VARCHAR) AS key,
+         '{"event_id":' || CAST(event_id AS VARCHAR) || ',"tag":"' || tag || '"}' AS value
+         FROM fan ORDER BY key""",
   )
 }

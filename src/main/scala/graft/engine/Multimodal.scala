@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, and a batched decode/feature-extract stage.
+  *
+  * The test corpus has no real image/audio bytes, so payloads are
+  * synthesized (UTF-8 bytes of `documents.text`) — but the Spark-side
+  * plumbing is the real thing: a `binary` column + metadata struct
+  * (content hash, byte length, declared kind), decoded partition-wise in
+  * fixed-size batches exactly as an image library would be driven.
+  *
+  * Scale posture: payload bytes never shuffle for metadata queries — the
+  * projection is per-row expressions inside the scan stage. The decode
+  * stage is `mapPartitions` (one library context per partition, batched
+  * rows), the Scala analogue of Python's `mapInPandas` batch contract;
+  * at 100 TB you size `maxPartitionBytes` so a batch of payloads fits
+  * executor memory, and the decoded features (small, fixed-width) are
+  * what flows downstream — not the blobs.
+  */
+object Multimodal {
+
+  /** Attach the payload + metadata struct. `kind` is declared (by source
+    * here; by MIME sniffing in production). */
+  def withPayload(df: DataFrame): DataFrame =
+    df.withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("meta", struct(
+        octet_length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("content_md5"),
+        lit("text/plain").as("kind")))
+
+  /** Decoded-feature row shape: fixed-width, small — this is what flows
+    * downstream instead of payload bytes. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("head", BinaryType)))
+
+  /** STUB DECODE: stands in for an image/audio decode (libraries not
+    * available in this environment). Deterministic fake: byte-level
+    * moments + an 8-byte head sample. The partition-wise batching, row
+    * shape, and driver-free execution are the real contract — swap the
+    * body for e.g. JPEG decode + embedding without touching the plan. */
+  def decodeFeatures(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    withPayloads
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // One decoder context per partition; rows arrive in batches.
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mean =
+            if (bytes.isEmpty) 0.0
+            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+          Row(id, bytes.length, mean, bytes.take(8))
+        }
+      }(enc)
+  }
+
+  /** Metadata projection over payloads — expression-only (no decode), so
+    * it is oracle-checkable and never moves blob bytes past the scan. */
+  def q29MultimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"meta.byte_len".as("byte_len"),
+        $"meta.content_md5".as("content_md5"), $"meta.kind".as("kind"))
+      .orderBy($"doc_id")
+  }
+
+  def q29Sql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+       md5(text) AS content_md5, 'text/plain' AS kind
+       FROM documents ORDER BY doc_id"""
+
+  /** Decode stage output (rows-only driver check: mapPartitions decode has
+    * no SQL twin; the deterministic fake is spec-tested instead). */
+  def q30MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(spark, withPayload(Tables.documents(spark, sfDir)))
+      .select($"doc_id", $"n_bytes", round($"mean_byte", 6).as("mean_byte"))
+      .orderBy($"doc_id")
+  }
+}

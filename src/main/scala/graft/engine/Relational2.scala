@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second relational wave: the cheap-extension operators SURVEY §2.3/§7
+  * flags as natural upgrades (rollup/grouping sets, distinct aggregates,
+  * HLL sketches, semi/anti joins) plus the remaining reference surface
+  * (P5 element_at, S8 producer fan-out).
+  */
+object Relational2 {
+
+  /** Rollup (grouping-sets) aggregate — subtotals + grand total. Group
+    * keys are coalesced to a sentinel so null-ordering differences
+    * between engines can't bite the sort. */
+  def q31Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        count(lit(1)).as("counts"))
+      .select(
+        coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        $"sum_qty", $"counts")
+      .orderBy($"rf", $"ls")
+  }
+
+  /** Exact distinct aggregate (the reference had none; SURVEY §2.3). */
+  def q32DistinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("counts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** HLL sketch (approx_count_distinct): the 100 TB-scale form of q32 —
+    * one pass, fixed memory, no per-key exact state. No DuckDB twin with
+    * matching estimates, so the oracle checks the exact cardinality
+    * bounds instead are covered by q32; this query is rows-only. */
+  def q33ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one open order. */
+  def q34SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val open = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "O")
+      .select($"o_custkey")
+    Tables.customer(spark, sfDir)
+      .join(open, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("counts"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): parts never shipped in bulk
+    * (quantity ≥ 45 — every part ships at least once, so the unfiltered
+    * anti join would be empty). */
+  def q35AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val shipped = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" >= 45)
+      .select($"l_partkey")
+    Tables.part(spark, sfDir)
+      .join(shipped, $"p_partkey" === $"l_partkey", "left_anti")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("counts"))
+      .orderBy($"p_brand")
+  }
+
+  /** P5/P3 (consumer.scala:68,128,153): array ops — element_at on the
+    * token array (first/last token), array length. */
+  def q36ArrayOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.functions.TextFunctions.tokens($"text")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        size(toks).as("n_toks"))
+      .orderBy($"doc_id")
+  }
+
+  /** S8 (twitter_producer.py:57-67): producer fan-out — one output
+    * message per (event, matching rule), key-prefixed, JSON-encoded value
+    * built with deterministic concat (engine-portable, unlike to_json
+    * field ordering). The rules table is inline (tag → predicate), the
+    * explode is the per-rule duplication. */
+  def q37FanOut(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Overlapping rules: every event matches "all"; purchases add "p";
+    // high-value events add "hv" — so one input row fans out to 1-3
+    // keyed messages, like the producer's per-matching-rule duplication.
+    val tagged = Tables.events(spark, sfDir)
+      .withColumn("tags", array(
+        lit("all"),
+        when($"event_type" === "purchase", "p").otherwise(lit(null).cast("string")),
+        when($"value" > 100, "hv").otherwise(lit(null).cast("string"))))
+      .withColumn("tag", explode(filter($"tags", t => t.isNotNull)))
+    tagged.select(
+        concat(upper($"tag"), lit(":"), $"event_id".cast("string")).as("key"),
+        concat(lit("{\"event_id\":"), $"event_id".cast("string"),
+          lit(",\"tag\":\""), $"tag", lit("\"}")).as("value"))
+      .orderBy($"key")
+  }
+}

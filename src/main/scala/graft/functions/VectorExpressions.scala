@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for vector math over `array<float>`.
+  *
+  * Why not `functions.aggregate(zip_with(...))`: higher-order functions
+  * are lambda-interpreted per element (no whole-stage codegen), which
+  * makes them the per-pair bottleneck of similarity joins. These
+  * expressions generate a tight primitive loop instead and stay inside
+  * WholeStageCodegen spans.
+  *
+  * Numeric contract: strict left-to-right sequential accumulation over
+  * double-cast elements — identical to the HOF formulation and to the
+  * DuckDB oracle's `list_reduce(list_transform(...))`, so swapping the
+  * implementations never changes a single bit of output.
+  */
+object VectorExpressions {
+
+  /** dot(a, b) over array<float> (double accumulator, sequential). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product expects array<float|double>, got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+    // lazy: children are unresolved at construction time — dataType is
+    // only legal to read after analysis.
+    private lazy val leftIsFloat = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    private lazy val rightIsFloat = right.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val getL = if (leftIsFloat) "getFloat" else "getDouble"
+      val getR = if (rightIsFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ((double) $a.$getL($i)) * ((double) $b.$getR($i));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column API: codegen'd dot product. */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  /** Column API: cosine via codegen'd dots (caller may precompute norms
+    * with dot_product(v, v) and divide — see graft.engine.Similarity). */
+  def cosine_similarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dot_product(a, b) / sqrt(dot_product(a, a) * dot_product(b, b))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+
+/** Structured Streaming surface — the reference's ingest pipeline
+  * (consumer.scala:44-83) re-expressed over the `events` table, plus the
+  * in-stream upgrades the reference lacked (SURVEY §2.8 T4-T6: windowed
+  * aggregation with watermarks, streaming dedup).
+  *
+  * Kafka is unavailable offline, so the stream source is the file source
+  * over the same parquet (identical query shape either way — swapping
+  * `format("parquet")` for `format("kafka")` + the S2 cast projection
+  * re-targets ingest). `Trigger.AvailableNow` drains all available input
+  * and stops — the deterministic test/batch-parity mode; a production
+  * deployment uses the default micro-batch trigger with the same plan.
+  *
+  * Scale posture: ingest is stateless map-only (append mode, partitioned
+  * parquet sink — T2/T4's tumbling-window-as-partition layout); the
+  * windowed agg carries watermark-bounded state; dedup state is likewise
+  * watermark-bounded in production (`dropDuplicatesWithinWatermark`).
+  */
+object Streaming {
+
+  /** events.parquet schema for the streaming reader (ts is parquet
+    * TIMESTAMP(NANOS) — read as long, converted in [[projectIngest]];
+    * see graft.engine.Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file source requires a directory; pathGlobFilter pins it to
+    // the events table within the sfDir.
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+  }
+
+  /** The reference's ingest projection (S2+P1-P4, consumer.scala:63-70):
+    * payload parse (`from_json` on props — the nested-schema path),
+    * key synthesis, and derived `date`/`hour` partition columns. */
+  def projectIngest(df: DataFrame): DataFrame = {
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("parsed", from_json(col("props"), propsSchema))
+      .select(
+        concat(upper(substring(col("event_type"), 1, 2)),
+          col("event_id").cast("string")).as("key"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("parsed.k").as("k"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date"),
+        date_format(col("ts"), "HH").as("hour"))
+  }
+
+  /** S5 (consumer.scala:73-82): checkpointed append-mode parquet sink
+    * partitioned by (date, hour). Runs to completion with AvailableNow;
+    * returns the sink path it wrote. */
+  def runIngest(spark: SparkSession, sfDir: String, outDir: String): String = {
+    val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
+    val q = projectIngest(readEventsStream(spark, sfDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .partitionBy("date", "hour")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    outDir
+  }
+
+  /** T4/T5 upgrade: in-stream tumbling-window aggregation with a
+    * watermark (the reference materialized hourly windows as directories
+    * and read them back in batch). Complete output mode so every window
+    * is emitted when the stream drains — batch-equivalent, hence
+    * oracle-checkable. */
+  def q27StreamWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = readEventsStream(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("counts"),
+        sum($"value".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_window")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("stream_window")
+      .select($"window.start".as("ws"), $"event_type", $"counts", $"sum_value")
+      .orderBy($"ws", $"event_type")
+  }
+
+  /** T6 upgrade: streaming dedup. With AvailableNow the drained result
+    * equals batch DISTINCT over the key columns — the deterministic
+    * contract (production pairs this with `dropDuplicatesWithinWatermark`
+    * to bound state). */
+  def q28StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val deduped = readEventsStream(spark, sfDir)
+      .select($"user_id", $"event_type")
+      .dropDuplicates("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("stream_dedup")
+      .select($"user_id", $"event_type")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  def q27Sql: String =
+    """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS counts,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""
+
+  def q28Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+       ORDER BY user_id, event_type"""
+}
