@@ -10,9 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM once (codegen, parquet reader, shuffle machinery) so
-    // the first timed query doesn't absorb one-time JIT/classload costs.
+    // Warm the JVM once (codegen, parquet reader, shuffle machinery, and
+    // the Structured Streaming stack) so the first timed query doesn't
+    // absorb one-time JIT/classload costs.
     try SparkEntry.entry(spark).count()
+    catch { case _: Throwable => () }
+    try graft.streaming.Streaming
+      .q28StreamDedup(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

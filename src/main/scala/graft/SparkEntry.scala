@@ -64,6 +64,7 @@ object SparkEntry {
     "q35_anti_join"        -> Relational2.q35AntiJoin _,
     "q36_array_ops"        -> Relational2.q36ArrayOps _,
     "q37_fanout"           -> Relational2.q37FanOut _,
+    "q38_cosine_topk_agg"  -> Similarity.q38CosineTopkAgg _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -248,5 +249,8 @@ object SparkEntry {
          SELECT upper(tag) || ':' || CAST(event_id AS VARCHAR) AS key,
          '{"event_id":' || CAST(event_id AS VARCHAR) || ',"tag":"' || tag || '"}' AS value
          FROM fan ORDER BY key""",
+    // identical semantics to q24, different physical plan (bounded
+    // aggregator vs window sort) — same oracle.
+    "q38_cosine_topk_agg"   -> Similarity.q24Sql,
   )
 }

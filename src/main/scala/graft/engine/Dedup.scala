@@ -23,17 +23,19 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Word 3-gram shingles of the whitespace-tokenized text.
+  /** Word 3-gram shingles over a *materialized* token-array column.
+    * Callers must project `tokens(text)` into a column first: referencing
+    * the split expression directly would re-run the regex split for every
+    * `element_at` inside the lambda — O(tokens²) regex work per document
+    * (measured 6s of q21's 8s at sf0.1 before this was hoisted).
     * Guarded so docs with <3 tokens yield no shingles (Spark's `sequence`
     * would otherwise generate a descending range, unlike DuckDB's range). */
-  private def shingles(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
+  private def shinglesOf(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2), i =>
         concat_ws(" ",
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** SQL mirror of [[shingles]] over DuckDB (1-based list indexing,
     * exclusive-end `range`). */
@@ -50,7 +52,8 @@ object Dedup {
   def q21MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = Tables.documents(spark, sfDir)
-      .select($"doc_id", explode(shingles($"text")).as("sh"))
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
       .select($"doc_id", md5($"sh").as("h"))
     val sig = sh.groupBy($"doc_id").agg(
       min(substring($"h", 1, 8)).as("m0"),
@@ -134,7 +137,8 @@ object Dedup {
     import spark.implicits._
     val sample = Tables.documents(spark, sfDir)
       .filter($"doc_id" % 20 === 0)
-      .select($"doc_id", explode(shingles($"text")).as("sh"))
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
       .distinct()
     val sizes = sample.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sample.as("a")

@@ -156,6 +156,29 @@ object Similarity {
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q24 re-expressed with the bounded [[graft.functions.TopKAggregator]]
+    * — map-side partial top-k instead of a full window sort; at scale the
+    * shuffle carries k rows per (partition, query) rather than the whole
+    * scored corpus. Output is row-identical to q24 (same oracle). */
+  def q38CosineTopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
+    val queries = emb
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"norm2".as("q_norm2"))
+      .filter($"query_id" % 100 === 0)
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosinePre($"q_emb", $"embedding", $"q_norm2", $"norm2").as("cos"))
+    scored.groupBy($"query_id")
+      .agg(graft.functions.TopKAggregator.top_k(10)($"cos", $"vec_id").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"query_id", ($"pos" + 1).as("rank"),
+        $"t.id".as("vec_id"), round($"t.score", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: within-label blocking (the
     * label is the blocking key standing in for a coarse clustering),
     * pairs with cosine ≥ 0.35 (the synthetic embeddings are near-

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Ad-hoc stage profiler: times named sub-plans of the heavier queries so
+  * optimization targets are measured, not guessed.
+  * Usage: tools/run.sh graft.tools.Profile <sfDir> [filter-substring]
+  */
+object Profile {
+  def time(name: String, thunk: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = thunk
+    println(f"[profile] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.drop(1).headOption.getOrElse("")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val sections: Seq[(String, () => Unit)] = Seq(
+      "minhash" -> { () =>
+        import graft.functions.TextFunctions
+        val docs = graft.engine.Tables.documents(spark, sfDir)
+        val toks = TextFunctions.tokens($"text")
+        val shingles = when(size(toks) >= 3,
+          transform(sequence(lit(1), size(toks) - 2), i =>
+            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        time("scan only", docs.count())
+        time("explode shingles", docs.select($"doc_id", explode(shingles).as("sh")).count())
+        val hashed = docs.select($"doc_id", explode(shingles).as("sh"))
+          .select($"doc_id", md5($"sh").as("h"))
+        time("explode + md5", hashed.count())
+        time("sig agg", hashed
+          .groupBy($"doc_id")
+          .agg(min(substring($"h", 1, 8)), min(substring($"h", 9, 8)),
+            min(substring($"h", 17, 8)), min(substring($"h", 25, 8))).count())
+        time("full q21", graft.engine.Dedup.q21MinhashLsh(spark, sfDir).count())
+      },
+      "stream" -> { () =>
+        time("q27 window", graft.streaming.Streaming.q27StreamWindow(spark, sfDir).count())
+        time("q27 again", graft.streaming.Streaming.q27StreamWindow(spark, sfDir).count())
+        time("q28 dedup", graft.streaming.Streaming.q28StreamDedup(spark, sfDir).count())
+        time("batch window equiv", graft.engine.Tables.events(spark, sfDir)
+          .groupBy(date_trunc("hour", $"ts"), $"event_type").count().count())
+      },
+      "simjoin" -> { () =>
+        time("q24 topk", graft.engine.Similarity.q24CosineTopk(spark, sfDir).count())
+        time("q26 neardup", graft.engine.Similarity.q26EmbeddingNearDup(spark, sfDir).count())
+        time("q23 jaccard", graft.engine.Dedup.q23NgramJaccard(spark, sfDir).count())
+        time("q19 fingerprint", graft.engine.TextQueries.q19Fingerprint(spark, sfDir).count())
+      },
+    )
+    sections.filter(_._1.contains(only)).foreach { case (name, fn) =>
+      println(s"== $name"); fn()
+    }
+    spark.stop()
+  }
+}

@@ -58,6 +58,13 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q38 aggregator top-k is row-identical to q24 window top-k") {
+    val window = Similarity.q24CosineTopk(spark, sf).collect().map(_.toSeq)
+    val agg = Similarity.q38CosineTopkAgg(spark, sf).collect().map(_.toSeq)
+    assert(window.length == agg.length && window.nonEmpty)
+    window.zip(agg).foreach { case (w, a) => assert(w == a) }
+  }
+
   test("q26 near-dup pairs are within-label and above threshold") {
     val rows = Similarity.q26EmbeddingNearDup(spark, sf).collect()
     rows.foreach { r =>
