@@ -65,6 +65,8 @@ object SparkEntry {
     "q36_array_ops"        -> Relational2.q36ArrayOps _,
     "q37_fanout"           -> Relational2.q37FanOut _,
     "q38_cosine_topk_agg"  -> Similarity.q38CosineTopkAgg _,
+    "q39_sessionize"       -> graft.streaming.Sessionize.q39Sessionize _,
+    "q40_stream_sessionize" -> graft.streaming.Sessionize.q40StreamSessionize _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -252,5 +254,9 @@ object SparkEntry {
     // identical semantics to q24, different physical plan (bounded
     // aggregator vs window sort) — same oracle.
     "q38_cosine_topk_agg"   -> Similarity.q24Sql,
+    // q40 drains in one AvailableNow batch, so the stateful streaming
+    // form emits exactly the batch sessionization — same oracle as q39.
+    "q39_sessionize"        -> graft.streaming.Sessionize.q39Sql,
+    "q40_stream_sessionize" -> graft.streaming.Sessionize.q39Sql,
   )
 }

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.engine.Tables
+
+/** Gap-based sessionization (30-minute inactivity gap) — the classic
+  * stateful stream operator the reference never had (SURVEY §2.8 T6).
+  *
+  * Two formulations with identical output:
+  *  - q39: batch window form — `lag` to detect gaps, running sum to
+  *    assign session indexes. Fully SQL-expressible → DuckDB oracle.
+  *  - q40: streaming `flatMapGroupsWithState` over user_id — the real
+  *    stateful-API form. With Trigger.AvailableNow all events arrive in
+  *    one micro-batch, so emitted sessions equal the batch result
+  *    (oracle-checked the same way); under a production trigger the same
+  *    function emits sessions incrementally with timeout-based closure.
+  *
+  * Scale posture: both forms shuffle once on user_id. The window form
+  * sorts each user's events (Spark spills per-key sorts); the stateful
+  * form keeps one open session per key in the state store — at 100 TB
+  * the stateful form is the only one that works *continuously*, which is
+  * why both are provided.
+  */
+object Sessionize {
+
+  val GapMinutes = 30
+
+  /** Batch sessionization: session boundaries via lag + running count. */
+  def q39Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > GapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("start_ts"),
+        max($"ts").as("end_ts"))
+      .withColumn("duration_s",
+        expr("(unix_micros(end_ts) - unix_micros(start_ts)) div 1000000"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  def q39Sql: String =
+    s"""WITH flagged AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${GapMinutes * 60000000L} THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx, count(*) AS n_events,
+          min(ts) AS start_ts, max(ts) AS end_ts,
+          CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_s
+        FROM numbered GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx"""
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class Session(user_id: Long, session_idx: Long, n_events: Long,
+      start_ts: Timestamp, end_ts: Timestamp, duration_s: Long)
+  case class SessState(idx: Long, open: Option[Session])
+
+  /** Exact event-time micros (Timestamp.getTime is millis; the µs
+    * remainder lives in getNanos) — keeps gap/duration arithmetic
+    * bit-equal to the batch form's unix_micros. */
+  private def us(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Stateful session assembly for one user's new events (sorted by
+    * event time). Pure function of (state, events) → (state', emitted
+    * closed sessions + current open session view). */
+  private[graft] def advance(st: SessState, events: Seq[Ev]): (SessState, Seq[Session]) = {
+    var idx = st.idx
+    var open = st.open
+    val out = Seq.newBuilder[Session]
+    events.foreach { e =>
+      open match {
+        case Some(s) if us(e.ts) - us(s.end_ts) <= GapMinutes * 60000000L =>
+          open = Some(s.copy(n_events = s.n_events + 1, end_ts = e.ts,
+            duration_s = (us(e.ts) - us(s.start_ts)) / 1000000L))
+        case other =>
+          other.foreach(out += _)
+          idx += 1
+          open = Some(Session(e.user_id, idx, 1L, e.ts, e.ts, 0L))
+      }
+    }
+    (SessState(idx, open), out.result())
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState. AvailableNow ⇒
+    * single micro-batch ⇒ every session closes at drain time, so output
+    * matches q39; a production trigger would emit on inactivity timeout
+    * (GroupStateTimeout.EventTimeTimeout) instead. */
+  def q40StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(Streaming.eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"user_id", $"ts", $"event_id")
+      .as[Ev]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          val st0 = state.getOption.getOrElse(SessState(0L, None))
+          val (st1, closed) = advance(st0, sorted)
+          // AvailableNow: the stream drains in one batch — flush the open
+          // session too. (With a real trigger, keep it in state and let
+          // the timeout close it.)
+          state.update(SessState(st1.idx, None))
+          (closed ++ st1.open).iterator
+      }
+
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("stream_sessions")
+      .select($"user_id", $"session_idx", $"n_events", $"start_ts", $"end_ts",
+        $"duration_s")
+      .orderBy($"user_id", $"session_idx")
+  }
+}

@@ -44,6 +44,31 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty)
   }
 
+  test("q40 streaming sessionize equals q39 batch sessionize") {
+    val batch = graft.streaming.Sessionize.q39Sessionize(spark, sf)
+    val streamed = graft.streaming.Sessionize.q40StreamSessionize(spark, sf)
+    assert(batch.count() == streamed.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sessionize advance() is incremental: chunked == one-shot (state continuity)") {
+    import graft.streaming.Sessionize
+    import Sessionize.{Ev, SessState}
+    val t0 = 1700000000000L
+    def ev(id: Long, offsetMin: Long) =
+      Ev(1L, new java.sql.Timestamp(t0 + offsetMin * 60000L), id)
+    // gaps: 0,5,10 | 50(new) | 55 | 120(new) — two split points tested
+    val events = Seq(ev(1, 0), ev(2, 5), ev(3, 10), ev(4, 50), ev(5, 55), ev(6, 120))
+    val (stAll, outAll) = Sessionize.advance(SessState(0, None), events)
+    val oneShot = outAll ++ stAll.open
+    for (split <- 1 until events.size) {
+      val (st1, out1) = Sessionize.advance(SessState(0, None), events.take(split))
+      val (st2, out2) = Sessionize.advance(st1, events.drop(split))
+      val chunked = out1 ++ out2 ++ st2.open
+      assert(chunked == oneShot, s"split at $split diverged")
+    }
+  }
+
   test("multimodal decode: features are fixed-width, deterministic, cover all docs") {
     val feats = Multimodal.decodeFeatures(
       spark, Multimodal.withPayload(Tables.documents(spark, sf)))
