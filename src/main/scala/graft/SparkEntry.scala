@@ -67,6 +67,8 @@ object SparkEntry {
     "q38_cosine_topk_agg"  -> Similarity.q38CosineTopkAgg _,
     "q39_sessionize"       -> graft.streaming.Sessionize.q39Sessionize _,
     "q40_stream_sessionize" -> graft.streaming.Sessionize.q40StreamSessionize _,
+    "q41_sliding_window"   -> graft.streaming.Streaming.q41SlidingWindow _,
+    "q42_stream_join"      -> graft.streaming.Streaming.q42StreamStreamJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -258,5 +260,7 @@ object SparkEntry {
     // form emits exactly the batch sessionization — same oracle as q39.
     "q39_sessionize"        -> graft.streaming.Sessionize.q39Sql,
     "q40_stream_sessionize" -> graft.streaming.Sessionize.q39Sql,
+    "q41_sliding_window"    -> graft.streaming.Streaming.q41Sql,
+    "q42_stream_join"       -> graft.streaming.Streaming.q42Sql,
   )
 }

@@ -1,0 +1,33 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table support — the co-located-join scale path.
+  *
+  * At 100 TB a fact⋈fact equi-join (e.g. lineitem⋈orders) shuffles both
+  * sides on every run. Writing both tables bucketed (and sorted) by the
+  * join key moves that shuffle to write time, once: subsequent joins plan
+  * as a sort-merge join over pre-bucketed scans with NO Exchange on
+  * either side (asserted by BucketedJoinSpec). The bucket count is the
+  * join parallelism — size it to the cluster (a few × total cores).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table at `path`. */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .saveAsTable(name)
+
+  /** Join two same-bucket-count tables on their bucket keys — shuffle-free
+    * when both sides were written via [[writeBucketed]] with equal bucket
+    * counts. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+}

@@ -129,6 +129,71 @@ object Streaming {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** T4 upgrade, sliding form: 1-hour windows sliding every 30 minutes —
+    * each event lands in exactly 2 windows. Batch `window()` here; the
+    * identical expression drops into the q27 streaming pipeline. The
+    * oracle mirrors the expansion explicitly (k ∈ {0,1} window starts on
+    * the 30-minute grid). */
+  def q41SlidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("counts"),
+        sum($"value".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select($"window.start".as("ws"), $"event_type", $"counts", $"sum_value")
+      .orderBy($"ws", $"event_type")
+  }
+
+  def q41Sql: String =
+    """WITH expanded AS (
+         SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                               - k.k * 1800000000) AS ws,
+                event_type, value
+         FROM events CROSS JOIN (VALUES (0), (1)) k(k))
+       SELECT ws, event_type, count(*) AS counts,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       FROM expanded GROUP BY ws, event_type ORDER BY ws, event_type"""
+
+  /** T6 upgrade: stream-stream interval join — errors within 2 hours
+    * after a purchase by the same user (the synthetic stream averages one
+    * event per user every ~20 h, so a 10-minute window would never
+    * match). Both sides carry watermarks (the
+    * state-cleanup contract at scale: state for a side is dropped once
+    * its watermark passes the join window); with AvailableNow all matches
+    * are in one batch, so output equals the batch interval join. */
+  def q42StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def side(tag: String, eventType: String) =
+      readEventsStream(spark, sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter($"event_type" === eventType)
+        .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+          $"event_id".as(s"${tag}_id"))
+        .withWatermark(s"${tag}_ts", "3 hours")
+    val joined = side("p", "purchase").join(side("e", "error"),
+      expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 2 hours"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_join")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("stream_join")
+      .select($"p_user".as("user_id"), $"p_id", $"e_id",
+        expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000").as("gap_s"))
+      .orderBy($"user_id", $"p_id", $"e_id")
+  }
+
+  def q42Sql: String =
+    """SELECT a.user_id AS user_id, a.event_id AS p_id, b.event_id AS e_id,
+       CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT) AS gap_s
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND a.event_type = 'purchase' AND b.event_type = 'error'
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+       ORDER BY a.user_id, p_id, e_id"""
+
   def q27Sql: String =
     """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS counts,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
