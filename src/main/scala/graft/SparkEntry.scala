@@ -69,6 +69,9 @@ object SparkEntry {
     "q40_stream_sessionize" -> graft.streaming.Sessionize.q40StreamSessionize _,
     "q41_sliding_window"   -> graft.streaming.Streaming.q41SlidingWindow _,
     "q42_stream_join"      -> graft.streaming.Streaming.q42StreamStreamJoin _,
+    "q43_percentiles"      -> Relational2.q43Percentiles _,
+    "q44_tfidf"            -> TextQueries.q44Tfidf _,
+    "q45_salted_join"      -> Relational2.q45SaltedJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -262,5 +265,35 @@ object SparkEntry {
     "q40_stream_sessionize" -> graft.streaming.Sessionize.q39Sql,
     "q41_sliding_window"    -> graft.streaming.Streaming.q41Sql,
     "q42_stream_join"       -> graft.streaming.Streaming.q42Sql,
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+         round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q44_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents WHERE doc_id % 10 = 0),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token <> '' GROUP BY doc_id, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM toks WHERE token <> ''),
+         scored AS (
+           SELECT tf.doc_id, tf.token,
+             round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+           FROM scored)
+         SELECT doc_id, rank, token, tfidf FROM ranked
+         WHERE rank <= 5 ORDER BY doc_id, rank""",
+    // the salted two-phase join is result-identical to the plain
+    // formulation — the plain SQL is the oracle.
+    "q45_salted_join" ->
+      """SELECT event_type, count(*) AS counts,
+         round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 6) AS hv_share
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -78,6 +78,43 @@ object Relational2 {
       .orderBy($"p_brand")
   }
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — both sort-based linear interpolation; rounded to
+    * absorb last-ulp libm differences). At 100 TB swap for
+    * `percentile_approx` (fixed-memory sketch) — same query shape. */
+  def q43Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("qty_p90"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Skew-handling pattern: salted two-phase join. The big (skewed) side
+    * derives a deterministic salt; the small side is replicated once per
+    * salt value, so one hot key spreads over `Salts` reducer partitions
+    * instead of one. Result is identical to the unsalted join — the
+    * oracle IS the plain formulation. (AQE skew-join handles moderate
+    * skew automatically; explicit salting is the belt-and-braces form for
+    * pathological keys.) */
+  val Salts = 8
+  def q45SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val dim = events.groupBy($"event_type")
+      .agg(avg(when($"value" > 100, 1).otherwise(0)).as("hv_share"))
+    val saltedDim = dim.withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+    events
+      .withColumn("salt", ($"event_id" % Salts).cast("int"))
+      .join(saltedDim, Seq("event_type", "salt"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("counts"), round(first($"hv_share"), 6).as("hv_share"))
+      .orderBy($"event_type")
+  }
+
   /** P5/P3 (consumer.scala:68,128,153): array ops — element_at on the
     * token array (first/last token), array length. */
   def q36ArrayOps(spark: SparkSession, sfDir: String): DataFrame = {

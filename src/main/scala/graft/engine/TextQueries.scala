@@ -94,6 +94,30 @@ object TextQueries {
       .orderBy($"fp")
   }
 
+  /** TF-IDF: the classic text-pipeline weighting, over a 10% document
+    * sample (tf and df computed within the sample). Top-5 terms per doc
+    * with a total tie-break. ln() is rounded post-formula to absorb
+    * last-ulp libm differences between engines. */
+  def q44Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = toks.select($"doc_id").distinct().count()
+    val scored = tf.join(df, Seq("token"))
+      .withColumn("tfidf",
+        round($"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"token", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
   /** Flagship: the reference's full aggregate shape (consumer.scala:
     * 158-174 — A1 positivity rate + A2 counts + A4 emotion pivot + J1
     * join of the two aggregates) re-expressed over documents, with
