@@ -72,6 +72,7 @@ object SparkEntry {
     "q43_percentiles"      -> Relational2.q43Percentiles _,
     "q44_tfidf"            -> TextQueries.q44Tfidf _,
     "q45_salted_join"      -> Relational2.q45SaltedJoin _,
+    "q46_asof_join"        -> Relational2.q46AsofJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,5 +296,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS counts,
          round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 6) AS hv_share
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q46_asof_join" ->
+      """SELECT user_id, event_id AS purchase_id, signup_id FROM (
+           SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS signup_id
+           FROM events WHERE event_type IN ('purchase', 'signup')) t
+         WHERE event_type = 'purchase' AND signup_id IS NOT NULL
+         ORDER BY user_id, purchase_id""",
   )
 }

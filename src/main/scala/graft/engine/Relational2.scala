@@ -115,6 +115,29 @@ object Relational2 {
       .orderBy($"event_type")
   }
 
+  /** As-of join composed from built-ins (preference (a) over a custom
+    * SparkPlan — SURVEY §7.3): for each purchase, the most recent signup
+    * by the same user at-or-before it. Union both sides, carry the last
+    * non-null signup forward per user with last_value(ignoreNulls) over
+    * an ordered window, keep the purchase rows. One shuffle on user_id —
+    * the same cost profile a dedicated as-of join operator would have. */
+  def q46AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("purchase", "signup"))
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev
+      .withColumn("signup_id",
+        last(when($"event_type" === "signup", $"event_id"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"signup_id".isNotNull)
+      .select($"user_id", $"event_id".as("purchase_id"), $"signup_id")
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** P5/P3 (consumer.scala:68,128,153): array ops — element_at on the
     * token array (first/last token), array length. */
   def q36ArrayOps(spark: SparkSession, sfDir: String): DataFrame = {
