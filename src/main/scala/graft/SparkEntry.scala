@@ -73,6 +73,9 @@ object SparkEntry {
     "q44_tfidf"            -> TextQueries.q44Tfidf _,
     "q45_salted_join"      -> Relational2.q45SaltedJoin _,
     "q46_asof_join"        -> Relational2.q46AsofJoin _,
+    "q47_dedup_watermark"  -> graft.streaming.Streaming.q47DedupWatermark _,
+    "q48_json_roundtrip"   -> Formats.q48JsonRoundtrip _,
+    "q49_formats_roundtrip" -> Formats.q49FormatsRoundtrip _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -305,5 +308,8 @@ object SparkEntry {
            FROM events WHERE event_type IN ('purchase', 'signup')) t
          WHERE event_type = 'purchase' AND signup_id IS NOT NULL
          ORDER BY user_id, purchase_id""",
+    "q47_dedup_watermark"   -> graft.streaming.Streaming.q47Sql,
+    "q48_json_roundtrip"    -> Formats.q48Sql,
+    "q49_formats_roundtrip" -> Formats.q49Sql,
   )
 }

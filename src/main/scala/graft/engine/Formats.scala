@@ -1,0 +1,64 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serialization / source-format surface beyond parquet.
+  *
+  * Scale note: the round-trips here are correctness demonstrations; at
+  * 100 TB the same writers run partitioned (`partitionBy`) with sized
+  * output files (`spark.sql.files.maxRecordsPerFile`), and columnar
+  * formats (parquet/ORC) are the only sane at-rest choice — CSV/JSON
+  * exist for interchange edges (the reference's Kafka values are JSON,
+  * S8/P1).
+  */
+object Formats {
+
+  /** S8+P1 closed loop: encode each event to a Kafka-shaped JSON `value`
+    * with to_json(struct(...)), parse it back with from_json, and verify
+    * the fields survive — output is the parsed projection, oracle is the
+    * plain projection (round-trip identity). */
+  def q48JsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    Tables.events(spark, sfDir)
+      .select(to_json(struct($"event_id", $"event_type", $"value")).as("payload"))
+      .select(from_json($"payload", schema).as("p"))
+      .select($"p.event_id".as("event_id"), $"p.event_type".as("event_type"),
+        $"p.value".as("value"))
+      .orderBy($"event_id")
+  }
+
+  def q48Sql: String =
+    """SELECT event_id, event_type, value FROM events ORDER BY event_id"""
+
+  /** Multi-format sink/source: write an events projection as ORC, CSV,
+    * and JSON-lines, read each back, and count — one row per format, all
+    * equal to the source count. Exercises the non-parquet readers/writers
+    * end-to-end (schemas carried explicitly for the text formats). */
+  def q49FormatsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val dir = Files.createTempDirectory("graft-formats-").toString
+    base.write.mode("overwrite").orc(s"$dir/orc")
+    base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    base.write.mode("overwrite").json(s"$dir/json")
+    val counts = Seq(
+      "csv" -> spark.read.option("header", "true").schema(base.schema).csv(s"$dir/csv").count(),
+      "json" -> spark.read.schema(base.schema).json(s"$dir/json").count(),
+      "orc" -> spark.read.orc(s"$dir/orc").count())
+    counts.toDF("format", "counts").orderBy($"format")
+  }
+
+  def q49Sql: String =
+    """SELECT f.format, (SELECT count(*) FROM events) AS counts
+       FROM (VALUES ('csv'), ('json'), ('orc')) f(format)
+       ORDER BY f.format"""
+}

@@ -108,7 +108,8 @@ object Sessionize {
     * single micro-batch ⇒ every session closes at drain time, so output
     * matches q39; a production trigger would emit on inactivity timeout
     * (GroupStateTimeout.EventTimeTimeout) instead. */
-  def q40StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def q40StreamSessionize(spark: SparkSession, sfDir: String): DataFrame =
+      Streaming.withStatePartitions(spark) {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.readStream

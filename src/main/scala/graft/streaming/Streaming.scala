@@ -28,6 +28,22 @@ import graft.engine.Tables
   */
 object Streaming {
 
+  /** Stateful streaming queries size their shuffle (= state store)
+    * parallelism to the state volume, not the core count: every
+    * (partition × store) pays snapshot/commit/maintenance overhead, so
+    * 32-way parallelism over ~10^5 state rows is pure overhead (measured
+    * on the stream-stream join at sf0.1: 79s at 32 partitions vs 3.9s at
+    * 4). At 100 TB with ~10^9 state rows this knob goes UP accordingly —
+    * the point is that it tracks state size, independently of the
+    * stateless queries' parallelism. */
+  private[graft] def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
+      n: Int = 4)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** events.parquet schema for the streaming reader (ts is parquet
     * TIMESTAMP(NANOS) — read as long, converted in [[projectIngest]];
     * see graft.engine.Tables.events). */
@@ -88,7 +104,7 @@ object Streaming {
     * and read them back in batch). Complete output mode so every window
     * is emitted when the stream drains — batch-equivalent, hence
     * oracle-checkable. */
-  def q27StreamWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  def q27StreamWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val agg = readEventsStream(spark, sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -112,7 +128,7 @@ object Streaming {
     * equals batch DISTINCT over the key columns — the deterministic
     * contract (production pairs this with `dropDuplicatesWithinWatermark`
     * to bound state). */
-  def q28StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def q28StreamDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val deduped = readEventsStream(spark, sfDir)
       .select($"user_id", $"event_type")
@@ -128,6 +144,34 @@ object Streaming {
       .select($"user_id", $"event_type")
       .orderBy($"user_id", $"event_type")
   }
+
+  /** T6: dropDuplicatesWithinWatermark — the state-bounded streaming
+    * dedup API (state for a key is dropped once the watermark passes it,
+    * unlike q28's unbounded dropDuplicates). Draining in one batch keeps
+    * every key inside the watermark window, so the result equals batch
+    * DISTINCT — the oracle. */
+  def q47DedupWatermark(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val deduped = readEventsStream(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"event_type", $"ts")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup_wm")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("stream_dedup_wm")
+      .select($"user_id", $"event_type")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  def q47Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+       ORDER BY user_id, event_type"""
 
   /** T4 upgrade, sliding form: 1-hour windows sliding every 30 minutes —
     * each event lands in exactly 2 windows. Batch `window()` here; the
@@ -161,7 +205,7 @@ object Streaming {
     * state-cleanup contract at scale: state for a side is dropped once
     * its watermark passes the join window); with AvailableNow all matches
     * are in one batch, so output equals the batch interval join. */
-  def q42StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def q42StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     def side(tag: String, eventType: String) =
       readEventsStream(spark, sfDir)

@@ -54,6 +54,15 @@ object Profile {
         time("batch window equiv", graft.engine.Tables.events(spark, sfDir)
           .groupBy(date_trunc("hour", $"ts"), $"event_type").count().count())
       },
+      "q42" -> { () =>
+        for (parts <- Seq("32", "8", "4")) {
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          time(s"q42 parts=$parts", graft.streaming.Streaming.q42StreamStreamJoin(spark, sfDir).count())
+          time(s"q47 parts=$parts", graft.streaming.Streaming.q47DedupWatermark(spark, sfDir).count())
+        }
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      },
       "simjoin" -> { () =>
         time("q24 topk", graft.engine.Similarity.q24CosineTopk(spark, sfDir).count())
         time("q26 neardup", graft.engine.Similarity.q26EmbeddingNearDup(spark, sfDir).count())
