@@ -76,6 +76,8 @@ object SparkEntry {
     "q47_dedup_watermark"  -> graft.streaming.Streaming.q47DedupWatermark _,
     "q48_json_roundtrip"   -> Formats.q48JsonRoundtrip _,
     "q49_formats_roundtrip" -> Formats.q49FormatsRoundtrip _,
+    "q50_cube"             -> Relational2.q50Cube _,
+    "q51_moving_avg"       -> Relational2.q51MovingAvg _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,5 +313,23 @@ object SparkEntry {
     "q47_dedup_watermark"   -> graft.streaming.Streaming.q47Sql,
     "q48_json_roundtrip"    -> Formats.q48Sql,
     "q49_formats_roundtrip" -> Formats.q49Sql,
+    "q50_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+         coalesce(l_linestatus, '(all)') AS ls,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         count(*) AS counts
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q51_moving_avg" ->
+      """SELECT user_id, event_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_n,
+         CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              AS DECIMAL(18,6)) AS ma3
+         FROM events ORDER BY user_id, event_id""",
   )
 }

@@ -115,6 +115,39 @@ object Relational2 {
       .orderBy($"event_type")
   }
 
+  /** Cube over both keys — all 4 grouping sets (q31's rollup gives 3).
+    * Same sentinel-coalesce convention for engine-portable ordering. */
+  def q50Cube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        count(lit(1)).as("counts"))
+      .select(
+        coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        $"sum_qty", $"counts")
+      .orderBy($"rf", $"ls")
+  }
+
+  /** Windowed moving aggregate with an explicit row frame: per-user
+    * 3-row trailing mean of `value` plus running event count. Decimal
+    * mean (sum/count over the frame) keeps it order-exact. */
+  def q51MovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trailing = frame.rowsBetween(-2, 0)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("running_n", count(lit(1)).over(frame.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ma3",
+        (sum($"value".cast("decimal(18,2)")).over(trailing) /
+          count(lit(1)).over(trailing)).cast("decimal(18,6)"))
+      .select($"user_id", $"event_id", $"running_n", $"ma3")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** As-of join composed from built-ins (preference (a) over a custom
     * SparkPlan — SURVEY §7.3): for each purchase, the most recent signup
     * by the same user at-or-before it. Union both sides, carry the last
