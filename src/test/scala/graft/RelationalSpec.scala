@@ -61,6 +61,32 @@ class RelationalSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("counts") > 0))
   }
 
+  test("q31/q50 grouping-set totals equal the ungrouped totals") {
+    val liCount = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    for (q <- Seq(engine.Relational2.q31Rollup _, engine.Relational2.q50Cube _)) {
+      val grand = q(spark, sf)
+        .filter($"rf" === "(all)" && $"ls" === "(all)").collect()
+      assert(grand.length == 1)
+      assert(grand.head.getAs[Long]("counts") == liCount)
+    }
+  }
+
+  test("q51 running count ends at the user's event count; ma3 within value range") {
+    val events = engine.Tables.events(spark, sf)
+    val perUser = events.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = engine.Relational2.q51MovingAvg(spark, sf).collect()
+    val maxRunning = rows.groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Long]("running_n")).max }
+    assert(maxRunning == perUser)
+    val (lo, hi) = events.agg(min($"value"), max($"value"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+    rows.foreach { r =>
+      val ma = r.getDecimal(3).doubleValue()
+      assert(ma >= lo - 1e-6 && ma <= hi + 1e-6)
+    }
+  }
+
   test("q13 top-k is sorted descending and unique") {
     val prices = Relational.q13TopkOrders(spark, sf)
       .select($"o_totalprice").collect().map(_.getDecimal(0))
