@@ -94,14 +94,14 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
     "q03_pivot_wide" ->
       """SELECT l_returnflag,
-         CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS "F",
-         CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS "O"
+         CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) / 100.0 AS "F",
+         CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) / 100.0 AS "O"
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q04_unpivot_long" ->
       """WITH w AS (
            SELECT l_returnflag,
-           CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS f_qty,
-           CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS o_qty
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) / 100.0 AS f_qty,
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) / 100.0 AS o_qty
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, 'F' AS l_linestatus, f_qty AS sum_qty FROM w
          UNION ALL
@@ -115,8 +115,8 @@ object SparkEntry {
            FROM lineitem GROUP BY l_returnflag),
          wide AS (
            SELECT l_returnflag,
-           CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS "F",
-           CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS "O"
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) / 100.0 AS "F",
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) / 100.0 AS "O"
            FROM lineitem GROUP BY l_returnflag)
          SELECT r.l_returnflag, r.disc_share, r.counts, w."F", w."O"
          FROM rates r JOIN wide w ON r.l_returnflag = w.l_returnflag
@@ -130,9 +130,9 @@ object SparkEntry {
          FROM byday ORDER BY event_type, date""",
     "q07_grouped_sum_multi" ->
       """SELECT l_returnflag,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) / 10000.0 AS sum_disc
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q08_time_grains" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS date, strftime(ts, '%H') AS hour,
@@ -150,12 +150,12 @@ object SparkEntry {
          FROM events WHERE event_type <> 'error' ORDER BY event_id""",
     "q11_ingest_projection" ->
       """SELECT event_type,
-         sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+         CAST(sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
          count(*) AS counts
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q12_star_join" ->
       """SELECT r_name,
-         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) / 10000.0 AS revenue,
          count(*) AS counts
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -164,7 +164,8 @@ object SparkEntry {
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
     "q13_topk_orders" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      """SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) / 100.0 AS o_totalprice
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q14_sentiment" ->
       s"""WITH e AS (SELECT source, ${TF.sentimentSql("text")} AS sentiment FROM documents)
@@ -190,7 +191,7 @@ object SparkEntry {
       s"""WITH e AS (SELECT source, ${TF.qualityScoreSql("text")} AS q,
             ${TF.tokenCountSql("text")} AS wc FROM documents)
           SELECT source,
-          CAST(sum(CAST(q AS DECIMAL(12,6))) AS DECIMAL(12,6)) AS sum_quality,
+          CAST(sum(CAST(q AS DECIMAL(12,6))) * 1000000 AS BIGINT) / 1000000.0 AS sum_quality,
           min(wc) AS min_wc, max(wc) AS max_wc, count(*) AS counts
           FROM e GROUP BY source ORDER BY source""",
     "q19_fingerprint" ->
@@ -227,7 +228,7 @@ object SparkEntry {
     "q31_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf,
          coalesce(l_linestatus, '(all)') AS ls,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_qty,
          count(*) AS counts
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
@@ -316,20 +317,20 @@ object SparkEntry {
     "q50_cube" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf,
          coalesce(l_linestatus, '(all)') AS ls,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_qty,
          count(*) AS counts
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
     "q51_moving_avg" ->
       """SELECT user_id, event_id,
-         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS running_n,
-         CAST(sum(CAST(value AS DECIMAL(18,2)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
+         count(*) OVER wrun AS running_n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wtrail * 100 AS BIGINT)
+           / (count(*) OVER wtrail * 100.0) AS ma3
+         FROM events
+         WINDOW wrun AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING),
+           wtrail AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-              / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-              AS DECIMAL(18,6)) AS ma3
-         FROM events ORDER BY user_id, event_id""",
+         ORDER BY user_id, event_id""",
   )
 }

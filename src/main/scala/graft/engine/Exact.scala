@@ -1,0 +1,37 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine bit-exact output casts for the oracle gate.
+  *
+  * A raw DECIMAL output column does NOT hash-match the DuckDB oracle even
+  * when numerically equal: Spark's parquet decimal reads back (pandas) as
+  * `Decimal('123.40')` while DuckDB's fetchdf yields float64 `123.4` —
+  * the trailing-zero repr breaks value hashing. Likewise DuckDB returns
+  * HUGEINT (→ float64) for integer SUMs, and Spark writes tz-aware UTC
+  * timestamps where DuckDB yields naive ones.
+  *
+  * The portable recipe: compute the aggregate EXACTLY in decimal
+  * (order-independent under shuffle), shift it to an integral BIGINT, and
+  * perform one IEEE double division by 10^scale. Division of exact
+  * operands is correctly rounded in both engines → identical bits, and
+  * both sides read back as float64. Oracle twin:
+  * `CAST(<decimal expr> * 10^s AS BIGINT) / 10^s.0`.
+  */
+object Exact {
+
+  /** Decimal column (integral at `scale` digits) → bit-portable DOUBLE. */
+  def decToDouble(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale).toLong
+    (c * p).cast("long") / lit(p.toDouble)
+  }
+
+  /** Order-exact SUM of a double column, emitted as a portable DOUBLE. */
+  def sumExact(c: Column, scale: Int): Column =
+    decToDouble(sum(c.cast(s"decimal(18,$scale)")), scale)
+
+  /** Timestamp → second-truncated string; identical to DuckDB
+    * `strftime(ts, '%Y-%m-%d %H:%M:%S')` and sorts chronologically. */
+  def tsString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+}

@@ -61,8 +61,8 @@ object Relational {
       .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)"))
       .na.fill(0)
       .select($"l_returnflag",
-        coalesce($"F", lit(0).cast("decimal(18,2)")).as("F"),
-        coalesce($"O", lit(0).cast("decimal(18,2)")).as("O"))
+        Exact.decToDouble(coalesce($"F", lit(0).cast("decimal(18,2)")), 2).as("F"),
+        Exact.decToDouble(coalesce($"O", lit(0).cast("decimal(18,2)")), 2).as("O"))
       .orderBy($"l_returnflag")
   }
 
@@ -93,8 +93,8 @@ object Relational {
       .na.fill(0)
     rates.join(wide, Seq("l_returnflag"), "inner")
       .select($"l_returnflag", $"disc_share", $"counts",
-        coalesce($"F", lit(0).cast("decimal(18,2)")).as("F"),
-        coalesce($"O", lit(0).cast("decimal(18,2)")).as("O"))
+        Exact.decToDouble(coalesce($"F", lit(0).cast("decimal(18,2)")), 2).as("F"),
+        Exact.decToDouble(coalesce($"O", lit(0).cast("decimal(18,2)")), 2).as("O"))
       .orderBy($"l_returnflag")
   }
 
@@ -120,9 +120,9 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(
-        sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
-        sum($"l_discount".cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc"))
+        Exact.sumExact($"l_quantity", 2).as("sum_qty"),
+        Exact.sumExact($"l_extendedprice", 2).as("sum_price"),
+        Exact.sumExact($"l_discount", 4).as("sum_disc"))
       .orderBy($"l_returnflag")
   }
 
@@ -204,7 +204,7 @@ object Relational {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name")
-      .agg(sum($"rev").cast("decimal(18,4)").as("revenue"), count(lit(1)).as("counts"))
+      .agg(Exact.decToDouble(sum($"rev"), 4).as("revenue"), count(lit(1)).as("counts"))
       .orderBy($"r_name")
   }
 
@@ -213,7 +213,7 @@ object Relational {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey",
-        $"o_totalprice".cast("decimal(18,2)").as("o_totalprice"))
+        Exact.decToDouble($"o_totalprice".cast("decimal(18,2)"), 2).as("o_totalprice"))
       .orderBy($"o_totalprice".desc, $"o_orderkey")
       .limit(10)
   }

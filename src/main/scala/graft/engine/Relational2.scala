@@ -17,7 +17,7 @@ object Relational2 {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+      .agg(Exact.sumExact($"l_quantity", 2).as("sum_qty"),
         count(lit(1)).as("counts"))
       .select(
         coalesce($"l_returnflag", lit("(all)")).as("rf"),
@@ -121,7 +121,7 @@ object Relational2 {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .cube($"l_returnflag", $"l_linestatus")
-      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+      .agg(Exact.sumExact($"l_quantity", 2).as("sum_qty"),
         count(lit(1)).as("counts"))
       .select(
         coalesce($"l_returnflag", lit("(all)")).as("rf"),
@@ -141,9 +141,11 @@ object Relational2 {
     Tables.events(spark, sfDir)
       .select($"user_id", $"ts", $"event_id", $"value")
       .withColumn("running_n", count(lit(1)).over(frame.rowsBetween(Window.unboundedPreceding, 0)))
+      // trailing mean as (scaled-long sum) / (100 * n): both operands are
+      // exact, so the single double division is bit-identical cross-engine
       .withColumn("ma3",
-        (sum($"value".cast("decimal(18,2)")).over(trailing) /
-          count(lit(1)).over(trailing)).cast("decimal(18,6)"))
+        (sum($"value".cast("decimal(18,2)")).over(trailing) * 100).cast("long") /
+          (count(lit(1)).over(trailing) * lit(100.0)))
       .select($"user_id", $"event_id", $"running_n", $"ma3")
       .orderBy($"user_id", $"event_id")
   }

@@ -76,7 +76,7 @@ object TextQueries {
       .select($"source", qualityScore($"text").as("q"), tokenCount($"text").as("wc"))
       .groupBy($"source")
       .agg(
-        sum($"q".cast("decimal(12,6)")).cast("decimal(12,6)").as("sum_quality"),
+        Exact.decToDouble(sum($"q".cast("decimal(12,6)")), 6).as("sum_quality"),
         min($"wc").as("min_wc"),
         max($"wc").as("max_wc"),
         count(lit(1)).as("counts"))

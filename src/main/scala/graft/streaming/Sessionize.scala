@@ -51,6 +51,10 @@ object Sessionize {
         max($"ts").as("end_ts"))
       .withColumn("duration_s",
         expr("(unix_micros(end_ts) - unix_micros(start_ts)) div 1000000"))
+      .select($"user_id", $"session_idx", $"n_events",
+        graft.engine.Exact.tsString($"start_ts").as("start_ts"),
+        graft.engine.Exact.tsString($"end_ts").as("end_ts"),
+        $"duration_s")
       .orderBy($"user_id", $"session_idx")
   }
 
@@ -63,11 +67,12 @@ object Sessionize {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         numbered AS (
           SELECT user_id, ts,
-            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+            CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
           FROM flagged)
         SELECT user_id, session_idx, count(*) AS n_events,
-          min(ts) AS start_ts, max(ts) AS end_ts,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_s
         FROM numbered GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx"""
@@ -143,7 +148,9 @@ object Sessionize {
       .start()
     q.awaitTermination()
     spark.table("stream_sessions")
-      .select($"user_id", $"session_idx", $"n_events", $"start_ts", $"end_ts",
+      .select($"user_id", $"session_idx", $"n_events",
+        graft.engine.Exact.tsString($"start_ts").as("start_ts"),
+        graft.engine.Exact.tsString($"end_ts").as("end_ts"),
         $"duration_s")
       .orderBy($"user_id", $"session_idx")
   }

@@ -111,7 +111,7 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("counts"),
-        sum($"value".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        graft.engine.Exact.sumExact($"value", 2).as("sum_value"))
     val q = agg.writeStream
       .outputMode("complete")
       .format("memory")
@@ -120,7 +120,8 @@ object Streaming {
       .start()
     q.awaitTermination()
     spark.table("stream_window")
-      .select($"window.start".as("ws"), $"event_type", $"counts", $"sum_value")
+      .select(graft.engine.Exact.tsString($"window.start").as("ws"),
+        $"event_type", $"counts", $"sum_value")
       .orderBy($"ws", $"event_type")
   }
 
@@ -183,19 +184,21 @@ object Streaming {
     Tables.events(spark, sfDir)
       .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
       .agg(count(lit(1)).as("counts"),
-        sum($"value".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
-      .select($"window.start".as("ws"), $"event_type", $"counts", $"sum_value")
+        graft.engine.Exact.sumExact($"value", 2).as("sum_value"))
+      .select(graft.engine.Exact.tsString($"window.start").as("ws"),
+        $"event_type", $"counts", $"sum_value")
       .orderBy($"ws", $"event_type")
   }
 
   def q41Sql: String =
     """WITH expanded AS (
-         SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
-                               - k.k * 1800000000) AS ws,
+         SELECT strftime(make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                                        - k.k * 1800000000),
+                         '%Y-%m-%d %H:%M:%S') AS ws,
                 event_type, value
          FROM events CROSS JOIN (VALUES (0), (1)) k(k))
        SELECT ws, event_type, count(*) AS counts,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_value
        FROM expanded GROUP BY ws, event_type ORDER BY ws, event_type"""
 
   /** T6 upgrade: stream-stream interval join — errors within 2 hours
@@ -239,8 +242,9 @@ object Streaming {
        ORDER BY a.user_id, p_id, e_id"""
 
   def q27Sql: String =
-    """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS counts,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type, count(*) AS counts,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""
 
   def q28Sql: String =

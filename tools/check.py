@@ -24,13 +24,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cell_eq(a, b) -> bool:
+    """STRICT repr equality — the driver hashes the string form of each
+    cell, so Decimal('123.40') vs float64 123.4, int64 3 vs float64 3.0
+    (DuckDB HUGEINT), and tz-aware vs naive timestamps must all FAIL here
+    even when numerically equal. Round 1's float-lenient version passed 14
+    queries locally that the real gate hash-rejected."""
     if pd.isna(a) and pd.isna(b):
         return True
-    try:
-        if isinstance(a, float) or isinstance(b, float):
-            return float(a) == float(b)
-    except (TypeError, ValueError):
-        pass
     return str(a) == str(b)
 
 
