@@ -78,6 +78,12 @@ object SparkEntry {
     "q49_formats_roundtrip" -> Formats.q49FormatsRoundtrip _,
     "q50_cube"             -> Relational2.q50Cube _,
     "q51_moving_avg"       -> Relational2.q51MovingAvg _,
+    "q52_set_ops"          -> Relational3.q52SetOps _,
+    "q53_outer_join"       -> Relational3.q53OuterJoin _,
+    "q54_rank_family"      -> Relational3.q54RankFamily _,
+    "q55_argminmax"        -> Relational3.q55ArgMinMax _,
+    "q56_histogram"        -> Relational3.q56Histogram _,
+    "q57_stratified_sample" -> Relational3.q57StratifiedSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -332,5 +338,11 @@ object SparkEntry {
            wtrail AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, event_id""",
+    "q52_set_ops"           -> Relational3.q52Sql,
+    "q53_outer_join"        -> Relational3.q53Sql,
+    "q54_rank_family"       -> Relational3.q54Sql,
+    "q55_argminmax"         -> Relational3.q55Sql,
+    "q56_histogram"         -> Relational3.q56Sql,
+    "q57_stratified_sample" -> Relational3.q57Sql,
   )
 }

@@ -1,0 +1,181 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third relational wave — set operators, outer joins, the ranking-window
+  * family, arg-min/max aggregates, histogramming, and deterministic
+  * stratified sampling. None of these exist in the reference (SURVEY §2.4
+  * notes "no union/intersect/except", §2.5 "no other join kinds"), but a
+  * user replacing it with this library gets them as first-class, and a
+  * training-data pipeline leans on sampling + histograms constantly.
+  *
+  * Scale posture: set ops and the outer join shuffle on their key like any
+  * aggregate; ranking windows shuffle once per partition key; the sample
+  * filter is a pure map (pushed to the scan) — no operator here adds a
+  * second shuffle.
+  */
+object Relational3 {
+
+  /** Distinct set algebra over per-type user sets: INTERSECT / EXCEPT /
+    * UNION, each reduced to a count so the result is scale-stable. All
+    * three branches share one events scan per side and stay in a single
+    * plan (no driver-side counts). */
+  def q52SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) = ev.filter($"event_type" === t).select($"user_id").distinct()
+    val p = users("purchase")
+    val e = users("error")
+    def counted(df: DataFrame, op: String) =
+      df.agg(count(lit(1)).as("n_users")).withColumn("op", lit(op))
+    counted(p.intersect(e), "both")
+      .unionByName(counted(p.union(e).distinct(), "either"))
+      .unionByName(counted(p.except(e), "purchase_only"))
+      .select($"op", $"n_users")
+      .orderBy($"op")
+  }
+
+  def q52Sql: String =
+    """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+       e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+       SELECT 'both' AS op, count(*) AS n_users
+         FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+       UNION ALL
+       SELECT 'either', count(*)
+         FROM (SELECT user_id FROM p UNION SELECT user_id FROM e)
+       UNION ALL
+       SELECT 'purchase_only', count(*)
+         FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+       ORDER BY op"""
+
+  /** Full-outer join: hourly purchase counts vs hourly error counts —
+    * hours where either side is absent surface with a 0 from coalesce
+    * (the grain is sparse enough that both directions of missingness
+    * occur). */
+  def q53OuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    def byHour(t: String, n: String) = ev.filter($"event_type" === t)
+      .groupBy(
+        date_format($"ts", "yyyy-MM-dd").as("date"),
+        date_format($"ts", "HH").as("hour"))
+      .agg(count(lit(1)).as(n))
+    byHour("purchase", "p_n")
+      .join(byHour("error", "e_n"), Seq("date", "hour"), "full_outer")
+      .select($"date", $"hour",
+        coalesce($"p_n", lit(0L)).as("p_n"),
+        coalesce($"e_n", lit(0L)).as("e_n"))
+      .orderBy($"date", $"hour")
+  }
+
+  def q53Sql: String =
+    """WITH p AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS date, strftime(ts, '%H') AS hour,
+           count(*) AS p_n
+         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       e AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS date, strftime(ts, '%H') AS hour,
+           count(*) AS e_n
+         FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+       SELECT coalesce(p.date, e.date) AS date, coalesce(p.hour, e.hour) AS hour,
+         coalesce(p_n, 0) AS p_n, coalesce(e_n, 0) AS e_n
+       FROM p FULL JOIN e ON p.date = e.date AND p.hour = e.hour
+       ORDER BY date, hour"""
+
+  /** Ranking-window family over orders per customer: rank / dense_rank
+    * (peer groups by price — tie-stable since rank depends only on the
+    * ordering VALUES), ntile + lag/lead (position-dependent, so their
+    * window adds the unique-key tiebreak). */
+  def q54RankFamily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val peers = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+    val total = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        rank().over(peers).as("rnk"),
+        dense_rank().over(peers).as("drnk"),
+        ntile(4).over(total).as("quartile"),
+        lag($"o_orderkey", 1).over(total).as("prev_ok"),
+        lead($"o_orderkey", 1).over(total).as("next_ok"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  def q54Sql: String =
+    """SELECT o_custkey, o_orderkey,
+       rank() OVER peers AS rnk,
+       dense_rank() OVER peers AS drnk,
+       ntile(4) OVER total AS quartile,
+       lag(o_orderkey, 1) OVER total AS prev_ok,
+       lead(o_orderkey, 1) OVER total AS next_ok
+       FROM orders
+       WINDOW peers AS (PARTITION BY o_custkey ORDER BY o_totalprice),
+         total AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_custkey, o_orderkey"""
+
+  /** Composite ordering key for arg-min/max: fixed-width zero-padded
+    * (value-in-cents, event_id) — lexicographic order == (value, id)
+    * order, portable to DuckDB's VARCHAR-keyed arg_max (which lacks
+    * struct keys), and the id tiebreak makes ties deterministic. Values
+    * are non-negative in `events`; a signed domain would need an offset. */
+  private def argKey(value: Column, id: Column): Column =
+    format_string("%012d%010d", (value.cast("decimal(18,2)") * 100).cast("long"), id)
+
+  /** arg-min/max aggregates (Spark max_by/min_by ≡ DuckDB
+    * arg_max/arg_min): the event carrying each type's extreme value. */
+  def q55ArgMinMax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        max_by($"event_id", argKey($"value", $"event_id")).as("max_value_event"),
+        min_by($"event_id", argKey($"value", $"event_id")).as("min_value_event"),
+        Exact.decToDouble(max($"value".cast("decimal(18,2)")), 2).as("max_value"))
+      .orderBy($"event_type")
+  }
+
+  def q55Sql: String = {
+    val key = "printf('%012d%010d', CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id)"
+    s"""SELECT event_type,
+        arg_max(event_id, $key) AS max_value_event,
+        arg_min(event_id, $key) AS min_value_event,
+        CAST(max(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type"""
+  }
+
+  /** Fixed-width histogram of `value` (bucket = floor(v / 50)): the
+    * profile pass every data pipeline runs before thresholding. floor of
+    * an IEEE division is bit-portable, so buckets match exactly. */
+  def q56Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(floor($"value" / 50.0).cast("long").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("counts"))
+      .orderBy($"bucket")
+  }
+
+  def q56Sql: String =
+    """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS counts
+       FROM events GROUP BY 1 ORDER BY bucket"""
+
+  /** Deterministic ~5% stratified sample via a modular hash of the row
+    * key — reproducible across engines and runs (unlike Dataset.sample's
+    * seeded-RNG-per-partition, which is not stable under repartitioning).
+    * At 100 TB the same predicate is a pure map pushed into the scan. */
+  def q57StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter(($"event_id" * 31 + $"user_id") % 100 < 5)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sampled"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  def q57Sql: String =
+    """SELECT event_type, count(*) AS n_sampled,
+       count(DISTINCT user_id) AS n_users
+       FROM events WHERE (event_id * 31 + user_id) % 100 < 5
+       GROUP BY event_type ORDER BY event_type"""
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Relational3, Tables}
+
+class Relational3Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q52 set algebra: |either| = |P| + |E| - |both|, purchase_only = |P| - |both|") {
+    val counts = Relational3.q52SetOps(spark, sf).collect()
+      .map(r => r.getAs[String]("op") -> r.getAs[Long]("n_users")).toMap
+    val ev = Tables.events(spark, sf)
+    def n(t: String) = ev.filter($"event_type" === t).select($"user_id").distinct().count()
+    assert(counts("either") == n("purchase") + n("error") - counts("both"))
+    assert(counts("purchase_only") == n("purchase") - counts("both"))
+  }
+
+  test("q53 outer join keeps every hour from both sides and zero-fills") {
+    val joined = Relational3.q53OuterJoin(spark, sf)
+    val pHours = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .select(date_format($"ts", "yyyy-MM-dd HH").as("h")).distinct().count()
+    val eHours = Tables.events(spark, sf).filter($"event_type" === "error")
+      .select(date_format($"ts", "yyyy-MM-dd HH").as("h")).distinct().count()
+    assert(joined.count() >= math.max(pHours, eHours))
+    assert(joined.filter($"p_n" === 0 || $"e_n" === 0).count() > 0,
+      "grain should be sparse enough that coalesce-to-0 actually fires")
+    assert(joined.filter($"p_n".isNull || $"e_n".isNull).count() == 0)
+  }
+
+  test("q54 rank is row_number-compatible: rnk <= position, drnk <= rnk, quartile in 1..4") {
+    val rows = Relational3.q54RankFamily(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("drnk") <= r.getAs[Int]("rnk"))
+      val q = r.getAs[Int]("quartile")
+      assert(q >= 1 && q <= 4)
+    }
+  }
+
+  test("q55 arg-max event really carries the group's max value") {
+    val ev = Tables.events(spark, sf).select($"event_id", $"event_type", $"value")
+    val got = Relational3.q55ArgMinMax(spark, sf)
+      .join(ev, $"max_value_event" === $"event_id")
+      .select($"max_value", $"value").collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.005 + 1e-9))
+  }
+
+  test("q56 histogram counts total to the table size; buckets non-negative") {
+    val h = Relational3.q56Histogram(spark, sf)
+    assert(h.agg(sum($"counts")).as[Long].head() == Tables.events(spark, sf).count())
+    assert(h.filter($"bucket" < 0).count() == 0)
+  }
+
+  test("q57 sample rate lands near 5% and is deterministic across runs") {
+    val n = Tables.events(spark, sf).count()
+    val s1 = Relational3.q57StratifiedSample(spark, sf)
+      .agg(sum($"n_sampled")).as[Long].head()
+    val s2 = Relational3.q57StratifiedSample(spark, sf)
+      .agg(sum($"n_sampled")).as[Long].head()
+    assert(s1 == s2)
+    assert(s1 > n * 0.02 && s1 < n * 0.10)
+  }
+}
