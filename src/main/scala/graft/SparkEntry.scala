@@ -84,6 +84,9 @@ object SparkEntry {
     "q55_argminmax"        -> Relational3.q55ArgMinMax _,
     "q56_histogram"        -> Relational3.q56Histogram _,
     "q57_stratified_sample" -> Relational3.q57StratifiedSample _,
+    "q58_correlated_subq"  -> Relational3.q58CorrelatedSubq _,
+    "q59_frame_sample"     -> Multimodal.q59FrameSample _,
+    "q60_percent_rank"     -> Relational3.q60PercentRank _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -344,5 +347,8 @@ object SparkEntry {
     "q55_argminmax"         -> Relational3.q55Sql,
     "q56_histogram"         -> Relational3.q56Sql,
     "q57_stratified_sample" -> Relational3.q57Sql,
+    "q58_correlated_subq"   -> Relational3.q58Sql,
+    "q59_frame_sample"      -> Multimodal.q59Sql,
+    "q60_percent_rank"      -> Relational3.q60Sql,
   )
 }

@@ -85,4 +85,34 @@ object Multimodal {
       .select($"doc_id", $"n_bytes", round($"mean_byte", 6).as("mean_byte"))
       .orderBy($"doc_id")
   }
+
+  /** Frame-sampling plumbing for video/audio payloads: one row per
+    * fixed-stride frame with its byte extent — the fan-out a frame
+    * decoder consumes downstream (here over the synthesized payloads;
+    * with real media, `frame_len` comes from the container index). The
+    * explode happens AFTER dropping the payload column, so blob bytes
+    * are scanned once and never duplicated per frame. */
+  val FrameLen = 256
+  def q59FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(Tables.documents(spark, sfDir))
+      .withColumn("nframes", expr(s"octet_length(payload) div $FrameLen"))
+      .filter($"nframes" >= 1)
+      .select($"doc_id", explode(sequence(lit(0L), $"nframes" - 1)).as("frame_idx"))
+      .select($"doc_id", $"frame_idx",
+        ($"frame_idx" * FrameLen).as("byte_offset"),
+        lit(FrameLen).as("frame_len"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  def q59Sql: String =
+    s"""WITH d AS (
+          SELECT doc_id, octet_length(encode(text)) // $FrameLen AS nframes
+          FROM documents),
+        f AS (
+          SELECT doc_id, unnest(range(0, nframes)) AS frame_idx
+          FROM d WHERE nframes >= 1)
+        SELECT doc_id, frame_idx, frame_idx * $FrameLen AS byte_offset,
+          $FrameLen AS frame_len
+        FROM f ORDER BY doc_id, frame_idx"""
 }

@@ -178,4 +178,53 @@ object Relational3 {
        count(DISTINCT user_id) AS n_users
        FROM events WHERE (event_id * 31 + user_id) % 100 < 5
        GROUP BY event_type ORDER BY event_type"""
+
+  /** Correlated scalar subquery, run through Spark SQL so Catalyst's
+    * decorrelation rewrites it (to a windowed/joined form — the same
+    * shape a hand-written DataFrame version would use): orders whose
+    * price exceeds their customer's average. The comparison is kept in
+    * exact arithmetic as `price × n > sum(price)` over decimals — an
+    * order-independent equivalent of `price > avg(price)` that cannot
+    * flip on a float boundary under shuffle reordering. */
+  def q58CorrelatedSubq(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_above
+         FROM graft_orders o
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+               (SELECT count(*) FROM graft_orders o2
+                WHERE o2.o_custkey = o.o_custkey)
+             > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                FROM graft_orders o2 WHERE o2.o_custkey = o.o_custkey)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  def q58Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_above
+       FROM orders o
+       WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+             (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+           > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Distribution-position windows (percent_rank = (rank-1)/(n-1),
+    * cume_dist = peers/n): both are single-division functions of exact
+    * integer operands, so the doubles are bit-portable without rounding. */
+  def q60PercentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"value")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"value",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .select($"user_id", $"event_id", $"pr", $"cd")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  def q60Sql: String =
+    """SELECT user_id, event_id,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pr,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd
+       FROM events ORDER BY user_id, event_id"""
 }

@@ -51,6 +51,32 @@ class Relational3Spec extends SparkTestBase {
     assert(h.filter($"bucket" < 0).count() == 0)
   }
 
+  test("q58 above-average orders are a strict subset, and every status appears") {
+    val above = Relational3.q58CorrelatedSubq(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n_above")).toMap
+    val total = Tables.orders(spark, sf).groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n")).toMap
+    assert(above.keySet == total.keySet)
+    above.foreach { case (k, n) => assert(n > 0 && n < total(k)) }
+  }
+
+  test("q59 frame fan-out matches per-doc frame counts; offsets are stride-aligned") {
+    val frames = graft.engine.Multimodal.q59FrameSample(spark, sf)
+    val L = graft.engine.Multimodal.FrameLen
+    val byDoc = frames.groupBy($"doc_id").agg(
+      count(lit(1)).as("n"), max($"frame_idx").as("mx")).collect()
+    byDoc.foreach(r => assert(r.getAs[Long]("mx") == r.getAs[Long]("n") - 1))
+    assert(frames.filter($"byte_offset" =!= $"frame_idx" * L).count() == 0)
+  }
+
+  test("q60 percent_rank/cume_dist are in [0,1] and cume_dist is ≥ percent_rank") {
+    Relational3.q60PercentRank(spark, sf).collect().foreach { r =>
+      val pr = r.getAs[Double]("pr"); val cd = r.getAs[Double]("cd")
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0 && cd >= pr)
+    }
+  }
+
   test("q57 sample rate lands near 5% and is deterministic across runs") {
     val n = Tables.events(spark, sf).count()
     val s1 = Relational3.q57StratifiedSample(spark, sf)
