@@ -87,7 +87,20 @@ object SparkEntry {
     "q58_correlated_subq"  -> Relational3.q58CorrelatedSubq _,
     "q59_frame_sample"     -> Multimodal.q59FrameSample _,
     "q60_percent_rank"     -> Relational3.q60PercentRank _,
+    "q61_asof_native"      -> Relational3.q61AsofNative _,
   )
+
+  /** Shared by q46 (window-composed as-of join) and q61 (native custom
+    * operator) — both implement the same contract. */
+  private val q46Sql: String =
+    """SELECT user_id, event_id AS purchase_id, signup_id FROM (
+           SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS signup_id
+           FROM events WHERE event_type IN ('purchase', 'signup')) t
+         WHERE event_type = 'purchase' AND signup_id IS NOT NULL
+         ORDER BY user_id, purchase_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -311,15 +324,7 @@ object SparkEntry {
       """SELECT event_type, count(*) AS counts,
          round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 6) AS hv_share
          FROM events GROUP BY event_type ORDER BY event_type""",
-    "q46_asof_join" ->
-      """SELECT user_id, event_id AS purchase_id, signup_id FROM (
-           SELECT user_id, ts, event_id, event_type,
-             last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS signup_id
-           FROM events WHERE event_type IN ('purchase', 'signup')) t
-         WHERE event_type = 'purchase' AND signup_id IS NOT NULL
-         ORDER BY user_id, purchase_id""",
+    "q46_asof_join" -> q46Sql,
     "q47_dedup_watermark"   -> graft.streaming.Streaming.q47Sql,
     "q48_json_roundtrip"    -> Formats.q48Sql,
     "q49_formats_roundtrip" -> Formats.q49Sql,
@@ -350,5 +355,8 @@ object SparkEntry {
     "q58_correlated_subq"   -> Relational3.q58Sql,
     "q59_frame_sample"      -> Multimodal.q59Sql,
     "q60_percent_rank"      -> Relational3.q60Sql,
+    // the native as-of operator is result-identical to the composed form
+    // — q46's oracle is the contract for both.
+    "q61_asof_native"       -> q46Sql,
   )
 }

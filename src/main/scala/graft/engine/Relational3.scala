@@ -227,4 +227,26 @@ object Relational3 {
        percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pr,
        cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd
        FROM events ORDER BY user_id, event_id"""
+
+  /** q46's as-of join run through the NATIVE operator
+    * ([[graft.plans.AsOf]]: custom LogicalPlan → SparkStrategy →
+    * sort-merge SparkPlan) instead of the union+window composition —
+    * result-identical by construction (same (ts, id) tiebreak), so it
+    * shares q46's oracle. One merge pass over two co-sorted sides vs two
+    * window passes over the union. */
+  def q61AsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("s_ts"), $"event_id".as("signup_id"))
+    graft.plans.AsOf.join(purchases, signups,
+        keys = Seq("user_id"),
+        leftOrder = Seq("ts", "event_id"),
+        rightOrder = Seq("s_ts", "signup_id"),
+        payload = Seq("signup_id"))
+      .select($"user_id", $"event_id".as("purchase_id"), $"signup_id")
+      .orderBy($"user_id", $"purchase_id")
+  }
 }
