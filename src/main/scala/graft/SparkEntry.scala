@@ -88,6 +88,7 @@ object SparkEntry {
     "q59_frame_sample"     -> Multimodal.q59FrameSample _,
     "q60_percent_rank"     -> Relational3.q60PercentRank _,
     "q61_asof_native"      -> Relational3.q61AsofNative _,
+    "q62_shingle_udtf"     -> Dedup.q62ShingleUdtf _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -358,5 +359,6 @@ object SparkEntry {
     // the native as-of operator is result-identical to the composed form
     // — q46's oracle is the contract for both.
     "q61_asof_native"       -> q46Sql,
+    "q62_shingle_udtf"      -> Dedup.q62Sql,
   )
 }

@@ -128,6 +128,31 @@ object Dedup {
         SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sig ORDER BY doc_id"""
   }
 
+  /** Shingle statistics through the native UDTF
+    * ([[graft.functions.WordShingles]], a custom Catalyst `Generator`):
+    * per sampled doc, total and distinct word-3-gram counts. Exercises
+    * the table-valued extension point end-to-end against the same
+    * list-expression oracle the lambda-based shingler uses — the UDTF
+    * streams rows out of eval instead of materializing the shingle
+    * array column. */
+  def q62ShingleUdtf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", graft.functions.Generators.wordShingles($"toks", 3))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"), countDistinct($"shingle").as("n_distinct"))
+      .orderBy($"doc_id")
+  }
+
+  def q62Sql: String =
+    s"""WITH s AS (
+          SELECT doc_id, unnest(${shinglesSql("text")}) AS sh
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT doc_id, count(*) AS n_shingles, count(DISTINCT sh) AS n_distinct
+        FROM s GROUP BY doc_id ORDER BY doc_id"""
+
   /** n-gram Jaccard similarity on a deterministic 5% document sample:
     * distinct word-3-gram sets, bucket-join on shared shingles, Jaccard =
     * |A∩B| / |A∪B| for every candidate pair (pairs sharing ≥1 shingle —
