@@ -89,6 +89,7 @@ object SparkEntry {
     "q60_percent_rank"     -> Relational3.q60PercentRank _,
     "q61_asof_native"      -> Relational3.q61AsofNative _,
     "q62_shingle_udtf"     -> Dedup.q62ShingleUdtf _,
+    "q63_ingest_roundtrip" -> graft.streaming.Streaming.q63IngestRoundtrip _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -360,5 +361,6 @@ object SparkEntry {
     // — q46's oracle is the contract for both.
     "q61_asof_native"       -> q46Sql,
     "q62_shingle_udtf"      -> Dedup.q62Sql,
+    "q63_ingest_roundtrip"  -> graft.streaming.Streaming.q63Sql,
   )
 }
