@@ -90,6 +90,7 @@ object SparkEntry {
     "q61_asof_native"      -> Relational3.q61AsofNative _,
     "q62_shingle_udtf"     -> Dedup.q62ShingleUdtf _,
     "q63_ingest_roundtrip" -> graft.streaming.Streaming.q63IngestRoundtrip _,
+    "q64_gap_fill"         -> Relational3.q64GapFill _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -362,5 +363,6 @@ object SparkEntry {
     "q61_asof_native"       -> q46Sql,
     "q62_shingle_udtf"      -> Dedup.q62Sql,
     "q63_ingest_roundtrip"  -> graft.streaming.Streaming.q63Sql,
+    "q64_gap_fill"          -> Relational3.q64Sql,
   )
 }

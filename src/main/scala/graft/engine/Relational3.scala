@@ -228,6 +228,50 @@ object Relational3 {
        cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd
        FROM events ORDER BY user_id, event_id"""
 
+  /** Time-series gap fill / resample: a dense (event_type × hour) grid
+    * between the stream's global bounds, zero-filled where no events
+    * landed — the calendar-axis densification every downstream
+    * visualization or forecasting join needs (the reference's viz layer
+    * implicitly assumes it). Hours are integral epoch buckets end to
+    * end; only the final label converts back to a timestamp string.
+    * Scale posture: the grid is (hours × types) — tiny at any data
+    * volume; the only big input is the pre-aggregated actuals, which
+    * arrive already reduced to the same tiny grain, so the outer join is
+    * never a big-side shuffle problem. */
+  def q64GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val HourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", expr(s"unix_micros(ts) div $HourUs").as("h"))
+    val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val grid = bounds
+      .select(explode(sequence($"h0", $"h1")).as("h"))
+      .crossJoin(ev.select($"event_type").distinct())
+    val actual = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+    grid.join(actual, Seq("event_type", "h"), "left_outer")
+      .select($"event_type",
+        Exact.tsString(timestamp_micros($"h" * HourUs)).as("ws"),
+        coalesce($"n", lit(0L)).as("counts"))
+      .orderBy($"event_type", $"ws")
+  }
+
+  def q64Sql: String =
+    """WITH bounds AS (
+         SELECT (epoch_us(min(ts)) // 3600000000) AS h0,
+                (epoch_us(max(ts)) // 3600000000) AS h1 FROM events),
+       grid AS (
+         SELECT unnest(range((SELECT h0 FROM bounds), (SELECT h1 FROM bounds) + 1)) AS h),
+       actual AS (
+         SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n
+         FROM events GROUP BY 1, 2)
+       SELECT t.event_type,
+         strftime(make_timestamp(g.h * 3600000000), '%Y-%m-%d %H:%M:%S') AS ws,
+         coalesce(a.n, 0) AS counts
+       FROM grid g
+       CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+       LEFT JOIN actual a ON a.event_type = t.event_type AND a.h = g.h
+       ORDER BY t.event_type, ws"""
+
   /** q46's as-of join run through the NATIVE operator
     * ([[graft.plans.AsOf]]: custom LogicalPlan → SparkStrategy →
     * sort-merge SparkPlan) instead of the union+window composition —

@@ -77,6 +77,16 @@ class Relational3Spec extends SparkTestBase {
     }
   }
 
+  test("q64 gap fill produces a complete dense grid and preserves totals") {
+    val filled = Relational3.q64GapFill(spark, sf)
+    val types = Tables.events(spark, sf).select($"event_type").distinct().count()
+    val hours = filled.select($"ws").distinct().count()
+    assert(filled.count() == types * hours, "grid must be dense: |types| × |hours|")
+    assert(filled.filter($"counts" === 0).count() > 0, "zero-fill must fire")
+    assert(filled.agg(sum($"counts")).as[Long].head() ==
+      Tables.events(spark, sf).count(), "gap fill must not lose or invent events")
+  }
+
   test("q57 sample rate lands near 5% and is deterministic across runs") {
     val n = Tables.events(spark, sf).count()
     val s1 = Relational3.q57StratifiedSample(spark, sf)
