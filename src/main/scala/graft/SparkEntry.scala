@@ -91,6 +91,7 @@ object SparkEntry {
     "q62_shingle_udtf"     -> Dedup.q62ShingleUdtf _,
     "q63_ingest_roundtrip" -> graft.streaming.Streaming.q63IngestRoundtrip _,
     "q64_gap_fill"         -> Relational3.q64GapFill _,
+    "q65_range_join"       -> Relational3.q65RangeJoin _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -364,5 +365,7 @@ object SparkEntry {
     "q62_shingle_udtf"      -> Dedup.q62Sql,
     "q63_ingest_roundtrip"  -> graft.streaming.Streaming.q63Sql,
     "q64_gap_fill"          -> Relational3.q64Sql,
+    // batch twin of the streaming interval join — same contract.
+    "q65_range_join"        -> graft.streaming.Streaming.q42Sql,
   )
 }

@@ -272,6 +272,27 @@ object Relational3 {
        LEFT JOIN actual a ON a.event_type = t.event_type AND a.h = g.h
        ORDER BY t.event_type, ws"""
 
+  /** Batch range (interval) join — the q42 stream-stream join's batch
+    * twin, sharing its oracle: errors within 2 hours after a purchase by
+    * the same user. Catalyst plans equi-key + range predicate as a
+    * SortMergeJoin on user_id with the interval condition evaluated in
+    * the join — one shuffle per side, no nested loop. */
+  def q65RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+    purchases.join(errors,
+        $"user_id" === $"e_user" &&
+          $"e_ts" >= $"p_ts" && $"e_ts" <= $"p_ts" + expr("INTERVAL 2 HOURS"))
+      .select($"user_id", $"p_id", $"e_id",
+        expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000").as("gap_s"))
+      .orderBy($"user_id", $"p_id", $"e_id")
+  }
+
   /** q46's as-of join run through the NATIVE operator
     * ([[graft.plans.AsOf]]: custom LogicalPlan → SparkStrategy →
     * sort-merge SparkPlan) instead of the union+window composition —
