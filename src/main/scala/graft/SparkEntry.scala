@@ -92,6 +92,8 @@ object SparkEntry {
     "q63_ingest_roundtrip" -> graft.streaming.Streaming.q63IngestRoundtrip _,
     "q64_gap_fill"         -> Relational3.q64GapFill _,
     "q65_range_join"       -> Relational3.q65RangeJoin _,
+    "q66_range_frame"      -> Relational3.q66RangeFrame _,
+    "q67_dedup_clusters"   -> Dedup.q67DedupClusters _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -367,5 +369,7 @@ object SparkEntry {
     "q64_gap_fill"          -> Relational3.q64Sql,
     // batch twin of the streaming interval join — same contract.
     "q65_range_join"        -> graft.streaming.Streaming.q42Sql,
+    "q66_range_frame"       -> Relational3.q66Sql,
+    "q67_dedup_clusters"    -> Dedup.q67Sql,
   )
 }

@@ -73,9 +73,11 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  def q21Sql: String = {
+  /** The minhash/banding CTE chain, shared by q21's pair listing and
+    * q67's recursive component closure over the same pairs. */
+  private def bandCtes: String = {
     val sh = shinglesSql("text")
-    s"""WITH sh AS (
+    s"""sh AS (
           SELECT doc_id, md5(unnest($sh)) AS h FROM documents),
         sig AS (
           SELECT doc_id,
@@ -85,13 +87,68 @@ object Dedup {
         bands AS (
           SELECT doc_id, 0 AS band_idx, m0 || m1 AS band_val FROM sig
           UNION ALL
-          SELECT doc_id, 1 AS band_idx, m2 || m3 AS band_val FROM sig)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-          AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+          SELECT doc_id, 1 AS band_idx, m2 || m3 AS band_val FROM sig),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)"""
   }
+
+  def q21Sql: String =
+    s"""WITH $bandCtes
+        SELECT doc_a, doc_b, shared_bands FROM pairs ORDER BY doc_a, doc_b"""
+
+  /** Connected-components canonicalization over the MinHash candidate
+    * pairs: every doc in a near-dup cluster maps to the cluster's min
+    * doc_id (the keeper; everything else is the drop set). Iterative
+    * min-label propagation ("HashMin") — each round every doc takes the
+    * min of its own and its neighbors' labels, converging in
+    * O(cluster diameter) rounds. This is the one control-flow shape the
+    * rest of the engine doesn't use: a driver-side LOOP over fully
+    * distributed steps, with localCheckpoint truncating the join lineage
+    * each round (at 100 TB the per-round state is one (doc, label) pair
+    * per clustered doc — tiny next to the corpus — and candidate pairs
+    * come pre-bucketed by LSH, never all-pairs). */
+  def q67DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = q21MinhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select($"doc_a".as("doc")).distinct()
+      .withColumn("label", $"doc")
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = labels.join(edges, $"doc" === $"doc_a")
+        .groupBy($"doc_b")
+        .agg(min($"label").as("nlabel"))
+        .withColumnRenamed("doc_b", "doc")
+      val next = labels.join(prop, Seq("doc"), "left_outer")
+        .select($"doc", least($"label", coalesce($"nlabel", $"label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("doc"))
+        .filter($"label" < $"old").count()
+      labels = next
+    }
+    labels.select($"doc", $"label".as("canonical")).orderBy($"doc")
+  }
+
+  def q67Sql: String =
+    s"""WITH RECURSIVE $bandCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc, min(b) AS canonical
+        FROM reach GROUP BY a ORDER BY doc"""
 
   /** SimHash: 16-bit signature per document. Bit j is the sign of the
     * vote sum over tokens, where each token votes ±1 from the parity of

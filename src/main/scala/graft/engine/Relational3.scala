@@ -272,6 +272,36 @@ object Relational3 {
        LEFT JOIN actual a ON a.event_type = t.event_type AND a.h = g.h
        ORDER BY t.event_type, ws"""
 
+  /** Time-based RANGE window frame: per event, count and sum of the same
+    * user's events in the trailing hour (inclusive) — the rolling-rate
+    * feature a training pipeline computes for rate limiting or burst
+    * detection. ROWS frames (q51) bound by position; this bounds by
+    * event-time distance, so bursty users get wide frames and idle users
+    * narrow ones. Ordering key is integral epoch micros on both engines. */
+  def q66RangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val HourUs = 3600000000L
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-HourUs, 0)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"value",
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("v_1h",
+        Exact.decToDouble(sum($"value".cast("decimal(18,2)")).over(w), 2))
+      .select($"user_id", $"event_id", $"n_1h", $"v_1h")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  def q66Sql: String =
+    """SELECT user_id, event_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w * 100 AS BIGINT) / 100.0 AS v_1h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, event_id"""
+
   /** Batch range (interval) join — the q42 stream-stream join's batch
     * twin, sharing its oracle: errors within 2 hours after a purchase by
     * the same user. Catalyst plans equi-key + range predicate as a

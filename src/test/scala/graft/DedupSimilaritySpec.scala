@@ -72,4 +72,20 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
     }
   }
+
+  test("q67 cluster canonicals are fixed points and pairs never straddle clusters") {
+    val labels = engine.Dedup.q67DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("canonical")).toMap
+    assert(labels.nonEmpty)
+    // canonical is the cluster min: never above the doc, and itself canonical
+    labels.foreach { case (doc, c) =>
+      assert(c <= doc)
+      assert(labels(c) == c, s"canonical $c of $doc must map to itself")
+    }
+    // every candidate pair must have landed in one cluster
+    engine.Dedup.q21MinhashLsh(spark, sf).collect().foreach { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      assert(labels(a) == labels(b), s"pair ($a,$b) straddles clusters")
+    }
+  }
 }
