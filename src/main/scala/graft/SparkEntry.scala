@@ -94,6 +94,7 @@ object SparkEntry {
     "q65_range_join"       -> Relational3.q65RangeJoin _,
     "q66_range_frame"      -> Relational3.q66RangeFrame _,
     "q67_dedup_clusters"   -> Dedup.q67DedupClusters _,
+    "q68_token_budget"     -> TextQueries.q68TokenBudget _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -371,5 +372,6 @@ object SparkEntry {
     "q65_range_join"        -> graft.streaming.Streaming.q42Sql,
     "q66_range_frame"       -> Relational3.q66Sql,
     "q67_dedup_clusters"    -> Dedup.q67Sql,
+    "q68_token_budget"      -> TextQueries.q68Sql,
   )
 }

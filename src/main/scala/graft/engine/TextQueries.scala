@@ -142,4 +142,32 @@ object TextQueries {
     rates.join(wide, Seq("source"), "inner")
       .orderBy($"source")
   }
+
+  /** Token accounting at both granularities a training pipeline budgets
+    * in: whitespace words and BPE-style pre-tokenizer units (letter runs
+    * / digit runs / punctuation runs — the split every subword tokenizer
+    * applies before merges). The unit ratio per source approximates
+    * tokens-per-word for cost estimation without shipping a tokenizer
+    * model. ASCII classes keep the regex semantics identical across
+    * engines. */
+  def q68TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bpeish = size(regexp_extract_all($"text",
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+"), lit(0)))
+    Tables.documents(spark, sfDir)
+      .select($"source", tokenCount($"text").as("ws"), bpeish.as("bpe"))
+      .groupBy($"source")
+      .agg(sum($"ws").as("sum_ws"), sum($"bpe").as("sum_bpe"))
+      .withColumn("units_per_word",
+        $"sum_bpe".cast("double") / $"sum_ws")
+      .orderBy($"source")
+  }
+
+  def q68Sql: String =
+    s"""SELECT source,
+        CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS sum_ws,
+        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+'))) AS BIGINT) AS sum_bpe,
+        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+'))) AS DOUBLE)
+          / sum(${tokenCountSql("text")}) AS units_per_word
+        FROM documents GROUP BY source ORDER BY source"""
 }
