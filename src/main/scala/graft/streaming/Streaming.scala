@@ -38,8 +38,9 @@ object Streaming {
     * stateless queries' parallelism. */
   private[graft] def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
       n: Int = 4)(body: => T): T = {
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", n.toString)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
     try body
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }

@@ -28,6 +28,13 @@ object Profile {
     import spark.implicits._
 
     val sections: Seq[(String, () => Unit)] = Seq(
+      "q42" -> { () =>
+        val parts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "4")
+        time(s"q42 stream join (state parts=$parts)",
+          graft.streaming.Streaming.q42StreamStreamJoin(spark, sfDir).count())
+        time(s"q42 again (warm, parts=$parts)",
+          graft.streaming.Streaming.q42StreamStreamJoin(spark, sfDir).count())
+      },
       "minhash" -> { () =>
         import graft.functions.TextFunctions
         val docs = graft.engine.Tables.documents(spark, sfDir)
