@@ -95,6 +95,7 @@ object SparkEntry {
     "q66_range_frame"      -> Relational3.q66RangeFrame _,
     "q67_dedup_clusters"   -> Dedup.q67DedupClusters _,
     "q68_token_budget"     -> TextQueries.q68TokenBudget _,
+    "q69_curation_funnel"  -> TextQueries.q69CurationFunnel _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -373,5 +374,6 @@ object SparkEntry {
     "q66_range_frame"       -> Relational3.q66Sql,
     "q67_dedup_clusters"    -> Dedup.q67Sql,
     "q68_token_budget"      -> TextQueries.q68Sql,
+    "q69_curation_funnel"   -> TextQueries.q69Sql,
   )
 }

@@ -170,4 +170,53 @@ object TextQueries {
         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+'))) AS DOUBLE)
           / sum(${tokenCountSql("text")}) AS units_per_word
         FROM documents GROUP BY source ORDER BY source"""
+
+  /** Curation funnel — the end-to-end training-data filtering pipeline
+    * composed from the text ops, reported as survivors per successive
+    * stage (each stage conjoins onto the last, all counted in ONE scan
+    * via conditional aggregation): language keep → quality floor →
+    * length band → exact-dedup keeper (min doc_id per content
+    * fingerprint). The funnel shape is what a curation run reports at
+    * 100 TB; no stage materializes an intermediate dataset. */
+  def q69CurationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val enriched = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        langId($"text").as("pred"),
+        qualityScore($"text").as("q"),
+        tokenCount($"text").as("wc"),
+        fingerprint($"text").as("fp"))
+      .withColumn("keeper", $"doc_id" === min($"doc_id").over(Window.partitionBy($"fp")))
+    val lang = $"pred" === "en"
+    val qual = lang && $"q" >= 0.5
+    val len = qual && $"wc".between(5, 5000)
+    val kept = len && $"keeper"
+    enriched.agg(
+      count(lit(1)).as("n_total"),
+      count(when(lang, 1)).as("n_lang"),
+      count(when(qual, 1)).as("n_quality"),
+      count(when(len, 1)).as("n_length"),
+      count(when(kept, 1)).as("n_kept"))
+  }
+
+  def q69Sql: String =
+    s"""WITH enriched AS (
+          SELECT doc_id,
+            ${TF_langIdSql} AS pred,
+            ${TF_qualitySql} AS q,
+            ${TF_tokenCountSql} AS wc,
+            doc_id = min(doc_id) OVER (PARTITION BY ${TF_fingerprintSql}) AS keeper
+          FROM documents)
+        SELECT count(*) AS n_total,
+          count(*) FILTER (WHERE pred = 'en') AS n_lang,
+          count(*) FILTER (WHERE pred = 'en' AND q >= 0.5) AS n_quality,
+          count(*) FILTER (WHERE pred = 'en' AND q >= 0.5 AND wc BETWEEN 5 AND 5000) AS n_length,
+          count(*) FILTER (WHERE pred = 'en' AND q >= 0.5 AND wc BETWEEN 5 AND 5000 AND keeper) AS n_kept
+        FROM enriched"""
+
+  private def TF_langIdSql = langIdSql("text")
+  private def TF_qualitySql = qualityScoreSql("text")
+  private def TF_tokenCountSql = tokenCountSql("text")
+  private def TF_fingerprintSql = fingerprintSql("text")
 }
