@@ -96,6 +96,7 @@ object SparkEntry {
     "q67_dedup_clusters"   -> Dedup.q67DedupClusters _,
     "q68_token_budget"     -> TextQueries.q68TokenBudget _,
     "q69_curation_funnel"  -> TextQueries.q69CurationFunnel _,
+    "q70_budget_selection" -> TextQueries.q70BudgetSelection _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -375,5 +376,6 @@ object SparkEntry {
     "q67_dedup_clusters"    -> Dedup.q67Sql,
     "q68_token_budget"      -> TextQueries.q68Sql,
     "q69_curation_funnel"   -> TextQueries.q69Sql,
+    "q70_budget_selection"  -> TextQueries.q70Sql,
   )
 }

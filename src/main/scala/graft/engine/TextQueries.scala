@@ -219,4 +219,52 @@ object TextQueries {
   private def TF_qualitySql = qualityScoreSql("text")
   private def TF_tokenCountSql = tokenCountSql("text")
   private def TF_fingerprintSql = fingerprintSql("text")
+
+  /** Token-budget-constrained selection — the data-mixing primitive: per
+    * source, rank docs by quality (doc_id tiebreak) and keep the prefix
+    * whose cumulative token count stays within half the source's tokens.
+    * The budget predicate is pure integer arithmetic
+    * (2 * running <= total), so no float boundary can flip membership.
+    * One shuffle on source; the running sum is a window over the ranked
+    * order — at 100 TB the same plan holds with source as the partition
+    * key. */
+  def q70BudgetSelection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Window.partitionBy($"source").orderBy($"q".desc, $"doc_id")
+    val enriched = Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id",
+        qualityScore($"text").as("q"),
+        tokenCount($"text").cast("long").as("wc"))
+      .withColumn("running",
+        sum($"wc").over(ranked.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum($"wc").over(Window.partitionBy($"source")))
+    enriched
+      .filter($"running" * 2 <= $"total")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"wc").as("wc_kept"),
+        max($"total").as("wc_total"))
+      .withColumn("share", $"wc_kept".cast("double") / $"wc_total")
+      .orderBy($"source")
+  }
+
+  def q70Sql: String =
+    s"""WITH enriched AS (
+          SELECT source, doc_id,
+            ${qualityScoreSql("text")} AS q,
+            CAST(${tokenCountSql("text")} AS BIGINT) AS wc
+          FROM documents),
+        windowed AS (
+          SELECT source, wc,
+            sum(wc) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS running,
+            sum(wc) OVER (PARTITION BY source) AS total
+          FROM enriched)
+        SELECT source,
+          count(*) AS n_kept,
+          CAST(sum(wc) AS BIGINT) AS wc_kept,
+          CAST(max(total) AS BIGINT) AS wc_total,
+          CAST(sum(wc) AS DOUBLE) / max(total) AS share
+        FROM windowed WHERE running * 2 <= total
+        GROUP BY source ORDER BY source"""
 }
