@@ -97,6 +97,7 @@ object SparkEntry {
     "q68_token_budget"     -> TextQueries.q68TokenBudget _,
     "q69_curation_funnel"  -> TextQueries.q69CurationFunnel _,
     "q70_budget_selection" -> TextQueries.q70BudgetSelection _,
+    "q71_contamination"    -> Dedup.q71Contamination _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -377,5 +378,6 @@ object SparkEntry {
     "q68_token_budget"      -> TextQueries.q68Sql,
     "q69_curation_funnel"   -> TextQueries.q69Sql,
     "q70_budget_selection"  -> TextQueries.q70Sql,
+    "q71_contamination"     -> Dedup.q71Sql,
   )
 }

@@ -37,12 +37,15 @@ object Dedup {
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /** SQL mirror of [[shingles]] over DuckDB (1-based list indexing,
-    * exclusive-end `range`). */
-  private def shinglesSql(col: String): String = {
+  /** SQL mirror of [[shinglesOf]] over DuckDB for any gram width
+    * (1-based list indexing, exclusive-end `range`). */
+  private def shinglesSqlN(col: String, n: Int): String = {
     val toks = s"regexp_split_to_array(trim($col), '\\s+')"
-    s"list_transform(range(1, greatest(len($toks) - 1, 1)), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])"
+    val parts = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len($toks) - ${n - 2}, 1)), i -> $parts)"
   }
+
+  private def shinglesSql(col: String): String = shinglesSqlN(col, 3)
 
   /** MinHash + LSH banding (shingle → minhash → band → bucket-join).
     * 4 minhash components from one md5 per shingle (4 disjoint hex
@@ -149,6 +152,41 @@ object Dedup {
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         SELECT a AS doc, min(b) AS canonical
         FROM reach GROUP BY a ORDER BY doc"""
+
+  /** Cross-document n-gram contamination: per sampled doc, the share of
+    * its distinct word-8-grams that also appear in at least one other
+    * doc — the train/test-overlap measure a contamination audit computes
+    * (8-grams via the [[graft.functions.WordShingles]] UDTF). Shares are
+    * exact integer divisions, bit-portable without rounding. Scale
+    * posture: one shuffle on the shingle to count document frequency,
+    * one back on doc_id — both pre-reduced by the per-doc distinct. */
+  def q71Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", graft.functions.Generators.wordShingles($"toks", 8))
+      .select($"doc_id", $"shingle")
+      .distinct()
+    val docFreq = sh.groupBy($"shingle").agg(countDistinct($"doc_id").as("nd"))
+    sh.join(docFreq, "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when($"nd" >= 2, 1)).as("n_shared"))
+      .withColumn("shared_share", $"n_shared".cast("double") / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
+  def q71Sql: String =
+    s"""WITH s AS (
+          SELECT DISTINCT doc_id, unnest(${shinglesSqlN("text", 8)}) AS shingle
+          FROM documents WHERE doc_id % 10 = 0),
+        nd AS (SELECT shingle, count(DISTINCT doc_id) AS nd FROM s GROUP BY shingle)
+        SELECT doc_id, count(*) AS n_shingles,
+          count(*) FILTER (WHERE nd >= 2) AS n_shared,
+          CAST(count(*) FILTER (WHERE nd >= 2) AS DOUBLE) / count(*) AS shared_share
+        FROM s JOIN nd USING (shingle)
+        GROUP BY doc_id ORDER BY doc_id"""
 
   /** SimHash: 16-bit signature per document. Bit j is the sign of the
     * vote sum over tokens, where each token votes ±1 from the parity of
