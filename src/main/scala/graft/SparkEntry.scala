@@ -98,6 +98,7 @@ object SparkEntry {
     "q69_curation_funnel"  -> TextQueries.q69CurationFunnel _,
     "q70_budget_selection" -> TextQueries.q70BudgetSelection _,
     "q71_contamination"    -> Dedup.q71Contamination _,
+    "q72_centroids"        -> Similarity.q72Centroids _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -379,5 +380,6 @@ object SparkEntry {
     "q69_curation_funnel"   -> TextQueries.q69Sql,
     "q70_budget_selection"  -> TextQueries.q70Sql,
     "q71_contamination"     -> Dedup.q71Sql,
+    "q72_centroids"         -> Similarity.q72Sql,
   )
 }

@@ -205,4 +205,36 @@ object Similarity {
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35
         ORDER BY vec_a, vec_b"""
+
+  /** Exact per-dimension class centroids — the clustering/IVF building
+    * block. Each float component is scaled by 2^20 and floored: a
+    * power-of-two scale is EXACT float arithmetic in both engines (no
+    * decimal-cast rounding-mode hazards), so the per-(label, dim) sums
+    * are exact integers and the final mean is one correctly-rounded
+    * division. The ~2^-20 quantization is the documented contract.
+    * Scale posture: posexplode fans each vector to 64 rows, partial
+    * aggregation reduces them map-side to (labels x dims) groups. */
+  def q72Centroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val Scale = 1048576L // 2^20
+    Tables.embeddings(spark, sfDir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"label", $"dim", floor($"v" * Scale).as("s"))
+      .groupBy($"label", $"dim")
+      .agg(sum($"s").as("ssum"), count(lit(1)).as("n"))
+      .withColumn("centroid", $"ssum" / ($"n" * lit(Scale.toDouble)))
+      .select($"label", $"dim", $"n", $"centroid")
+      .orderBy($"label", $"dim")
+  }
+
+  def q72Sql: String =
+    """WITH x AS (
+         SELECT label, i - 1 AS dim,
+           CAST(floor(embedding[i] * 1048576) AS BIGINT) AS s
+         FROM (SELECT label, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+               FROM embeddings))
+       SELECT label, dim, count(*) AS n,
+         CAST(sum(s) AS BIGINT) / (count(*) * 1048576.0) AS centroid
+       FROM x GROUP BY label, dim ORDER BY label, dim"""
 }
