@@ -99,6 +99,7 @@ object SparkEntry {
     "q70_budget_selection" -> TextQueries.q70BudgetSelection _,
     "q71_contamination"    -> Dedup.q71Contamination _,
     "q72_centroids"        -> Similarity.q72Centroids _,
+    "q73_ann_ivf"          -> Similarity.q73AnnIvf _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -381,5 +382,6 @@ object SparkEntry {
     "q70_budget_selection"  -> TextQueries.q70Sql,
     "q71_contamination"     -> Dedup.q71Sql,
     "q72_centroids"         -> Similarity.q72Sql,
+    "q73_ann_ivf"           -> Similarity.q73Sql,
   )
 }

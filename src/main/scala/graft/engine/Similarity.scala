@@ -237,4 +237,96 @@ object Similarity {
        SELECT label, dim, count(*) AS n,
          CAST(sum(s) AS BIGINT) / (count(*) * 1048576.0) AS centroid
        FROM x GROUP BY label, dim ORDER BY label, dim"""
+
+  /** IVF coarse codebook: the q72 centroids as array columns (exact
+    * doubles on both engines), with a precomputed squared norm. */
+  private def centroidArrays(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    q72Centroids(spark, sfDir)
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"centroid"))),
+        x => x.getField("centroid")).as("c"))
+      .select($"label".as("cell"), $"c", dot($"c", $"c").as("cnorm2"))
+  }
+
+  private def centroidCtes: String =
+    s"""cscaled AS (
+          SELECT label, i - 1 AS dim,
+            CAST(floor(embedding[i] * 1048576) AS BIGINT) AS s
+          FROM (SELECT label, embedding,
+                  unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings)),
+        cdims AS (
+          SELECT label, dim,
+            CAST(sum(s) AS BIGINT) / (count(*) * 1048576.0) AS centroid
+          FROM cscaled GROUP BY label, dim),
+        cent AS (
+          SELECT label AS cell, list(centroid ORDER BY dim) AS c
+          FROM cdims GROUP BY label)"""
+
+  /** IVF ANN (the coarse-quantizer variant the LSH form in q25 trades
+    * against): every vector is assigned to its nearest centroid cell by
+    * cosine (label-ascending tiebreak), queries probe ONLY their own
+    * cell, and the exact top-k runs within the cell. All scoring uses
+    * the sequential-fold dot product over bit-exact centroid doubles, so
+    * cell assignment — argmax over floats — cannot diverge between
+    * engines. Scale posture: assignment is a broadcast-codebook map over
+    * the corpus; the probe join shuffles by cell id, replacing the full
+    * scan with one cell (nprobe=1; recall rises with more probes — same
+    * plan, wider join key). */
+  def q73AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cent = centroidArrays(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
+    val byCell = Window.partitionBy($"vec_id").orderBy($"score".desc, $"cell")
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select($"vec_id", $"embedding", $"norm2", $"cell",
+        cosinePre($"embedding", $"c", $"norm2", $"cnorm2").as("score"))
+      .withColumn("rn", row_number().over(byCell))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"norm2", $"cell")
+    val queries = assigned.filter($"vec_id" % 100 === 0)
+      .select($"cell", $"vec_id".as("query_id"),
+        $"embedding".as("q_emb"), $"norm2".as("q_norm2"))
+    val scored = assigned.join(queries, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosinePre($"q_emb", $"embedding", $"q_norm2", $"norm2").as("cos"))
+    val topk = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(topk))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  def q73Sql: String =
+    s"""WITH $centroidCtes,
+        e AS (
+          SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS norm2
+          FROM embeddings),
+        scoredcells AS (
+          SELECT e.vec_id, e.embedding, e.norm2, cent.cell,
+            ${dotSql("e.embedding", "cent.c")}
+              / sqrt(e.norm2 * ${dotSql("cent.c", "cent.c")}) AS score
+          FROM e CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, embedding, norm2, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cell) AS rn
+            FROM scoredcells) WHERE rn = 1),
+        q AS (
+          SELECT cell, vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+          FROM assigned WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.query_id, a.vec_id,
+            ${dotSql("q.q_emb", "a.embedding")} / sqrt(q.q_norm2 * a.norm2) AS cos
+          FROM assigned a JOIN q USING (cell)
+          WHERE a.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 }
