@@ -100,6 +100,8 @@ object SparkEntry {
     "q71_contamination"    -> Dedup.q71Contamination _,
     "q72_centroids"        -> Similarity.q72Centroids _,
     "q73_ann_ivf"          -> Similarity.q73AnnIvf _,
+    "q74_group_sample"     -> Relational3.q74GroupSample _,
+    "q75_cohort_conversion" -> Relational3.q75CohortConversion _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -383,5 +385,7 @@ object SparkEntry {
     "q71_contamination"     -> Dedup.q71Sql,
     "q72_centroids"         -> Similarity.q72Sql,
     "q73_ann_ivf"           -> Similarity.q73Sql,
+    "q74_group_sample"      -> Relational3.q74Sql,
+    "q75_cohort_conversion" -> Relational3.q75Sql,
   )
 }

@@ -344,4 +344,70 @@ object Relational3 {
       .select($"user_id", $"event_id".as("purchase_id"), $"signup_id")
       .orderBy($"user_id", $"purchase_id")
   }
+
+  /** Deterministic per-group sample: k rows per event_type chosen by
+    * md5-hash priority — reservoir-sampling semantics (uniform-ish,
+    * stable across runs/engines/partitionings) without RNG state. The
+    * inspect-k-examples-per-class query every pipeline dashboard runs. */
+  def q74GroupSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(md5($"event_id".cast("string")), $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id", $"user_id")
+      .withColumn("pick", row_number().over(w))
+      .filter($"pick" <= 5)
+      .select($"event_type", $"pick", $"event_id", $"user_id")
+      .orderBy($"event_type", $"pick")
+  }
+
+  def q74Sql: String =
+    """SELECT event_type, pick, event_id, user_id FROM (
+         SELECT event_type, event_id, user_id,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS pick
+         FROM events) t
+       WHERE pick <= 5 ORDER BY event_type, pick"""
+
+  /** Cohort conversion: for each signup-date cohort, the share of users
+    * whose first signup was followed by a purchase within 7 days. Exact
+    * integer counts and one double division — the funnel-rate shape of
+    * product analytics, built on the same event-time interval semantics
+    * as the as-of and range joins. */
+  def q75CohortConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val firstSignup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val converted = firstSignup.join(purchases,
+        $"user_id" === $"p_user" &&
+          $"p_ts" >= $"s_ts" && $"p_ts" <= $"s_ts" + expr("INTERVAL 7 DAYS"),
+        "left_semi")
+      .select($"user_id").withColumn("conv", lit(1L))
+    firstSignup.join(converted, Seq("user_id"), "left_outer")
+      .groupBy(date_format($"s_ts", "yyyy-MM-dd").as("cohort"))
+      .agg(count(lit(1)).as("n_signups"),
+        count($"conv").as("n_converted"))
+      .withColumn("rate", $"n_converted".cast("double") / $"n_signups")
+      .orderBy($"cohort")
+  }
+
+  def q75Sql: String =
+    """WITH fs AS (
+         SELECT user_id, min(ts) AS s_ts FROM events
+         WHERE event_type = 'signup' GROUP BY user_id),
+       conv AS (
+         SELECT fs.user_id FROM fs
+         WHERE EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = fs.user_id
+             AND p.ts >= fs.s_ts AND p.ts <= fs.s_ts + INTERVAL 7 DAY))
+       SELECT strftime(s_ts, '%Y-%m-%d') AS cohort,
+         count(*) AS n_signups,
+         count(*) FILTER (WHERE fs.user_id IN (SELECT user_id FROM conv)) AS n_converted,
+         CAST(count(*) FILTER (WHERE fs.user_id IN (SELECT user_id FROM conv)) AS DOUBLE)
+           / count(*) AS rate
+       FROM fs GROUP BY 1 ORDER BY cohort"""
 }
