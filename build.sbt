@@ -15,6 +15,10 @@ run / fork := true
 // graft.Bench's one-line JSON, and sbt's default LoggedOutput would
 // prefix every line with "[info] " and break that parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and nothing may print AFTER that JSON line: the driver keeps only a
+// short tail of the output and parses its trailing line, so sbt's
+// "[success] Total time: …" epilogue broke the BENCH_r01/r02 parse.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

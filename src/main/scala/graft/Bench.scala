@@ -1,5 +1,16 @@
 package graft
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line the driver parses. The line must stay SHORT and be
+  * the LAST thing on stdout: the driver keeps only a ~2.5 kB tail of the
+  * output and parses the trailing JSON line, so per-query keys are the
+  * "qNN" prefixes and values are rounded to ms (BENCH_r01/r02 were both
+  * `parsed:null` because the full-name line outgrew the tail window and
+  * sbt's "[success]" epilogue printed after it — see Global/showSuccess
+  * in build.sbt).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,18 +32,30 @@ object Bench {
     // Two full passes, best-of per query: the host shows double-digit
     // steal-time percentages, so any single pass can be inflated ~2× by
     // noisy-neighbor spikes; the per-query minimum is the engine's actual
-    // cost. Pass 1 also amortizes residual first-touch costs.
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // cost. Pass 1 also amortizes residual first-touch costs. A query
+    // that throws yields None for the pass — failures are reported in an
+    // "errors" list and excluded from the min/total rather than letting a
+    // fast exception path masquerade as a legitimate time.
+    def pass(): Map[String, Option[Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }
     val (p1, p2) = (pass(), pass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = names.map(n => n -> (p1(n) ++ p2(n)).minOption)
+    val ok = best.collect { case (n, Some(v)) => n -> v }
+    val errors = best.collect { case (n, None) => n }
+    // "q01_flag_share_count" -> "q01": keys are unique by construction.
+    def short(n: String) = n.takeWhile(_ != '_')
+    def f3(v: Double) = "%.3f".formatLocal(Locale.ROOT, v)
+    val qs = ok.map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    val total = f3(ok.map(_._2).sum)
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }
