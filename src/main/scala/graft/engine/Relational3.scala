@@ -117,10 +117,14 @@ object Relational3 {
   /** Composite ordering key for arg-min/max: fixed-width zero-padded
     * (value-in-cents, event_id) — lexicographic order == (value, id)
     * order, portable to DuckDB's VARCHAR-keyed arg_max (which lacks
-    * struct keys), and the id tiebreak makes ties deterministic. Values
-    * are non-negative in `events`; a signed domain would need an offset. */
+    * struct keys), and the id tiebreak makes ties deterministic. Cents
+    * are biased by +10^11 before formatting so negative values stay in
+    * lexicographic order too (a raw '-' would sort before '0' and invert
+    * magnitude order); the bias covers value ∈ (-$10^9, +$89×10^8]. */
+  private val ArgKeyBias = 100000000000L
   private def argKey(value: Column, id: Column): Column =
-    format_string("%012d%010d", (value.cast("decimal(18,2)") * 100).cast("long"), id)
+    format_string("%012d%010d",
+      (value.cast("decimal(18,2)") * 100).cast("long") + lit(ArgKeyBias), id)
 
   /** arg-min/max aggregates (Spark max_by/min_by ≡ DuckDB
     * arg_max/arg_min): the event carrying each type's extreme value. */
@@ -136,7 +140,7 @@ object Relational3 {
   }
 
   def q55Sql: String = {
-    val key = "printf('%012d%010d', CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id)"
+    val key = "printf('%012d%010d', CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000000000, event_id)"
     s"""SELECT event_type,
         arg_max(event_id, $key) AS max_value_event,
         arg_min(event_id, $key) AS min_value_event,
@@ -160,14 +164,18 @@ object Relational3 {
     """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS counts
        FROM events GROUP BY 1 ORDER BY bucket"""
 
-  /** Deterministic ~5% stratified sample via a modular hash of the row
-    * key — reproducible across engines and runs (unlike Dataset.sample's
-    * seeded-RNG-per-partition, which is not stable under repartitioning).
-    * At 100 TB the same predicate is a pure map pushed into the scan. */
+  /** Deterministic ~5% stratified sample via an md5 hash of the row key —
+    * reproducible across engines and runs (unlike Dataset.sample's
+    * seeded-RNG-per-partition, which is not stable under repartitioning),
+    * and decorrelated from id-assignment patterns (a linear congruence
+    * over sequential ids can bias per stratum when ids correlate with
+    * event_type or time). First two hex chars < '0d' keeps 13/256 ≈
+    * 5.08%. At 100 TB the same predicate is a pure map pushed into the
+    * scan. */
   def q57StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
-      .filter(($"event_id" * 31 + $"user_id") % 100 < 5)
+      .filter(substring(md5($"event_id".cast("string")), 1, 2) < "0d")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_sampled"), countDistinct($"user_id").as("n_users"))
       .orderBy($"event_type")
@@ -176,7 +184,7 @@ object Relational3 {
   def q57Sql: String =
     """SELECT event_type, count(*) AS n_sampled,
        count(DISTINCT user_id) AS n_users
-       FROM events WHERE (event_id * 31 + user_id) % 100 < 5
+       FROM events WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '0d'
        GROUP BY event_type ORDER BY event_type"""
 
   /** Correlated scalar subquery, run through Spark SQL so Catalyst's

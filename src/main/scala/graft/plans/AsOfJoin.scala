@@ -120,7 +120,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 /** User-facing API: `AsOf.join(purchases, signups, Seq("user_id"),
-  * Seq("ts","event_id"), Seq("ts","signup_id"), Seq("signup_id"))`. */
+  * Seq("ts","event_id"), Seq("ts","signup_id"), Seq("signup_id"))`.
+  *
+  * Preconditions (enforced/required by the merge's single-slot state):
+  *  - NULL join keys never match: the merge compares keys with
+  *    `RowOrdering`, which treats null == null (unlike SQL join
+  *    equality), so `join` filters null-keyed rows from BOTH sides up
+  *    front — same observable result as SQL inner-join-style semantics.
+  *  - Right-side (key, order) tuples must be UNIQUE: the operator keeps
+  *    one (key, row) slot, so among right rows tied on the full order
+  *    tuple an arbitrary one survives. Include a unique id as the last
+  *    order column (as q61 does with event_id) to make ties impossible.
+  */
 object AsOf {
 
   def register(spark: SparkSession): Unit = {
@@ -129,11 +140,17 @@ object AsOf {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
   }
 
-  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def join(left0: DataFrame, right0: DataFrame, keys: Seq[String],
       leftOrder: Seq[String], rightOrder: Seq[String],
       payload: Seq[String]): DataFrame = {
-    val spark = left.sparkSession
+    val spark = left0.sparkSession
     register(spark)
+    // SQL join semantics for NULLs (see object doc): drop null-keyed rows
+    // before the merge, where RowOrdering would otherwise match them.
+    import org.apache.spark.sql.functions.col
+    val notNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
+    val left = left0.where(notNullKeys)
+    val right = right0.where(notNullKeys)
     val lPlan = left.queryExecution.analyzed
     // Re-alias the right side with FRESH expression ids: when both inputs
     // derive from the same base relation (the common as-of case), shared
