@@ -36,16 +36,36 @@ object Bench {
     // that throws yields None for the pass — failures are reported in an
     // "errors" list and excluded from the min/total rather than letting a
     // fast exception path masquerade as a legitimate time.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+    }
     def pass(): Map[String, Option[Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
-      }
+      SparkEntry.queries.map { case (name, fn) => name -> time(fn) }
     val (p1, p2) = (pass(), pass())
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val best = names.map(n => n -> (p1(n) ++ p2(n)).minOption)
+    // Contention-burst recovery: a noisy-neighbor spike lasting minutes
+    // can cover the SAME query region in both passes (BENCH_r03 recorded
+    // 48-64s for queries that cost <2.5s on a quiet host), so best-of-2
+    // alone isn't enough. Any query whose two readings disagree >2× or
+    // whose best reading is anomalously slow (>5× the pass-1 median) gets
+    // one targeted re-measure later in time — outside the burst with high
+    // probability — and the min of all readings is reported. Cost is a
+    // few extra query runs, only when readings are already suspect.
+    val med = {
+      val v = p1.values.flatten.toSeq.sorted
+      if (v.isEmpty) 0.0 else v(v.size / 2)
+    }
+    def suspect(rs: Seq[Double]): Boolean =
+      rs.isEmpty || rs.max > 2 * rs.min || rs.min > 5 * med + 0.5
+    val best = names.map { n =>
+      val rs = (p1(n) ++ p2(n)).toSeq
+      val rerun = if (suspect(rs)) time(SparkEntry.queries(n)) else None
+      n -> (rs ++ rerun).minOption
+    }
     val ok = best.collect { case (n, Some(v)) => n -> v }
     val errors = best.collect { case (n, None) => n }
     // "q01_flag_share_count" -> "q01": keys are unique by construction.
