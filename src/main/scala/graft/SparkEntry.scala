@@ -102,6 +102,15 @@ object SparkEntry {
     "q73_ann_ivf"          -> Similarity.q73AnnIvf _,
     "q74_group_sample"     -> Relational3.q74GroupSample _,
     "q75_cohort_conversion" -> Relational3.q75CohortConversion _,
+    "q76_profile"          -> Relational4.q76Profile _,
+    "q77_grouping_sets"    -> Relational4.q77GroupingSets _,
+    "q78_median_mode"      -> Relational4.q78MedianMode _,
+    "q79_edit_distance"    -> Dedup.q79EditDistance _,
+    "q80_split_assign"     -> TextQueries.q80SplitAssign _,
+    "q81_shard_pack"       -> TextQueries.q81ShardPack _,
+    "q82_map_ops"          -> Relational4.q82MapOps _,
+    "q83_quantize"         -> Similarity.q83Quantize _,
+    "q84_redact"           -> TextQueries.q84Redact _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -387,5 +396,14 @@ object SparkEntry {
     "q73_ann_ivf"           -> Similarity.q73Sql,
     "q74_group_sample"      -> Relational3.q74Sql,
     "q75_cohort_conversion" -> Relational3.q75Sql,
+    "q76_profile"           -> Relational4.q76Sql,
+    "q77_grouping_sets"     -> Relational4.q77Sql,
+    "q78_median_mode"       -> Relational4.q78Sql,
+    "q79_edit_distance"     -> Dedup.q79Sql,
+    "q80_split_assign"      -> TextQueries.q80Sql,
+    "q81_shard_pack"        -> TextQueries.q81Sql,
+    "q82_map_ops"           -> Relational4.q82Sql,
+    "q83_quantize"          -> Similarity.q83Sql,
+    "q84_redact"            -> TextQueries.q84Sql,
   )
 }

@@ -291,4 +291,38 @@ object Dedup {
         JOIN sizes sb ON doc_b = sb.doc_id
         ORDER BY doc_a, doc_b"""
   }
+
+  /** Edit-distance near-dup: Levenshtein over a 40-char prefix on a 10%
+    * doc sample, paired within source. Complements the set-based
+    * detectors (MinHash/SimHash/Jaccard are order-blind over shingles;
+    * edit distance catches character-level mutations that preserve the
+    * shingle set poorly and vice versa). Prefix cap bounds the O(m·n)
+    * DP per pair; pairing within `source` is the blocking key that
+    * keeps the candidate set linear-ish — at 100 TB the same blocked
+    * self-join shape holds with a finer block (e.g. source × length
+    * band), exactly like the LSH band-bucket join in q21. */
+  def q79EditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sample = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"source", $"doc_id", substring($"text", 1, 40).as("prefix"))
+    sample.as("a")
+      .join(sample.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        levenshtein($"a.prefix", $"b.prefix").as("dist"))
+      .filter($"dist" <= 20)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def q79Sql: String =
+    """WITH sample AS (
+         SELECT source, doc_id, substr(text, 1, 40) AS prefix
+         FROM documents WHERE doc_id % 10 = 0)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.prefix, b.prefix) AS dist
+       FROM sample a JOIN sample b
+         ON a.source = b.source AND a.doc_id < b.doc_id
+       WHERE levenshtein(a.prefix, b.prefix) <= 20
+       ORDER BY doc_a, doc_b"""
 }

@@ -329,4 +329,31 @@ object Similarity {
           FROM scored)
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** int8 scalar quantization — the storage-shrink step before ANN
+    * indexing (4 B float → 1 B int): q = clamp(floor(x·127), ±127) on
+    * the first embedding dimension, histogrammed per label. Bit-exact
+    * cross-engine because float→double widening is exact, ·127.0 is one
+    * IEEE double op, and floor/clamp are integer-exact — same recipe as
+    * q72's scaled-float centroids. At scale this is a pure map over the
+    * vector column (transform() over all dims in production); the
+    * histogram is diagnostics proving the quantizer's range coverage. */
+  def q83Quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"label",
+        greatest(lit(-127L), least(lit(127L),
+          floor(element_at($"embedding", 1).cast("double") * 127.0)))
+          .as("q0"))
+      .groupBy($"label", $"q0")
+      .agg(count(lit(1)).as("counts"))
+      .orderBy($"label", $"q0")
+  }
+
+  def q83Sql: String =
+    """SELECT label,
+       greatest(-127, least(127,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 127.0) AS BIGINT))) AS q0,
+       count(*) AS counts
+       FROM embeddings GROUP BY 1, 2 ORDER BY label, q0"""
 }

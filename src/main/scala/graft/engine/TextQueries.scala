@@ -267,4 +267,116 @@ object TextQueries {
           CAST(sum(wc) AS DOUBLE) / max(total) AS share
         FROM windowed WHERE running * 2 <= total
         GROUP BY source ORDER BY source"""
+
+  /** Deterministic train/val/test split: assignment is a pure function
+    * of the stable doc key (first 2 hex chars of md5 → 256 buckets:
+    * 205/26/25 ≈ 80/10/10), so membership survives re-runs, engine
+    * swaps, and repartitioning — the reproducibility property RNG-seeded
+    * splits lose the moment the partitioning changes. Per (split, lang):
+    * doc and token counts, to audit that the hash split is unbiased
+    * across strata. A pure map over the scan — no shuffle before the
+    * final tiny aggregate. */
+  def q80SplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 2)
+    Tables.documents(spark, sfDir)
+      .select($"lang", tokenCount($"text").cast("long").as("wc"),
+        when(bucket < "cd", "train")
+          .when(bucket < "e7", "val")
+          .otherwise("test").as("split"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"wc").as("n_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
+  def q80Sql: String =
+    s"""SELECT CASE
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+          ELSE 'test' END AS split,
+        lang, count(*) AS n_docs,
+        CAST(sum(CAST(${tokenCountSql("text")} AS BIGINT)) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2 ORDER BY split, lang"""
+
+  /** Token-budget shard packing: assign docs (in stable doc_id order) to
+    * contiguous shards of ~5000 tokens — the write-side layout step that
+    * turns a curated corpus into training shards. shard = floor(prefix
+    * tokens BEFORE this doc / budget), i.e. a doc belongs to the shard
+    * its first token lands in.
+    *
+    * The prefix sum is computed DISTRIBUTED, not via a global
+    * single-partition window: docs bucket by doc_id range, per-bucket
+    * sums aggregate to a tiny frame whose running total (window over
+    * ~n_docs/1000 rows) broadcasts back as each bucket's offset; the
+    * within-bucket window partitions by bucket. Both windows are
+    * bounded, so the plan survives 100 TB where `Window.orderBy` with no
+    * partition key would funnel every row through one task. */
+  def q81ShardPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val Budget = 5000L
+    val BucketSz = 1000L
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr(s"doc_id div $BucketSz").as("bucket"),
+        tokenCount($"text").cast("long").as("wc"))
+    val bucketOffsets = docs.groupBy($"bucket")
+      .agg(sum($"wc").as("bwc"))
+      .withColumn("offset",
+        coalesce(sum($"bwc").over(
+          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"bucket", $"offset")
+    val inBucket = Window.partitionBy($"bucket")
+      .orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("before",
+        $"offset" + coalesce(sum($"wc").over(inBucket), lit(0L)))
+      .withColumn("shard", expr(s"before div $Budget"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"wc").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"shard")
+  }
+
+  def q81Sql: String =
+    s"""WITH docs AS (
+          SELECT doc_id, CAST(${tokenCountSql("text")} AS BIGINT) AS wc
+          FROM documents),
+        pos AS (
+          SELECT doc_id, wc,
+            CAST(coalesce(sum(wc) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS before
+          FROM docs)
+        SELECT before // 5000 AS shard, count(*) AS n_docs,
+          CAST(sum(wc) AS BIGINT) AS n_tokens,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM pos GROUP BY 1 ORDER BY shard"""
+
+  /** PII-shaped redaction: mask every digit in the raw `props` payload
+    * (the standard scrub before text ships to training), and audit the
+    * redaction per event_type — rows touched, characters masked,
+    * distinct post-redaction payload shapes (collapsing numerals
+    * typically collapses payloads to a few templates, which is itself a
+    * useful schema-discovery signal). Pure regex maps inside codegen;
+    * the audit aggregate is the only shuffle. */
+  def q84Redact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val redacted = regexp_replace($"props", "[0-9]", "#")
+    graft.engine.Tables.events(spark, sfDir)
+      .select($"event_type", redacted.as("red"),
+        length(regexp_replace($"props", "[^0-9]", "")).cast("long").as("n_digits"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"n_digits").as("n_masked"),
+        countDistinct($"red").as("n_templates"))
+      .orderBy($"event_type")
+  }
+
+  def q84Sql: String =
+    """SELECT event_type, count(*) AS n_rows,
+       CAST(sum(length(regexp_replace(props, '[^0-9]', '', 'g'))) AS BIGINT)
+         AS n_masked,
+       count(DISTINCT regexp_replace(props, '[0-9]', '#', 'g')) AS n_templates
+       FROM events GROUP BY event_type ORDER BY event_type"""
 }
