@@ -111,6 +111,8 @@ object SparkEntry {
     "q82_map_ops"          -> Relational4.q82MapOps _,
     "q83_quantize"         -> Similarity.q83Quantize _,
     "q84_redact"           -> TextQueries.q84Redact _,
+    "q85_resize"           -> Multimodal.q85Resize _,
+    "q86_foreach_sink"     -> graft.streaming.Streaming.q86ForeachSink _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -405,5 +407,9 @@ object SparkEntry {
     "q82_map_ops"           -> Relational4.q82Sql,
     "q83_quantize"          -> Similarity.q83Sql,
     "q84_redact"            -> TextQueries.q84Sql,
+    "q85_resize"            -> Multimodal.q85Sql,
+    // the foreachBatch store roundtrip preserves rows exactly like the
+    // parquet-sink roundtrip — q63's oracle is the contract for both.
+    "q86_foreach_sink"      -> graft.streaming.Streaming.q63Sql,
   )
 }

@@ -115,4 +115,36 @@ object Multimodal {
         SELECT doc_id, frame_idx, frame_idx * $FrameLen AS byte_offset,
           $FrameLen AS frame_len
         FROM f ORDER BY doc_id, frame_idx"""
+
+  /** Resize/thumbnail plumbing: derive a bounded-size payload from each
+    * blob (here a deterministic head crop standing in for an image
+    * resize — with real media the crop becomes the resampling kernel)
+    * and audit the shrink per source: payload count, bytes before/after,
+    * distinct thumb hashes. The binary ops (substring/md5/octet_length
+    * on BinaryType) run expression-level inside the scan stage — blob
+    * bytes never shuffle; only the audit aggregate does. The oracle
+    * crops VARCHAR instead, byte-identical because the corpus is pure
+    * ASCII (verified: octet_length(encode(text)) == length(text) for
+    * every row at every SF). */
+  val ThumbLen = 64
+  def q85Resize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(Tables.documents(spark, sfDir))
+      .select($"source", $"meta.byte_len".as("orig_len"),
+        substring($"payload", 1, ThumbLen).as("thumb"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_payloads"),
+        sum($"orig_len").as("orig_bytes"),
+        sum(octet_length($"thumb")).as("thumb_bytes"),
+        countDistinct(md5($"thumb")).as("n_thumbs"))
+      .orderBy($"source")
+  }
+
+  def q85Sql: String =
+    s"""SELECT source, count(*) AS n_payloads,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS orig_bytes,
+        CAST(sum(octet_length(encode(substring(text, 1, $ThumbLen)))) AS BIGINT)
+          AS thumb_bytes,
+        count(DISTINCT md5(substring(text, 1, $ThumbLen))) AS n_thumbs
+        FROM documents GROUP BY source ORDER BY source"""
 }

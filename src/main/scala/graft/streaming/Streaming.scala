@@ -134,6 +134,37 @@ object Streaming {
        count(DISTINCT upper(substr(event_type, 1, 2)) || CAST(event_id AS VARCHAR)) AS n_keys
        FROM events GROUP BY 1, 2 ORDER BY date, hour"""
 
+  /** S6 (consumer.scala:176-181) analogue: the reference appends
+    * aggregate rows to MongoDB — an arbitrary non-file store. The Spark
+    * surface for that is `foreachBatch`: per micro-batch, a DRIVER-side
+    * callback gets the batch as a plain DataFrame plus an epoch id, and
+    * can run any batch writer (Mongo/JDBC/REST). Idempotence contract:
+    * the epoch id keys the write (here: one overwritten directory per
+    * epoch), so a replayed batch after failure lands on the same key
+    * instead of duplicating — exactly-once delivery on top of
+    * at-least-once replay. Oracle-checked by reading the "store" back
+    * and proving the roundtrip preserved every row (shares q63's
+    * contract). */
+  def q86ForeachSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-fes-").toString
+    val checkpoint = Files.createTempDirectory("graft-fes-ckpt-").toString
+    val q = projectIngest(readEventsStream(spark, sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/epoch=$epochId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy($"date", $"hour")
+      .agg(count(lit(1)).as("counts"), countDistinct($"key").as("n_keys"))
+      .select($"date".cast("string").as("date"), $"hour", $"counts", $"n_keys")
+      .orderBy($"date", $"hour")
+  }
+
   /** T4/T5 upgrade: in-stream tumbling-window aggregation with a
     * watermark (the reference materialized hourly windows as directories
     * and read them back in batch). Complete output mode so every window

@@ -91,4 +91,31 @@ class StreamingSpec extends SparkTestBase {
       spark, Multimodal.withPayload(Tables.documents(spark, sf))).collect()
     assert(keyed(rows).sameElements(keyed(again)))
   }
+
+  test("q85 resize: thumbs capped at ThumbLen, bytes conserved before crop") {
+    val audit = Multimodal.q85Resize(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(audit.map(_.getAs[Long]("n_payloads")).sum == docs.count())
+    val expectedOrig = docs.select(sum(length($"text"))).as[Long].head()
+    assert(audit.map(_.getAs[Long]("orig_bytes")).sum == expectedOrig,
+      "ASCII corpus: payload bytes == text chars")
+    audit.foreach { r =>
+      assert(r.getAs[Long]("thumb_bytes") <=
+        r.getAs[Long]("n_payloads") * Multimodal.ThumbLen)
+      assert(r.getAs[Long]("thumb_bytes") <= r.getAs[Long]("orig_bytes"))
+      assert(r.getAs[Long]("n_thumbs") >= 1L)
+    }
+  }
+
+  test("q86 foreachBatch store roundtrip preserves every row at its grain") {
+    val viaStore = Streaming.q86ForeachSink(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("date"),
+        date_format($"ts", "HH").as("hour"))
+      .agg(count(lit(1)).as("counts"))
+    val mismatches = viaStore.select($"date", $"hour", $"counts")
+      .except(direct.select($"date", $"hour", $"counts")).count()
+    assert(mismatches == 0L, "per-grain counts via the foreachBatch store must equal batch")
+    assert(viaStore.count() == direct.count())
+  }
 }
