@@ -113,6 +113,8 @@ object SparkEntry {
     "q84_redact"           -> TextQueries.q84Redact _,
     "q85_resize"           -> Multimodal.q85Resize _,
     "q86_foreach_sink"     -> graft.streaming.Streaming.q86ForeachSink _,
+    "q87_repetition"       -> TextQueries.q87Repetition _,
+    "q88_seq_pack"         -> TextQueries.q88SeqPack _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -411,5 +413,7 @@ object SparkEntry {
     // the foreachBatch store roundtrip preserves rows exactly like the
     // parquet-sink roundtrip — q63's oracle is the contract for both.
     "q86_foreach_sink"      -> graft.streaming.Streaming.q63Sql,
+    "q87_repetition"        -> TextQueries.q87Sql,
+    "q88_seq_pack"          -> TextQueries.q88Sql,
   )
 }

@@ -379,4 +379,105 @@ object TextQueries {
          AS n_masked,
        count(DISTINCT regexp_replace(props, '[0-9]', '#', 'g')) AS n_templates
        FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Within-document repetition filter (the C4-style quality signal the
+    * length/stopword score q18 can't see): a doc whose tokens are mostly
+    * repeats of a small vocabulary is boilerplate or spam. Flagging is
+    * integer-exact (4·(n−distinct) > 3·n ⇔ repetition > 75%) so no float
+    * boundary can flip membership; the per-source repetition share is
+    * one double division of exact totals. Pure per-row token/distinct
+    * counts inside the scan — no shuffle before the tiny aggregate. */
+  def q87Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"source",
+        tokenCount($"text").cast("long").as("n"),
+        size(array_distinct(tokens($"text"))).cast("long").as("d"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(($"n" - $"d") * 4 > $"n" * 3, 1)).as("n_flagged"),
+        sum($"n").as("tok_total"),
+        sum($"n" - $"d").as("tok_repeated"))
+      .withColumn("rep_share",
+        $"tok_repeated".cast("double") / $"tok_total")
+      .orderBy($"source")
+  }
+
+  def q87Sql: String = {
+    val n = s"CAST(${tokenCountSql("text")} AS BIGINT)"
+    val d = s"CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)"
+    s"""WITH t AS (SELECT source, $n AS n, $d AS d FROM documents)
+        SELECT source, count(*) AS n_docs,
+          count(*) FILTER (WHERE (n - d) * 4 > n * 3) AS n_flagged,
+          CAST(sum(n) AS BIGINT) AS tok_total,
+          CAST(sum(n - d) AS BIGINT) AS tok_repeated,
+          CAST(sum(n - d) AS DOUBLE) / sum(n) AS rep_share
+        FROM t GROUP BY source ORDER BY source"""
+  }
+
+  /** Fixed-length sequence packing: concatenate the corpus (in stable
+    * doc_id order) and cut it into 512-token training sequences; report
+    * per sequence how many docs contribute, how many tokens each grain
+    * holds, and how many docs sit entirely inside it. Reuses q81's
+    * DISTRIBUTED prefix-sum shape (bucketed two-level windows, offsets
+    * broadcast back) so the packing scales without a global
+    * single-partition sort; the doc→sequence fan-out explodes only
+    * [first_seq, last_seq] index ranges, never token text. All
+    * arithmetic is integral (token offsets, interval intersections). */
+  def q88SeqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val SeqLen = 512L
+    val BucketSz = 1000L
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr(s"doc_id div $BucketSz").as("bucket"),
+        tokenCount($"text").cast("long").as("wc"))
+    val bucketOffsets = docs.groupBy($"bucket")
+      .agg(sum($"wc").as("bwc"))
+      .withColumn("offset",
+        coalesce(sum($"bwc").over(
+          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"bucket", $"offset")
+    val inBucket = Window.partitionBy($"bucket")
+      .orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("start",
+        $"offset" + coalesce(sum($"wc").over(inBucket), lit(0L)))
+      .withColumn("end", $"start" + $"wc")
+      .filter($"wc" > 0)
+      .withColumn("seq",
+        explode(sequence(expr(s"start div $SeqLen"), expr(s"(end - 1) div $SeqLen"))))
+      .withColumn("contrib",
+        least($"end", ($"seq" + 1) * SeqLen) - greatest($"start", $"seq" * SeqLen))
+      .groupBy($"seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"contrib").as("n_tokens"),
+        count(when($"start" >= $"seq" * SeqLen &&
+          $"end" <= ($"seq" + 1) * SeqLen, 1)).as("n_whole_docs"))
+      .orderBy($"seq")
+  }
+
+  def q88Sql: String = {
+    val wc = s"CAST(${tokenCountSql("text")} AS BIGINT)"
+    s"""WITH docs AS (
+          SELECT doc_id, $wc AS wc FROM documents),
+        pos AS (
+          SELECT doc_id, wc,
+            CAST(coalesce(sum(wc) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS start
+          FROM docs),
+        spans AS (
+          SELECT doc_id, wc, start, "end",
+            unnest(range(start // 512, ("end" - 1) // 512 + 1)) AS seq
+          FROM (SELECT doc_id, wc, start, start + wc AS "end"
+                FROM pos WHERE wc > 0))
+        SELECT seq, count(*) AS n_docs,
+          CAST(sum(least("end", (seq + 1) * 512) - greatest(start, seq * 512))
+            AS BIGINT) AS n_tokens,
+          count(*) FILTER (WHERE start >= seq * 512 AND "end" <= (seq + 1) * 512)
+            AS n_whole_docs
+        FROM spans GROUP BY seq ORDER BY seq"""
+  }
 }

@@ -115,6 +115,39 @@ class Relational4Spec extends SparkTestBase {
       Tables.embeddings(spark, sf).count())
   }
 
+  test("q87 repetition: repeated <= total per source; flags require >75% repeats") {
+    val rows = TextQueries.q87Repetition(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val total = r.getAs[Long]("tok_total")
+      val rep = r.getAs[Long]("tok_repeated")
+      assert(rep >= 0L && rep <= total)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      val share = r.getAs[Double]("rep_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("q88 sequence packing: every seq except the last holds exactly 512 tokens") {
+    val rows = TextQueries.q88SeqPack(spark, sf).collect()
+    val seqs = rows.map(_.getAs[Long]("seq"))
+    assert(seqs.toSeq == seqs.indices.map(_.toLong), "dense seq ids from 0")
+    rows.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 512L,
+        s"interior sequences are full: $r")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_whole_docs") <= r.getAs[Long]("n_docs"))
+    }
+    // token conservation: contributions sum to the corpus token count
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expected = Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+      .as[Long].collect().sum
+    assert(total == expected)
+  }
+
   test("q84 redaction masks every digit: templates contain no numerals") {
     val audit = TextQueries.q84Redact(spark, sf).collect()
     assert(audit.map(_.getAs[Long]("n_rows")).sum ==
