@@ -115,6 +115,7 @@ object SparkEntry {
     "q86_foreach_sink"     -> graft.streaming.Streaming.q86ForeachSink _,
     "q87_repetition"       -> TextQueries.q87Repetition _,
     "q88_seq_pack"         -> TextQueries.q88SeqPack _,
+    "q89_stream_static"    -> graft.streaming.Streaming.q89StreamStaticJoin _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -415,5 +416,6 @@ object SparkEntry {
     "q86_foreach_sink"      -> graft.streaming.Streaming.q63Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
+    "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
   )
 }

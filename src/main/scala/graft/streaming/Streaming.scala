@@ -165,6 +165,46 @@ object Streaming {
       .orderBy($"date", $"hour")
   }
 
+  /** Stream-static enrichment join — the reference's enrichment shape
+    * (consumer.scala:125-148 joins each micro-batch against driver-
+    * resident NLP models; the relational analogue is a static dimension
+    * joined into the stream). The static side is a tiny per-type profile
+    * computed ONCE in batch; Spark broadcasts it into every micro-batch
+    * as a BroadcastHashJoin — stateless, no watermark, no state store,
+    * which is what makes stream-static the cheap join (vs q42's stateful
+    * stream-stream). At 100 TB the dimension rides the same broadcast
+    * as long as it stays executor-memory-small; bigger dims become a
+    * shuffled join per micro-batch. */
+  def q89StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(round(avg(when($"value" > 100, 1).otherwise(0)), 6).as("hv_share"))
+    val enriched = readEventsStream(spark, sfDir)
+      .select($"event_type", $"value")
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("counts"),
+        first($"hv_share").as("hv_share"))
+    val q = enriched.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_static")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("stream_static")
+      .select($"event_type", $"counts", $"hv_share")
+      .orderBy($"event_type")
+  }
+
+  /** Every stream row joins its type's single dim row, so the drained
+    * result is per-type counts carrying the dim's hv_share. */
+  def q89Sql: String =
+    """SELECT event_type, count(*) AS counts,
+       round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 6) AS hv_share
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** T4/T5 upgrade: in-stream tumbling-window aggregation with a
     * watermark (the reference materialized hourly windows as directories
     * and read them back in batch). Complete output mode so every window

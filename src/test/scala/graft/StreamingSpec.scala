@@ -92,6 +92,17 @@ class StreamingSpec extends SparkTestBase {
     assert(keyed(rows).sameElements(keyed(again)))
   }
 
+  test("q89 stream-static join equals the batch enrichment") {
+    val streamed = Streaming.q89StreamStaticJoin(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("counts"),
+        round(avg(when($"value" > 100, 1).otherwise(0)), 6).as("hv_share"))
+    assert(streamed.except(batch).count() == 0L &&
+      batch.except(streamed).count() == 0L,
+      "draining the stream-static join must equal the batch join")
+  }
+
   test("q85 resize: thumbs capped at ThumbLen, bytes conserved before crop") {
     val audit = Multimodal.q85Resize(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
