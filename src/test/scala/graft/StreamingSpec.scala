@@ -92,6 +92,45 @@ class StreamingSpec extends SparkTestBase {
     assert(keyed(rows).sameElements(keyed(again)))
   }
 
+  test("checkpoint resume is exactly-once: re-running ingest adds no rows") {
+    val out = Files.createTempDirectory("graft-ckpt-resume-").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt-resume-ck-").toString
+    def run(): Long = {
+      val q = Streaming.projectIngest(
+          spark.readStream
+            .schema(Streaming.eventsRawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    val first = run()
+    assert(first == Tables.events(spark, sf).count())
+    val second = run()
+    assert(second == first,
+      "the checkpoint records consumed files, so a resumed run must be a no-op")
+  }
+
+  test("schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
+    val dir = Files.createTempDirectory("graft-evolve-").toString
+    val base = Tables.events(spark, sf).select($"event_id", $"event_type")
+    base.write.mode("append").parquet(dir)
+    base.withColumn("v2_flag", lit(1L)).write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("event_id", "event_type", "v2_flag"))
+    val n = base.count()
+    assert(merged.count() == 2 * n)
+    assert(merged.filter($"v2_flag".isNull).count() == n,
+      "rows written before the column existed read back as null")
+  }
+
   test("q89 stream-static join equals the batch enrichment") {
     val streamed = Streaming.q89StreamStaticJoin(spark, sf)
     val batch = Tables.events(spark, sf)
