@@ -54,11 +54,15 @@ object Bench {
     // whose best reading is anomalously slow (>5× the pass-1 median) gets
     // one targeted re-measure later in time — outside the burst with high
     // probability — and the min of all readings is reported. Cost is a
-    // few extra query runs, only when readings are already suspect.
-    val med = {
-      val v = p1.values.flatten.toSeq.sorted
+    // few extra query runs, only when readings are already suspect. The
+    // reference median is the QUIETER pass's (min of the two pass
+    // medians): a burst spanning most of one pass would inflate that
+    // pass's median and mute the very detector this exists for.
+    def median(p: Map[String, Option[Double]]): Double = {
+      val v = p.values.flatten.toSeq.sorted
       if (v.isEmpty) 0.0 else v(v.size / 2)
     }
+    val med = math.min(median(p1), median(p2))
     def suspect(rs: Seq[Double]): Boolean =
       rs.isEmpty || rs.max > 2 * rs.min || rs.min > 5 * med + 0.5
     val best = names.map { n =>

@@ -318,11 +318,12 @@ object Dedup {
   def q79Sql: String =
     """WITH sample AS (
          SELECT source, doc_id, substr(text, 1, 40) AS prefix
-         FROM documents WHERE doc_id % 10 = 0)
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         levenshtein(a.prefix, b.prefix) AS dist
-       FROM sample a JOIN sample b
-         ON a.source = b.source AND a.doc_id < b.doc_id
-       WHERE levenshtein(a.prefix, b.prefix) <= 20
-       ORDER BY doc_a, doc_b"""
+         FROM documents WHERE doc_id % 10 = 0),
+       scored AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.prefix, b.prefix) AS dist
+         FROM sample a JOIN sample b
+           ON a.source = b.source AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, dist FROM scored
+       WHERE dist <= 20 ORDER BY doc_a, doc_b"""
 }

@@ -26,12 +26,19 @@ object Relational4 {
   def q76Profile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cols = Seq("event_id", "user_id", "event_type", "value")
+    // Doubles stringify through a fixed-scale decimal: both engines'
+    // native double→string formatters switch to scientific notation at
+    // different thresholds (Spark at 1e7/1e-3, DuckDB elsewhere), which
+    // would break the repr-strict oracle gate the moment min/max drifts
+    // past one — DECIMAL(18,2)→VARCHAR is notation-stable in both.
+    def asStr(v: Column, c: String): Column =
+      (if (c == "value") v.cast("decimal(18,2)") else v).cast("string")
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
         countDistinct(col(c)).as(s"${c}_distinct"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max"))
+        asStr(min(col(c)), c).as(s"${c}_min"),
+        asStr(max(col(c)), c).as(s"${c}_max"))
     }
     val wide = Tables.events(spark, sfDir).agg(aggs.head, aggs.tail: _*)
     val stackExpr = cols.map(c =>
@@ -43,20 +50,25 @@ object Relational4 {
 
   def q76Sql: String = {
     val cols = Seq("event_id", "user_id", "event_type", "value")
+    def asStr(agg: String, c: String) =
+      if (c == "value") s"CAST(CAST($agg($c) AS DECIMAL(18,2)) AS VARCHAR)"
+      else s"CAST($agg($c) AS VARCHAR)"
     cols.map { c =>
       s"""SELECT '$c' AS col_name,
           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
           count(DISTINCT $c) AS n_distinct,
-          CAST(min($c) AS VARCHAR) AS min_s,
-          CAST(max($c) AS VARCHAR) AS max_s FROM events"""
+          ${asStr("min", c)} AS min_s,
+          ${asStr("max", c)} AS max_s FROM events"""
     }.mkString("", " UNION ALL ", " ORDER BY col_name")
   }
 
   /** Explicit GROUPING SETS — the one grouping-set shape rollup/cube
     * (q31/q50) cannot express: independent single-column marginals with
     * no (all) or cross rows. Uses the Spark 4 `Dataset.groupingSets`
-    * API; `grouping()` disambiguates which set a row came from so the
-    * sentinel coalesce stays collision-proof. */
+    * API; `grouping()` (1 ⇔ the column is collapsed in this set) drives
+    * the sentinel, so a NULL data value can never masquerade as a
+    * collapsed dimension — collision-proof without a non-null
+    * precondition on the keys. */
   def q77GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
@@ -64,17 +76,21 @@ object Relational4 {
         Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
         $"l_returnflag", $"l_linestatus")
       .agg(Exact.sumExact($"l_quantity", 2).as("sum_qty"),
-        count(lit(1)).as("counts"))
+        count(lit(1)).as("counts"),
+        grouping($"l_returnflag").as("g_rf"),
+        grouping($"l_linestatus").as("g_ls"))
       .select(
-        coalesce($"l_returnflag", lit("(all)")).as("rf"),
-        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        when($"g_rf" === 1, "(all)").otherwise($"l_returnflag").as("rf"),
+        when($"g_ls" === 1, "(all)").otherwise($"l_linestatus").as("ls"),
         $"sum_qty", $"counts")
       .orderBy($"rf", $"ls")
   }
 
   def q77Sql: String =
-    """SELECT coalesce(l_returnflag, '(all)') AS rf,
-       coalesce(l_linestatus, '(all)') AS ls,
+    """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN '(all)'
+            ELSE l_returnflag END AS rf,
+       CASE WHEN grouping(l_linestatus) = 1 THEN '(all)'
+            ELSE l_linestatus END AS ls,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_qty,
        count(*) AS counts
        FROM lineitem
@@ -88,10 +104,11 @@ object Relational4 {
     * (count DESC, bucket ASC)) because built-in mode picks an arbitrary
     * value on ties — non-deterministic under shuffle reordering, which a
     * reproducible pipeline (and a cross-engine oracle) cannot accept.
-    * Bucket division requires cents >= 0 (holds: value >= 0.01 in the
-    * data): Spark `div` truncates toward zero while DuckDB `//` floors,
-    * so the two diverge on negative operands — same hazard class as
-    * q55's argKey, guarded the same way (non-negative domain). */
+    * Buckets use floor(cents / 1000.0) — NOT integer division — because
+    * Spark `div` truncates toward zero while DuckDB `//` floors, and
+    * the two diverge on negative operands (cents are exact in double up
+    * to 2^52, the division is one IEEE op, so floor is bit-portable at
+    * any sign). */
   def q78MedianMode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -103,7 +120,7 @@ object Relational4 {
     val w = Window.partitionBy($"event_type")
       .orderBy($"n".desc, $"bucket")
     val mode = ev
-      .select($"event_type", expr("cents div 1000").as("bucket"))
+      .select($"event_type", floor($"cents" / 1000.0).as("bucket"))
       .groupBy($"event_type", $"bucket")
       .agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(w))
@@ -123,9 +140,10 @@ object Relational4 {
          FROM c GROUP BY event_type),
        md AS (
          SELECT event_type, bucket AS mode_bucket, n AS mode_n FROM (
-           SELECT event_type, cents // 1000 AS bucket, count(*) AS n,
+           SELECT event_type,
+             CAST(floor(cents / 1000.0) AS BIGINT) AS bucket, count(*) AS n,
              row_number() OVER (PARTITION BY event_type
-               ORDER BY count(*) DESC, cents // 1000) AS rk
+               ORDER BY count(*) DESC, CAST(floor(cents / 1000.0) AS BIGINT)) AS rk
            FROM c GROUP BY 1, 2) t
          WHERE rk = 1)
        SELECT med.event_type AS event_type, median_value, mode_bucket, mode_n
@@ -146,6 +164,10 @@ object Relational4 {
           org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,
             org.apache.spark.sql.types.LongType))).as(Seq("k", "v")))
+      // contract shared with the oracle: only integer-valued entries
+      // count — a value failing LongType coercion (the regexp's \d+ on
+      // the oracle side) drops the entry, not counted with a null
+      .filter($"v".isNotNull)
       .groupBy($"event_type", $"k")
       .agg(count(lit(1)).as("counts"), sum($"v").as("sum_v"),
         min($"v").as("min_v"), max($"v").as("max_v"))

@@ -298,23 +298,19 @@ object TextQueries {
         CAST(sum(CAST(${tokenCountSql("text")} AS BIGINT)) AS BIGINT) AS n_tokens
         FROM documents GROUP BY 1, 2 ORDER BY split, lang"""
 
-  /** Token-budget shard packing: assign docs (in stable doc_id order) to
-    * contiguous shards of ~5000 tokens — the write-side layout step that
-    * turns a curated corpus into training shards. shard = floor(prefix
-    * tokens BEFORE this doc / budget), i.e. a doc belongs to the shard
-    * its first token lands in.
-    *
-    * The prefix sum is computed DISTRIBUTED, not via a global
-    * single-partition window: docs bucket by doc_id range, per-bucket
-    * sums aggregate to a tiny frame whose running total (window over
-    * ~n_docs/1000 rows) broadcasts back as each bucket's offset; the
-    * within-bucket window partitions by bucket. Both windows are
-    * bounded, so the plan survives 100 TB where `Window.orderBy` with no
-    * partition key would funnel every row through one task. */
-  def q81ShardPack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** DISTRIBUTED prefix sum of token counts in stable doc_id order —
+    * the skeleton shared by shard packing (q81) and sequence packing
+    * (q88). NOT a global single-partition window: docs bucket by doc_id
+    * range, per-bucket sums aggregate to a tiny frame whose running
+    * total (window over ~n_docs/BucketSz rows) broadcasts back as each
+    * bucket's offset; the within-bucket window partitions by bucket.
+    * Both windows are bounded, so the plan survives 100 TB where
+    * `Window.orderBy` with no partition key would funnel every row
+    * through one task. Returns (doc_id, wc, before) with `before` = sum
+    * of all earlier docs' token counts. */
+  private def tokenPrefixSums(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val Budget = 5000L
     val BucketSz = 1000L
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", expr(s"doc_id div $BucketSz").as("bucket"),
@@ -331,6 +327,18 @@ object TextQueries {
     docs.join(broadcast(bucketOffsets), Seq("bucket"))
       .withColumn("before",
         $"offset" + coalesce(sum($"wc").over(inBucket), lit(0L)))
+      .select($"doc_id", $"wc", $"before")
+  }
+
+  /** Token-budget shard packing: assign docs (in stable doc_id order) to
+    * contiguous shards of ~5000 tokens — the write-side layout step that
+    * turns a curated corpus into training shards. shard = floor(prefix
+    * tokens BEFORE this doc / budget), i.e. a doc belongs to the shard
+    * its first token lands in. Prefix sums via [[tokenPrefixSums]]. */
+  def q81ShardPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val Budget = 5000L
+    tokenPrefixSums(spark, sfDir)
       .withColumn("shard", expr(s"before div $Budget"))
       .groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"), sum($"wc").as("n_tokens"),
@@ -418,32 +426,17 @@ object TextQueries {
   /** Fixed-length sequence packing: concatenate the corpus (in stable
     * doc_id order) and cut it into 512-token training sequences; report
     * per sequence how many docs contribute, how many tokens each grain
-    * holds, and how many docs sit entirely inside it. Reuses q81's
-    * DISTRIBUTED prefix-sum shape (bucketed two-level windows, offsets
-    * broadcast back) so the packing scales without a global
-    * single-partition sort; the doc→sequence fan-out explodes only
-    * [first_seq, last_seq] index ranges, never token text. All
-    * arithmetic is integral (token offsets, interval intersections). */
+    * holds, and how many docs sit entirely inside it. Prefix sums come
+    * from [[tokenPrefixSums]] (shared with q81) so the packing scales
+    * without a global single-partition sort; the doc→sequence fan-out
+    * explodes only [first_seq, last_seq] index ranges, never token
+    * text. All arithmetic is integral (token offsets, interval
+    * intersections). */
   def q88SeqPack(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val SeqLen = 512L
-    val BucketSz = 1000L
-    val docs = Tables.documents(spark, sfDir)
-      .select($"doc_id", expr(s"doc_id div $BucketSz").as("bucket"),
-        tokenCount($"text").cast("long").as("wc"))
-    val bucketOffsets = docs.groupBy($"bucket")
-      .agg(sum($"wc").as("bwc"))
-      .withColumn("offset",
-        coalesce(sum($"bwc").over(
-          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select($"bucket", $"offset")
-    val inBucket = Window.partitionBy($"bucket")
-      .orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    docs.join(broadcast(bucketOffsets), Seq("bucket"))
-      .withColumn("start",
-        $"offset" + coalesce(sum($"wc").over(inBucket), lit(0L)))
+    tokenPrefixSums(spark, sfDir)
+      .withColumnRenamed("before", "start")
       .withColumn("end", $"start" + $"wc")
       .filter($"wc" > 0)
       .withColumn("seq",

@@ -95,6 +95,10 @@ class StreamingSpec extends SparkTestBase {
   test("checkpoint resume is exactly-once: re-running ingest adds no rows") {
     val out = Files.createTempDirectory("graft-ckpt-resume-").toString
     val checkpoint = Files.createTempDirectory("graft-ckpt-resume-ck-").toString
+    // events.parquet is TIMESTAMP(NANOS); the inline reader below needs
+    // the same conf Tables.events/readEventsStream set, independent of
+    // which test ran first in the shared session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def run(): Long = {
       val q = Streaming.projectIngest(
           spark.readStream
