@@ -153,23 +153,30 @@ object Dedup {
         SELECT a AS doc, min(b) AS canonical
         FROM reach GROUP BY a ORDER BY doc"""
 
-  /** Cross-document n-gram contamination: per sampled doc, the share of
-    * its distinct word-8-grams that also appear in at least one other
-    * doc — the train/test-overlap measure a contamination audit computes
-    * (8-grams via the [[graft.functions.WordShingles]] UDTF). Shares are
-    * exact integer divisions, bit-portable without rounding. Scale
-    * posture: one shuffle on the shingle to count document frequency,
-    * one back on doc_id — both pre-reduced by the per-doc distinct. */
+  /** Cross-document n-gram contamination: per audited (sampled) doc, the
+    * share of its distinct word-8-grams that also appear in at least one
+    * OTHER doc anywhere in the corpus — the train/test-overlap measure a
+    * contamination audit computes (8-grams via the
+    * [[graft.functions.WordShingles]] UDTF). Document frequency is
+    * CORPUS-WIDE; only the reporting side is sampled (an audit that
+    * counted frequency inside its own sample would miss overlap with the
+    * unsampled 90% and report ~zero contamination on a contaminated
+    * corpus). A shingle is "shared" for doc d when some other doc also
+    * has it: corpus df >= 2. Shares are exact integer divisions,
+    * bit-portable without rounding. Scale posture: one shuffle on the
+    * shingle for corpus df, one back on doc_id — both pre-reduced by the
+    * per-doc distinct; the audited side prunes to the sample before the
+    * join. */
   def q71Contamination(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables.documents(spark, sfDir)
-      .filter($"doc_id" % 10 === 0)
+    val allSh = Tables.documents(spark, sfDir)
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", graft.functions.Generators.wordShingles($"toks", 8))
       .select($"doc_id", $"shingle")
       .distinct()
-    val docFreq = sh.groupBy($"shingle").agg(countDistinct($"doc_id").as("nd"))
-    sh.join(docFreq, "shingle")
+    val docFreq = allSh.groupBy($"shingle").agg(countDistinct($"doc_id").as("nd"))
+    allSh.filter($"doc_id" % 10 === 0)
+      .join(docFreq, "shingle")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         count(when($"nd" >= 2, 1)).as("n_shared"))
@@ -180,17 +187,21 @@ object Dedup {
   def q71Sql: String =
     s"""WITH s AS (
           SELECT DISTINCT doc_id, unnest(${shinglesSqlN("text", 8)}) AS shingle
-          FROM documents WHERE doc_id % 10 = 0),
+          FROM documents),
         nd AS (SELECT shingle, count(DISTINCT doc_id) AS nd FROM s GROUP BY shingle)
         SELECT doc_id, count(*) AS n_shingles,
           count(*) FILTER (WHERE nd >= 2) AS n_shared,
           CAST(count(*) FILTER (WHERE nd >= 2) AS DOUBLE) / count(*) AS shared_share
         FROM s JOIN nd USING (shingle)
+        WHERE doc_id % 10 = 0
         GROUP BY doc_id ORDER BY doc_id"""
 
   /** SimHash: 16-bit signature per document. Bit j is the sign of the
     * vote sum over tokens, where each token votes ±1 from the parity of
-    * hex digit j of its md5. Near-dups differ in few bits (compare with
+    * the ASCII CODE of hex character j of its md5 (not the hex digit's
+    * numeric parity — '0'..'9' and 'a'..'f' still split 8/8, so the
+    * vote stays balanced, and both engines share the ascii()-based
+    * expression). Near-dups differ in few bits (compare with
     * hamming ≤ k via xor+bit_count downstream). */
   def q22Simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -252,14 +263,27 @@ object Dedup {
     * distinct word-3-gram sets, bucket-join on shared shingles, Jaccard =
     * |A∩B| / |A∪B| for every candidate pair (pairs sharing ≥1 shingle —
     * the bucket join itself is the candidate filter; a threshold would sit
-    * on top in a production near-dup pass). */
+    * on top in a production near-dup pass).
+    *
+    * Stop-shingles are pruned first: a shingle in more than
+    * [[MaxShingleDf]] docs leaves the shingle space (sets AND
+    * intersections — standard near-dup practice), because one
+    * boilerplate n-gram shared by k docs would otherwise emit O(k²)
+    * join rows; the cap is what keeps this bucket join bounded at 100 TB
+    * (on the test corpus max df is single-digit, so the cap changes
+    * nothing — verified by the unchanged oracle hashes). */
+  val MaxShingleDf = 100L
   def q23NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sample = Tables.documents(spark, sfDir)
+    val raw = Tables.documents(spark, sfDir)
       .filter($"doc_id" % 20 === 0)
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
       .distinct()
+    val keep = raw.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDf)
+      .select($"sh")
+    val sample = raw.join(keep, "sh")
     val sizes = sample.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sample.as("a")
       .join(sample.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
@@ -275,9 +299,11 @@ object Dedup {
 
   def q23Sql: String = {
     val sh = shinglesSql("text")
-    s"""WITH sample AS (
+    s"""WITH raw AS (
           SELECT DISTINCT doc_id, unnest($sh) AS sh
           FROM documents WHERE doc_id % 20 = 0),
+        keep AS (SELECT sh FROM raw GROUP BY sh HAVING count(*) <= $MaxShingleDf),
+        sample AS (SELECT doc_id, raw.sh FROM raw JOIN keep ON raw.sh = keep.sh),
         sizes AS (SELECT doc_id, count(*) AS n FROM sample GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

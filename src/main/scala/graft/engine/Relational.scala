@@ -59,10 +59,12 @@ object Relational {
       .groupBy($"l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)"))
+      // na.fill IS the reference's null handling (consumer.scala:170) and
+      // the single mechanism guaranteeing non-null cells below
       .na.fill(0)
       .select($"l_returnflag",
-        Exact.decToDouble(coalesce($"F", lit(0).cast("decimal(18,2)")), 2).as("F"),
-        Exact.decToDouble(coalesce($"O", lit(0).cast("decimal(18,2)")), 2).as("O"))
+        Exact.decToDouble($"F", 2).as("F"),
+        Exact.decToDouble($"O", 2).as("O"))
       .orderBy($"l_returnflag")
   }
 
@@ -93,8 +95,8 @@ object Relational {
       .na.fill(0)
     rates.join(wide, Seq("l_returnflag"), "inner")
       .select($"l_returnflag", $"disc_share", $"counts",
-        Exact.decToDouble(coalesce($"F", lit(0).cast("decimal(18,2)")), 2).as("F"),
-        Exact.decToDouble(coalesce($"O", lit(0).cast("decimal(18,2)")), 2).as("O"))
+        Exact.decToDouble($"F", 2).as("F"),
+        Exact.decToDouble($"O", 2).as("O"))
       .orderBy($"l_returnflag")
   }
 

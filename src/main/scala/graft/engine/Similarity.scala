@@ -40,9 +40,6 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-
   /** Cosine from a precomputed squared norm per side — the join-side
     * projection computes each ||v||² once instead of per pair (same fold,
     * bit-identical result, 3× less per-pair work). */
@@ -59,8 +56,16 @@ object Similarity {
 
   /** Brute-force cosine top-k: every 100th vector is a query; top 10
     * neighbors (excluding self) over the full corpus. The query side is
-    * tiny and broadcast; the corpus is scanned once with no shuffle until
-    * the final per-query top-k. */
+    * broadcast; the corpus is scanned once with no shuffle until the
+    * final per-query top-k.
+    *
+    * PRECONDITION on the broadcast: the query set here is a 1% slice of
+    * the corpus, so it grows with the data — the unconditional
+    * `broadcast()` hint holds only while queries fit executor memory
+    * (~10^6 rows × 64 floats). At 100 TB, either cap the query set to a
+    * fixed K or take the scale paths: q25 (LSH buckets) / q73 (IVF
+    * cells), which shuffle instead of broadcasting. This query is the
+    * EXACT BASELINE those are graded against, not the at-scale plan. */
   def q24CosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
@@ -183,7 +188,15 @@ object Similarity {
     * label is the blocking key standing in for a coarse clustering),
     * pairs with cosine ≥ 0.35 (the synthetic embeddings are near-
     * orthogonal: within-label max cosine is ~0.45, so 0.35 marks the
-    * "suspiciously close" tail; a real corpus would use ~0.9). */
+    * "suspiciously close" tail; a real corpus would use ~0.9).
+    *
+    * SCALE CAVEAT: the block key here has fixed cardinality (10 labels),
+    * so each block is N/10 rows and the self-join is O(N²/10) —
+    * quadratic at any scale. That is acceptable only because this query
+    * demonstrates the blocked-pair SHAPE; at 100 TB the block key must
+    * shrink blocks to bounded size — IVF cell assignment (q73's
+    * nearest-centroid with enough cells) or LSH buckets (q25), both of
+    * which make block size independent of corpus size. */
   def q26EmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
