@@ -107,10 +107,13 @@ object TextQueries {
       .filter($"token" =!= "")
     val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val n = toks.select($"doc_id").distinct().count()
-    val scored = tf.join(df, Seq("token"))
+    // corpus size as a 1-row cross join (the oracle's n CTE shape), NOT
+    // a driver-side count(): keeps the whole query one lazy plan instead
+    // of a second eager job over the tokenized sample
+    val n = tf.select(countDistinct($"doc_id").as("n"))
+    val scored = tf.join(df, Seq("token")).crossJoin(n)
       .withColumn("tfidf",
-        round($"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0), 6))
+        round($"tf" * (log(($"n" + 1.0) / ($"df" + 1.0)) + 1.0), 6))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
@@ -153,7 +156,7 @@ object TextQueries {
   def q68TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val bpeish = size(regexp_extract_all($"text",
-      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+"), lit(0)))
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+"), lit(0)))
     Tables.documents(spark, sfDir)
       .select($"source", tokenCount($"text").as("ws"), bpeish.as("bpe"))
       .groupBy($"source")
@@ -166,8 +169,8 @@ object TextQueries {
   def q68Sql: String =
     s"""SELECT source,
         CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS sum_ws,
-        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+'))) AS BIGINT) AS sum_bpe,
-        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+'))) AS DOUBLE)
+        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+'))) AS BIGINT) AS sum_bpe,
+        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+'))) AS DOUBLE)
           / sum(${tokenCountSql("text")}) AS units_per_word
         FROM documents GROUP BY source ORDER BY source"""
 
@@ -175,9 +178,14 @@ object TextQueries {
     * composed from the text ops, reported as survivors per successive
     * stage (each stage conjoins onto the last, all counted in ONE scan
     * via conditional aggregation): language keep → quality floor →
-    * length band → exact-dedup keeper (min doc_id per content
-    * fingerprint). The funnel shape is what a curation run reports at
-    * 100 TB; no stage materializes an intermediate dataset. */
+    * length band → exact-dedup keeper. The keeper is the min doc_id per
+    * content fingerprint AMONG THE SURVIVORS of the earlier stages — a
+    * keeper chosen over the full corpus would vanish entirely whenever a
+    * duplicate group's global-min member fails an earlier filter (its
+    * surviving twins would all be non-keepers), silently dropping the
+    * content from the curated set. The funnel shape is what a curation
+    * run reports at 100 TB; no stage materializes an intermediate
+    * dataset. */
   def q69CurationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -187,33 +195,42 @@ object TextQueries {
         qualityScore($"text").as("q"),
         tokenCount($"text").as("wc"),
         fingerprint($"text").as("fp"))
-      .withColumn("keeper", $"doc_id" === min($"doc_id").over(Window.partitionBy($"fp")))
+      .withColumn("surv",
+        $"pred" === "en" && $"q" >= 0.5 && $"wc".between(5, 5000))
+      .withColumn("keeper", $"doc_id" ===
+        min(when($"surv", $"doc_id")).over(Window.partitionBy($"fp")))
     val lang = $"pred" === "en"
     val qual = lang && $"q" >= 0.5
-    val len = qual && $"wc".between(5, 5000)
-    val kept = len && $"keeper"
     enriched.agg(
       count(lit(1)).as("n_total"),
       count(when(lang, 1)).as("n_lang"),
       count(when(qual, 1)).as("n_quality"),
-      count(when(len, 1)).as("n_length"),
-      count(when(kept, 1)).as("n_kept"))
+      count(when($"surv", 1)).as("n_length"),
+      count(when($"surv" && $"keeper", 1)).as("n_kept"))
   }
 
   def q69Sql: String =
-    s"""WITH enriched AS (
+    s"""WITH e1 AS (
           SELECT doc_id,
             ${TF_langIdSql} AS pred,
             ${TF_qualitySql} AS q,
             ${TF_tokenCountSql} AS wc,
-            doc_id = min(doc_id) OVER (PARTITION BY ${TF_fingerprintSql}) AS keeper
-          FROM documents)
+            ${TF_fingerprintSql} AS fp
+          FROM documents),
+        e2 AS (
+          SELECT doc_id, pred, q, wc,
+            (pred = 'en' AND q >= 0.5 AND wc BETWEEN 5 AND 5000) AS surv,
+            doc_id = min(CASE WHEN pred = 'en' AND q >= 0.5
+                               AND wc BETWEEN 5 AND 5000
+                              THEN doc_id END)
+              OVER (PARTITION BY fp) AS keeper
+          FROM e1)
         SELECT count(*) AS n_total,
           count(*) FILTER (WHERE pred = 'en') AS n_lang,
           count(*) FILTER (WHERE pred = 'en' AND q >= 0.5) AS n_quality,
-          count(*) FILTER (WHERE pred = 'en' AND q >= 0.5 AND wc BETWEEN 5 AND 5000) AS n_length,
-          count(*) FILTER (WHERE pred = 'en' AND q >= 0.5 AND wc BETWEEN 5 AND 5000 AND keeper) AS n_kept
-        FROM enriched"""
+          count(*) FILTER (WHERE surv) AS n_length,
+          count(*) FILTER (WHERE surv AND keeper) AS n_kept
+        FROM e2"""
 
   private def TF_langIdSql = langIdSql("text")
   private def TF_qualitySql = qualityScoreSql("text")
@@ -239,10 +256,14 @@ object TextQueries {
       .withColumn("running",
         sum($"wc").over(ranked.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("total", sum($"wc").over(Window.partitionBy($"source")))
+    // conditional aggregation, NOT filter-then-group: a source whose
+    // single top doc already exceeds half the budget must still appear
+    // in the report (n_kept = 0), not silently vanish from the audit
     enriched
-      .filter($"running" * 2 <= $"total")
+      .withColumn("member", $"running" * 2 <= $"total")
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_kept"), sum($"wc").as("wc_kept"),
+      .agg(count(when($"member", 1)).as("n_kept"),
+        coalesce(sum(when($"member", $"wc")), lit(0L)).as("wc_kept"),
         max($"total").as("wc_total"))
       .withColumn("share", $"wc_kept".cast("double") / $"wc_total")
       .orderBy($"source")
@@ -261,11 +282,13 @@ object TextQueries {
             sum(wc) OVER (PARTITION BY source) AS total
           FROM enriched)
         SELECT source,
-          count(*) AS n_kept,
-          CAST(sum(wc) AS BIGINT) AS wc_kept,
+          count(*) FILTER (WHERE running * 2 <= total) AS n_kept,
+          CAST(coalesce(sum(wc) FILTER (WHERE running * 2 <= total), 0) AS BIGINT)
+            AS wc_kept,
           CAST(max(total) AS BIGINT) AS wc_total,
-          CAST(sum(wc) AS DOUBLE) / max(total) AS share
-        FROM windowed WHERE running * 2 <= total
+          CAST(coalesce(sum(wc) FILTER (WHERE running * 2 <= total), 0) AS DOUBLE)
+            / max(total) AS share
+        FROM windowed
         GROUP BY source ORDER BY source"""
 
   /** Deterministic train/val/test split: assignment is a pure function
@@ -302,16 +325,24 @@ object TextQueries {
     * the skeleton shared by shard packing (q81) and sequence packing
     * (q88). NOT a global single-partition window: docs bucket by doc_id
     * range, per-bucket sums aggregate to a tiny frame whose running
-    * total (window over ~n_docs/BucketSz rows) broadcasts back as each
+    * total (window over the bucket frame) broadcasts back as each
     * bucket's offset; the within-bucket window partitions by bucket.
-    * Both windows are bounded, so the plan survives 100 TB where
-    * `Window.orderBy` with no partition key would funnel every row
-    * through one task. Returns (doc_id, wc, before) with `before` = sum
-    * of all earlier docs' token counts. */
+    * Returns (doc_id, wc, before) with `before` = sum of all earlier
+    * docs' token counts.
+    *
+    * The bucket width SCALES with the corpus (≈ n_docs / 8192, floored
+    * at 1000) so the broadcast offset frame and its single-partition
+    * running-total window stay ~8k rows at ANY corpus size — a fixed
+    * width would grow the frame linearly and eventually bust the forced
+    * broadcast and the one-task window. Sizing costs one parquet
+    * metadata count (footer row counts, no data scan). For corpora
+    * where even n/8192 buckets of docs overflow a partition, the same
+    * two-level construction nests recursively. */
   private def tokenPrefixSums(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val BucketSz = 1000L
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val BucketSz = math.max(1000L, nDocs / 8192L)
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", expr(s"doc_id div $BucketSz").as("bucket"),
         tokenCount($"text").cast("long").as("wc"))

@@ -15,24 +15,23 @@ import org.apache.spark.sql.functions._
   * and are expressible in ANSI SQL for the DuckDB oracle.
   *
   * Cross-engine determinism rules used here:
-  *  - substring-occurrence counts via the replace-trick are exact integer
-  *    arithmetic (numerator is always a multiple of the word length);
+  *  - token-occurrence counts are exact integer filters over the
+  *    whitespace token array — identical split + equality in both
+  *    engines, no float involved;
   *  - int/int divisions produce identical doubles in Spark and DuckDB
   *    given identical operands; results are rounded before comparison.
   */
 object TextFunctions {
 
-  /** Non-overlapping occurrences of token `word` in `c`, counted against
-    * a single-space-padded copy so word boundaries are respected.
-    * Note: like SQL `replace`, consecutive occurrences sharing one
-    * separator space ("slow slow") count once — the contract is
-    * "non-overlapping padded matches", identically in both engines. */
-  def tokenOccurrences(c: Column, word: String): Column = {
-    val padded  = concat(lit(" "), c, lit(" "))
-    val needle  = s" $word "
-    ((length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length)
-      .cast("int")
-  }
+  /** TRUE token frequency of `word` in `c`: the whitespace token array
+    * filtered by exact equality. (An earlier padded-replace formulation
+    * counted only NON-OVERLAPPING " word " matches, so adjacent repeats
+    * — "the the the the" — counted 2, not 4; 254/5000 docs at sf0.1
+    * diverged from token frequency and 74 flipped the langId threshold.
+    * Both engines shared the bias, so the oracle gate never saw it —
+    * the contract is token frequency, and now the code is too.) */
+  def tokenOccurrences(c: Column, word: String): Column =
+    size(filter(tokens(c), t => t === word)).cast("int")
 
   /** Whitespace tokenizer (M3 contract, consumer.scala:135-137). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
@@ -99,11 +98,10 @@ object TextFunctions {
 
   // ---- SQL mirrors (DuckDB oracle fragments) -------------------------
 
-  /** SQL for [[tokenOccurrences]] over column `col`. */
-  def occSql(col: String, word: String): String = {
-    val n = word.length + 2
-    s"CAST((length(' '||$col||' ') - length(replace(' '||$col||' ', ' $word ', ''))) / $n AS INT)"
-  }
+  /** SQL for [[tokenOccurrences]] over column `col` — the same
+    * filter-the-token-array formulation (true token frequency). */
+  def occSql(col: String, word: String): String =
+    s"CAST(len(list_filter(regexp_split_to_array(trim($col), '\\s+'), x -> x = '$word')) AS INT)"
 
   def posSql(col: String): String = PosWords.map(occSql(col, _)).mkString("(", " + ", ")")
   def negSql(col: String): String = NegWords.map(occSql(col, _)).mkString("(", " + ", ")")

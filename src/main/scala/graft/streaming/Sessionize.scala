@@ -116,11 +116,9 @@ object Sessionize {
   def q40StreamSessionize(spark: SparkSession, sfDir: String): DataFrame =
       Streaming.withStatePartitions(spark) {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(Streaming.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    // one stream-source definition for the whole library — schema, glob,
+    // and the TIMESTAMP(NANOS) workaround live in readEventsStream
+    val events = Streaming.readEventsStream(spark, sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select($"user_id", $"ts", $"event_id")
       .as[Ev]

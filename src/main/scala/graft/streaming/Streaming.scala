@@ -56,7 +56,7 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private[streaming] def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file source requires a directory; pathGlobFilter pins it to
     // the events table within the sfDir.
@@ -175,7 +175,7 @@ object Streaming {
     * stream-stream). At 100 TB the dimension rides the same broadcast
     * as long as it stays executor-memory-small; bigger dims become a
     * shuffled join per micro-batch. */
-  def q89StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def q89StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val dim = Tables.events(spark, sfDir)
       .groupBy($"event_type")

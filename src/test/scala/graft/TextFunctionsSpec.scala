@@ -29,15 +29,16 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(labels.forall(TextFunctions.EmotionLabels.toSet))
   }
 
-  test("tokenOccurrences matches non-overlapping padded substring count") {
+  test("tokenOccurrences is TRUE token frequency (adjacent repeats all count)") {
     val texts = sampleTexts(3, 100)
     val got = texts.toDF("text")
       .select(TextFunctions.tokenOccurrences($"text", "fast")).as[Int].collect()
-    val expected = texts.map { t =>
-      val padded = s" $t "
-      (padded.length - padded.replace(" fast ", "").length) / " fast ".length
-    }
+    val expected = texts.map(_.trim.split("\\s+").count(_ == "fast"))
     assert(got.toSeq == expected)
+    // the case the old padded-replace formulation undercounted
+    val repeats = Seq("fast fast fast fast").toDF("text")
+      .select(TextFunctions.tokenOccurrences($"text", "fast")).as[Int].head()
+    assert(repeats == 4)
   }
 
   test("quality score lies in [0,1]") {
