@@ -275,6 +275,10 @@ object SparkEntry {
     "q27_stream_window"     -> graft.streaming.Streaming.q27Sql,
     "q28_stream_dedup"      -> graft.streaming.Streaming.q28Sql,
     "q29_multimodal_meta"   -> Multimodal.q29Sql,
+    // the mapPartitions decode IS oracle-checkable on this corpus: pure
+    // ASCII, so per-char ord() == UTF-8 byte, and the byte sum stays an
+    // exact integer in both engines (< 2^53) before one double division.
+    "q30_multimodal_decode" -> Multimodal.q30Sql,
     "q31_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf,
          coalesce(l_linestatus, '(all)') AS ls,

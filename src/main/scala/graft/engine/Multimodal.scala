@@ -77,14 +77,25 @@ object Multimodal {
        md5(text) AS content_md5, 'text/plain' AS kind
        FROM documents ORDER BY doc_id"""
 
-  /** Decode stage output (rows-only driver check: mapPartitions decode has
-    * no SQL twin; the deterministic fake is spec-tested instead). */
+  /** Decode stage output. The mapPartitions decode has no direct SQL
+    * twin, but its byte statistics DO on this corpus: the text is pure
+    * ASCII (verified at every SF), so DuckDB's per-char ord() equals the
+    * UTF-8 byte, and both engines sum exact integers (< 2^53 even
+    * accumulated in doubles) before a single rounded division — so the
+    * decode path is hash-checked end to end, not rows-only. */
   def q30MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     decodeFeatures(spark, withPayload(Tables.documents(spark, sfDir)))
       .select($"doc_id", $"n_bytes", round($"mean_byte", 6).as("mean_byte"))
       .orderBy($"doc_id")
   }
+
+  def q30Sql: String =
+    """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+       round(list_reduce(list_transform(range(1, length(text) + 1),
+               i -> ord(substr(text, i, 1))), (x, y) -> x + y)
+             / CAST(length(text) AS DOUBLE), 6) AS mean_byte
+       FROM documents ORDER BY doc_id"""
 
   /** Frame-sampling plumbing for video/audio payloads: one row per
     * fixed-stride frame with its byte extent — the fan-out a frame

@@ -10,6 +10,20 @@ import graft.engine.{Dedup, Relational4, Similarity, Tables, TextQueries}
 class Relational4Spec extends SparkTestBase {
   import spark.implicits._
 
+  test("q33 HLL estimate stays within 3x its configured rsd of the exact count") {
+    val approx = graft.engine.Relational2.q33ApproxDistinct(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n")).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val relErr = math.abs(approx(k) - n).toDouble / n
+      assert(relErr <= 0.06, s"group $k: approx=${approx(k)} exact=$n relErr=$relErr")
+    }
+  }
+
   test("q76 profile: one row per profiled column, zero nulls, sane distincts") {
     val rows = Relational4.q76Profile(spark, sf).collect()
     assert(rows.map(_.getAs[String]("col_name")).toSeq ==
