@@ -25,9 +25,14 @@ object Bucketing {
 
   /** Join two same-bucket-count tables on their bucket keys — shuffle-free
     * when both sides were written via [[writeBucketed]] with equal bucket
-    * counts. */
+    * counts. The Datasets are bound ONCE and the condition built from
+    * those bindings: resolving `spark.table` again for the condition
+    * would lean on the analyzer's relation cache for exprId stability
+    * and break outright on a self-join (ambiguous attributes). */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -21,7 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Exact {
 
-  /** Decimal column (integral at `scale` digits) → bit-portable DOUBLE. */
+  /** Decimal column (integral at `scale` digits) → bit-portable DOUBLE.
+    *
+    * DOMAIN: |c·10^scale| must fit in a signed 64-bit long. Outside it,
+    * non-ANSI Spark's decimal→long cast wraps silently while DuckDB's
+    * CAST raises — the oracle gate would catch the divergence, but the
+    * Spark-side number would be garbage first. At 10^2 scale that bound
+    * is ±9.2·10^16 of summed value — audit it before applying this
+    * recipe to a new measure at 100 TB (or pre-aggregate per partition
+    * key so no single sum approaches the bound). */
   def decToDouble(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale).toLong
     (c * p).cast("long") / lit(p.toDouble)

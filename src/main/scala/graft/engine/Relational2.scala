@@ -108,7 +108,11 @@ object Relational2 {
       .agg(avg(when($"value" > 100, 1).otherwise(0)).as("hv_share"))
     val saltedDim = dim.withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
     events
-      .withColumn("salt", ($"event_id" % Salts).cast("int"))
+      // pmod, not %: Spark's % keeps the dividend's sign, so a negative
+      // key would salt outside 0..Salts-1 and silently drop from the
+      // inner join — a belt-and-braces skew helper must tolerate
+      // arbitrary keys
+      .withColumn("salt", pmod($"event_id", lit(Salts)).cast("int"))
       .join(saltedDim, Seq("event_type", "salt"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("counts"), round(first($"hv_share"), 6).as("hv_share"))

@@ -122,9 +122,14 @@ object Relational3 {
     * lexicographic order too (a raw '-' would sort before '0' and invert
     * magnitude order); the bias covers value ∈ (-$10^9, +$89×10^8]. */
   private val ArgKeyBias = 100000000000L
+  /** NULL-propagating: format_string would print a literal "null" (which
+    * sorts before every digit and would elect a NULL-valued row as the
+    * minimum) while DuckDB's printf yields NULL (arg_min skips the row)
+    * — the explicit guard makes both engines skip NULL values. */
   private def argKey(value: Column, id: Column): Column =
-    format_string("%012d%010d",
-      (value.cast("decimal(18,2)") * 100).cast("long") + lit(ArgKeyBias), id)
+    when(value.isNotNull && id.isNotNull,
+      format_string("%012d%010d",
+        (value.cast("decimal(18,2)") * 100).cast("long") + lit(ArgKeyBias), id))
 
   /** arg-min/max aggregates (Spark max_by/min_by ≡ DuckDB
     * arg_max/arg_min): the event carrying each type's extreme value. */
@@ -356,7 +361,13 @@ object Relational3 {
   /** Deterministic per-group sample: k rows per event_type chosen by
     * md5-hash priority — reservoir-sampling semantics (uniform-ish,
     * stable across runs/engines/partitionings) without RNG state. The
-    * inspect-k-examples-per-class query every pipeline dashboard runs. */
+    * inspect-k-examples-per-class query every pipeline dashboard runs.
+    * Scale note: the partition key has only ~5 values, but the
+    * `rank <= k` filter makes Spark plan a WindowGroupLimit, which
+    * truncates to k rows per group ON THE MAP SIDE before the exchange
+    * — the reducers sort k·mappers rows, not the corpus (verified in
+    * PLANS.md; q38's TopKAggregator is the same idea as an explicit
+    * aggregate). */
   def q74GroupSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"event_type")

@@ -18,20 +18,41 @@ import org.apache.spark.sql.functions.udaf
   *
   * Determinism: total order (score desc, id asc), ties broken by id, so
   * partial merges commute and the result is partitioning-independent.
+  * Scores compare via `java.lang.Double.compare`, which is a TOTAL
+  * order including NaN (NaN ranks above every finite score — the same
+  * "NaN is largest" convention Spark's window ordering and DuckDB's
+  * DESC sort use, so a NaN score cannot make reduce/merge
+  * order-dependent or diverge from the q24 window oracle; naive
+  * `>`/`==` comparisons are BOTH false for NaN, which would poison the
+  * buffer's tail and reject every later row).
   */
 object TopKAggregator {
 
   case class ScoredId(score: Double, id: Long)
 
   class TopK(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
-    private def better(a: ScoredId, b: ScoredId): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def better(a: ScoredId, b: ScoredId): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
 
     override def zero: Seq[ScoredId] = Vector.empty
 
+    /** The buffer is kept sorted best-first; insertion finds the slot
+      * with one linear scan instead of re-sorting k elements per
+      * accepted row — this is the hot map-side loop the aggregator
+      * exists to optimize. */
+    private def insert(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] = {
+      val at = buf.indexWhere(b => better(in, b)) match {
+        case -1 => buf.size
+        case i  => i
+      }
+      (buf.take(at) :+ in) ++ buf.drop(at)
+    }
+
     override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
-      if (buf.size < k) (buf :+ in).sortWith(better)
-      else if (better(in, buf.last)) (buf.init :+ in).sortWith(better)
+      if (buf.size < k) insert(buf, in)
+      else if (better(in, buf.last)) insert(buf.init, in)
       else buf
 
     override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Numeric contract: strict left-to-right sequential accumulation over
   * double-cast elements — identical to the HOF formulation and to the
   * DuckDB oracle's `list_reduce(list_transform(...))`, so swapping the
-  * implementations never changes a single bit of output.
+  * implementations never changes a single bit of output. That parity
+  * extends OFF the happy path: a length mismatch or a null element
+  * yields NULL (as zip_with's null-padding and the oracle's
+  * out-of-range list index do), never a silently-truncated finite
+  * number.
   */
 object VectorExpressions {
 
@@ -28,6 +32,9 @@ object VectorExpressions {
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
+    // can produce NULL (ragged lengths / null elements) even when both
+    // input arrays are non-nullable
+    override def nullable: Boolean = true
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
       def ok(t: DataType) = t match {
@@ -56,10 +63,12 @@ object VectorExpressions {
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
         val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
         acc += xv * yv
@@ -76,12 +85,17 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += ((double) $a.$getL($i)) * ((double) $b.$getR($i));
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += ((double) $a.$getL($i)) * ((double) $b.$getR($i));
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
     }

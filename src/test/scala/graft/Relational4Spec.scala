@@ -119,6 +119,24 @@ class Relational4Spec extends SparkTestBase {
     }
   }
 
+  test("map explode handles dynamic keys, malformed JSON, and non-integer values") {
+    // the oracle can only exercise the single-key '{"k": n}' serialization
+    // the generator emits; the MapType surface itself must handle more —
+    // proven here against hand-built payloads
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    val payloads = Seq(
+      """{"a": 1, "b": 2}""", // dynamic keys
+      """{"k": 7}""",         // the generated shape
+      """not json at all""",  // malformed → from_json yields null map → no rows
+      """{"k": 1.5}""").toDF("props") // non-long value → PERMISSIVE null map
+    val exploded = payloads
+      .select(explode(from_json($"props", MapType(StringType, LongType))).as(Seq("k", "v")))
+      .filter($"v".isNotNull)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("v")).toMap
+    assert(exploded == Map("a" -> 1L, "b" -> 2L, "k" -> 7L),
+      "dynamic keys survive, malformed and non-integer payloads drop cleanly")
+  }
+
   test("q83 quantization buckets stay in [-127,127] and conserve vectors") {
     val rows = Similarity.q83Quantize(spark, sf).collect()
     rows.foreach { r =>
