@@ -58,6 +58,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopK reduce/merge equal sort-take-k under any arrival order, incl. NaN") {
+    import graft.functions.TopKAggregator.{ScoredId, TopK}
+    val scoreGen = Gen.frequency(
+      9 -> Gen.chooseNum(-100.0, 100.0),
+      1 -> Gen.const(Double.NaN))
+    val rowsGen = Gen.listOf(Gen.zip(scoreGen, Gen.chooseNum(0L, 50L)))
+      .map(_.map { case (s, id) => ScoredId(s, id) })
+    val k = 5
+    val agg = new TopK(k)
+    // the reference order: Double.compare desc, id asc — total incl. NaN
+    def ref(rows: Seq[ScoredId]): Seq[ScoredId] =
+      rows.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a.score, b.score)
+        c > 0 || (c == 0 && a.id < b.id)
+      }.take(k)
+    samples(rowsGen, 300).foreach { rows =>
+      val viaReduce = rows.foldLeft(agg.zero)(agg.reduce)
+      assert(viaReduce.map(r => (r.id, r.score.toString)) ==
+        ref(rows).map(r => (r.id, r.score.toString)),
+        s"reduce order-independence failed for $rows")
+      // split anywhere: merge of partials equals the whole
+      val (l, r) = rows.splitAt(rows.size / 2)
+      val viaMerge = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(viaMerge.map(_.id) == viaReduce.map(_.id))
+    }
+  }
+
   test("scaled-long division equals exact BigDecimal-to-double conversion") {
     samples(Gen.chooseNum(-4000000000000L, 4000000000000L), 2000).foreach { cents =>
       val viaDivision = cents / 100.0

@@ -32,6 +32,22 @@ class VectorExpressionsSpec extends SparkTestBase {
       err.getMessage.toLowerCase.contains("data type"))
   }
 
+  test("dot_product is NULL on ragged lengths and null elements, like the HOF") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),          // well-formed
+      (Seq(1.0f, 2.0f, 5.0f), Seq(3.0f, 4.0f)))    // ragged
+      .toDF("a", "b")
+    val got = df.select(VectorExpressions.dot_product($"a", $"b").as("d"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got(0).contains(11.0))
+    assert(got(1).isEmpty, "length mismatch must yield NULL, not a truncated dot")
+    val withNullElem = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(VectorExpressions.dot_product($"a", $"b").as("d"))
+      .collect().map(r => Option(r.get(0)))
+    assert(withNullElem(0).isEmpty, "null element must yield NULL")
+  }
+
   test("cosine_similarity of a vector with itself is 1") {
     val cos = Tables.embeddings(spark, sf).limit(50)
       .select(VectorExpressions.cosine_similarity($"embedding", $"embedding").as("c"))
