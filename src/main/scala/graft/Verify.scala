@@ -27,11 +27,9 @@ object Verify {
         // a failure that strikes before the overwrite deletes anything
         // would leave a PREVIOUS run's parquet in place, and the driver
         // would hash-compare stale-but-green data — make it a hard miss
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        // listFiles can be null (I/O error / concurrent removal); an NPE
+        // escaping this catch would abort the whole verify run
+        graft.engine.TempIo.deleteRecursively(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

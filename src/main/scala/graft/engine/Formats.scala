@@ -57,6 +57,8 @@ object Formats {
       "csv" -> spark.read.option("header", "true").schema(base.schema).csv(s"$dir/csv").count(),
       "json" -> spark.read.schema(base.schema).json(s"$dir/json").count(),
       "orc" -> spark.read.orc(s"$dir/orc").count())
+    // the counts above already forced the reads; the scratch dir can go
+    TempIo.deleteRecursively(dir)
     counts.toDF("format", "counts").orderBy($"format")
   }
 

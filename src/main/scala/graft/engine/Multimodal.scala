@@ -92,9 +92,10 @@ object Multimodal {
 
   def q30Sql: String =
     """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
-       round(list_reduce(list_transform(range(1, length(text) + 1),
-               i -> ord(substr(text, i, 1))), (x, y) -> x + y)
-             / CAST(length(text) AS DOUBLE), 6) AS mean_byte
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         round(list_reduce(list_transform(range(1, length(text) + 1),
+                 i -> ord(substr(text, i, 1))), (x, y) -> x + y)
+               / CAST(length(text) AS DOUBLE), 6) END AS mean_byte
        FROM documents ORDER BY doc_id"""
 
   /** Frame-sampling plumbing for video/audio payloads: one row per

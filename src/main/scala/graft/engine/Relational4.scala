@@ -174,12 +174,17 @@ object Relational4 {
       .orderBy($"event_type", $"k")
   }
 
+  // the value regexp is terminator-anchored ([,}] — RE2 has no
+  // lookahead): a non-integer like {"k": 1.5} must NOT half-match as
+  // '1' here, because the Spark side's LongType coercion nulls the whole
+  // map and drops the row. The single-key-'k' assumption is enforced by
+  // a corpus-contract spec (Relational4Spec), not assumed.
   def q82Sql: String =
     """SELECT event_type, 'k' AS k, count(*) AS counts,
-       CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_v,
-       min(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS min_v,
-       max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_v
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)[,}]', 1) AS BIGINT)) AS BIGINT) AS sum_v,
+       min(CAST(regexp_extract(props, '"k": (-?\d+)[,}]', 1) AS BIGINT)) AS min_v,
+       max(CAST(regexp_extract(props, '"k": (-?\d+)[,}]', 1) AS BIGINT)) AS max_v
        FROM events
-       WHERE regexp_extract(props, '"k": (-?\d+)', 1) <> ''
+       WHERE regexp_extract(props, '"k": (-?\d+)[,}]', 1) <> ''
        GROUP BY event_type ORDER BY event_type, k"""
 }

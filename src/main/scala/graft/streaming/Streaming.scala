@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-import graft.engine.Tables
+import graft.engine.{Tables, TempIo}
 
 /** Structured Streaming surface — the reference's ingest pipeline
   * (consumer.scala:44-83) re-expressed over the `events` table, plus the
@@ -102,6 +102,10 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // AvailableNow drained everything; the checkpoint is call-scoped
+    // (resume semantics are proven by the dedicated spec with a
+    // caller-owned checkpoint), so reclaim it here
+    TempIo.deleteRecursively(checkpoint)
     outDir
   }
 
@@ -119,13 +123,18 @@ object Streaming {
     // full (date, hour) layout is exercised by the runIngest spec — the
     // roundtrip proof is identical, at 1/24th the directory count.
     runIngest(spark, sfDir, out, partitionCols = Seq("date"))
-    spark.read.parquet(out)
+    val agg = spark.read.parquet(out)
       .groupBy($"date", $"hour")
       .agg(count(lit(1)).as("counts"), countDistinct($"key").as("n_keys"))
       // the partition column comes back typed by discovery; cast to the
       // string grain the oracle computes directly
       .select($"date".cast("string").as("date"), $"hour", $"counts", $"n_keys")
       .orderBy($"date", $"hour")
+    // pin the (small, post-aggregation) result before reclaiming the
+    // scratch sink the lazy plan reads from
+    val result = TempIo.materialize(spark, agg)
+    TempIo.deleteRecursively(out)
+    result
   }
 
   def q63Sql: String =
@@ -158,11 +167,15 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    val agg = spark.read.parquet(out)
       .groupBy($"date", $"hour")
       .agg(count(lit(1)).as("counts"), countDistinct($"key").as("n_keys"))
       .select($"date".cast("string").as("date"), $"hour", $"counts", $"n_keys")
       .orderBy($"date", $"hour")
+    val result = TempIo.materialize(spark, agg)
+    TempIo.deleteRecursively(out)
+    TempIo.deleteRecursively(checkpoint)
+    result
   }
 
   /** Stream-static enrichment join — the reference's enrichment shape

@@ -119,6 +119,19 @@ class Relational4Spec extends SparkTestBase {
     }
   }
 
+  test("q82 corpus contract: every props payload is single-key integer {\"k\": n}") {
+    // the q82 oracle hardcodes key 'k' and extracts an integer via a
+    // terminator-anchored regexp; that is only equivalent to the Spark
+    // MapType path while the corpus keeps this exact serialization —
+    // enforce it so a generator change surfaces here, not as a silent
+    // oracle divergence
+    val offenders = Tables.events(spark, sf)
+      .filter(!$"props".rlike("""^\{"k": -?\d+\}$"""))
+      .count()
+    assert(offenders == 0L,
+      "props payloads outside {\"k\": <integer>} break the q82 oracle contract")
+  }
+
   test("map explode handles dynamic keys, malformed JSON, and non-integer values") {
     // the oracle can only exercise the single-key '{"k": n}' serialization
     // the generator emits; the MapType surface itself must handle more —
