@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** The library's `SparkSessionExtensions` hook — SQL-name registration
+  * for the expressions the engine adds beyond `functions._`. A
+  * deployment opts in with
+  * `.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`;
+  * [[GraftExtensions.install]] registers the same functions on an
+  * already-built session (the path Verify/Bench/tests use, since they
+  * receive a session they didn't build).
+  *
+  * Registered SQL surface:
+  *  - `graft_bloom_agg(xxhash64(k), nItems)` → binary bloom filter
+  *  - `graft_bloom_might_contain(bloom, xxhash64(k))` → boolean probe
+  * (Spark ships both expressions for its internal runtime filters but
+  * leaves them unregistered; the Column-API twins live in
+  * [[graft.functions.BloomFunctions]].)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private[graft] val registrations
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(hash, nItems) - aggregates xxhash64 values into a bloom filter"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => new BloomFilterAggregate(child).toAggregateExpression()
+        case Seq(child, n) =>
+          // SQL integer literals arrive as INT; the aggregate requires a
+          // foldable BIGINT item count (Cast of a literal stays foldable)
+          new BloomFilterAggregate(child,
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              n, org.apache.spark.sql.types.LongType)).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg expects (hash[, nItems])")
+      }),
+    (FunctionIdentifier("graft_bloom_might_contain"),
+      info("graft_bloom_might_contain",
+        "graft_bloom_might_contain(bloom, hash) - bloom membership probe"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bloom, hash) => BloomFilterMightContain(bloom, hash)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_might_contain expects (bloom, hash)")
+      }))
+
+  /** Register on a live session (idempotent — re-registration of the
+    * same name just overwrites with the same builder). */
+  def install(spark: SparkSession): Unit =
+    registrations.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+}

@@ -116,6 +116,12 @@ object SparkEntry {
     "q87_repetition"       -> TextQueries.q87Repetition _,
     "q88_seq_pack"         -> TextQueries.q88SeqPack _,
     "q89_stream_static"    -> graft.streaming.Streaming.q89StreamStaticJoin _,
+    "q90_cdc_upsert"       -> Relational5.q90CdcUpsert _,
+    "q91_bloom_decontaminate" -> Dedup.q91BloomDecontaminate _,
+    "q92_zorder_layout"    -> Relational5.q92ZorderLayout _,
+    "q93_chunk_overlap"    -> TextQueries.q93ChunkOverlap _,
+    "q94_bigram_counts"    -> TextQueries.q94BigramCounts _,
+    "q95_distribution_drift" -> Relational5.q95DistributionDrift _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -421,5 +427,14 @@ object SparkEntry {
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
+    "q90_cdc_upsert"        -> Relational5.q90Sql,
+    // exact-join contract; the bloom prefilter is a pass-through
+    // optimization (false positives die in the join, false negatives
+    // are impossible), so the oracle is bloom-free.
+    "q91_bloom_decontaminate" -> Dedup.q91Sql,
+    "q92_zorder_layout"     -> Relational5.q92Sql,
+    "q93_chunk_overlap"     -> TextQueries.q93Sql,
+    "q94_bigram_counts"     -> TextQueries.q94Sql,
+    "q95_distribution_drift" -> Relational5.q95Sql,
   )
 }

@@ -39,7 +39,7 @@ object Dedup {
 
   /** SQL mirror of [[shinglesOf]] over DuckDB for any gram width
     * (1-based list indexing, exclusive-end `range`). */
-  private def shinglesSqlN(col: String, n: Int): String = {
+  private[engine] def shinglesSqlN(col: String, n: Int): String = {
     val toks = s"regexp_split_to_array(trim($col), '\\s+')"
     val parts = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
     s"list_transform(range(1, greatest(len($toks) - ${n - 2}, 1)), i -> $parts)"
@@ -352,4 +352,54 @@ object Dedup {
            ON a.source = b.source AND a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, dist FROM scored
        WHERE dist <= 20 ORDER BY doc_a, doc_b"""
+
+  /** Bloom-prefiltered decontamination: flag every training document
+    * (doc_id % 50 ≠ 0) sharing an 8-gram with the held-out eval slice
+    * (doc_id % 50 = 0). The bloom filter over the eval shingle hashes
+    * ([[graft.functions.BloomFunctions]] — Spark's own sketch
+    * expressions, surfaced) prunes the train shingle stream BEFORE the
+    * shuffle join; the exact join afterwards kills bloom false
+    * positives, so the output is exact regardless of bloom error (a
+    * false negative is impossible). Scale: this is the asymmetric-join
+    * play — the eval side is ~10^6 shingles even for a large eval
+    * suite (bloom ~MBs, one broadcastable literal) while the train side
+    * is the 100 TB corpus; post-bloom, only the ~contaminated sliver
+    * pays the shuffle. Size `expectedItems` to the build-side
+    * cardinality estimate — an undersized filter stays correct but
+    * stops pruning (fpp climbs toward 1). */
+  def q91BloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // NO distinct on the raw stream: a pre-bloom distinct would shuffle
+    // the full 100 TB shingle stream — the exact cost the bloom exists
+    // to avoid. The bloom prunes straight off the generator output
+    // (scan → explode → filter, zero shuffles); the terminal
+    // countDistinct absorbs within-doc duplicate shingles.
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", graft.functions.Generators.wordShingles($"toks", 8))
+      .select($"doc_id", $"shingle")
+    val evalSh = sh.filter($"doc_id" % 50 === 0).distinct()
+    val bloom = graft.functions.BloomFunctions.buildBloom(
+      evalSh, $"shingle", expectedItems = 100000L)
+    sh.filter($"doc_id" % 50 =!= 0)
+      .filter(graft.functions.BloomFunctions.bloomMightContain(
+        bloom, xxhash64($"shingle")))
+      .join(evalSh.select($"shingle", $"doc_id".as("eval_doc")), "shingle")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"shingle").as("n_contaminated"),
+        countDistinct($"eval_doc").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
+  def q91Sql: String =
+    s"""WITH s AS (
+          SELECT DISTINCT doc_id, unnest(${shinglesSqlN("text", 8)}) AS shingle
+          FROM documents),
+        e AS (SELECT doc_id AS eval_doc, shingle FROM s WHERE doc_id % 50 = 0),
+        t AS (SELECT doc_id, shingle FROM s WHERE doc_id % 50 <> 0)
+        SELECT t.doc_id,
+          count(DISTINCT t.shingle) AS n_contaminated,
+          count(DISTINCT e.eval_doc) AS n_eval_docs
+        FROM t JOIN e ON t.shingle = e.shingle
+        GROUP BY t.doc_id ORDER BY t.doc_id"""
 }

@@ -1,0 +1,172 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fifth query wave: changelog compaction (CDC upsert), multi-dimensional
+  * data layout (Z-order), and distribution-drift auditing — the
+  * table-maintenance / data-quality operators a long-lived 100 TB corpus
+  * needs around the analytical core.
+  */
+object Relational5 {
+
+  /** CDC latest-wins upsert: compact a changelog (events keyed by
+    * user_id, versioned by (ts, event_id)) to its current state, then
+    * summarize the state per event_type. The reference's pipeline is
+    * append-only (consumer.scala:73-82); upsert-on-key is what its sinks
+    * (Mongo — consumer.scala:176-181) do implicitly on _id collisions,
+    * surfaced here as a relational operator.
+    *
+    * Spark-first shape: `max_by(payload, version)` aggregation, NOT a
+    * row_number window — the aggregate gets map-side partial combine
+    * (each task reduces its changelog slice to ≤ one row per key before
+    * the shuffle), where a window must shuffle-sort EVERY changelog row.
+    * At 100 TB of changelog with ~10^9 live keys that is the difference
+    * between shuffling the key space and shuffling the log. (ts, event_id)
+    * is unique per key, so latest-wins is deterministic. */
+  def q90CdcUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val latest = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(max_by(
+        struct($"event_type", $"value"),
+        struct($"ts", $"event_id")).as("last"))
+      .select($"user_id", $"last.event_type".as("event_type"), $"last.value".as("value"))
+    latest
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        Exact.sumExact($"value", 2).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  def q90Sql: String =
+    """WITH r AS (
+         SELECT event_type, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT event_type, count(*) AS n_users,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+       FROM r WHERE rn = 1
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** Z-order bits per dimension (8+8 → 16-bit key) and target file
+    * count for the layout audit. */
+  val ZBits = 8
+  val ZFiles = 32
+
+  /** Bit-interleave two [0, 2^ZBits) dimensions into a Z-value —
+    * dimension bits alternate, so a contiguous Z range is a small
+    * rectangle in (d1, d2) space. Pure shift/mask arithmetic
+    * (codegen'd); mirrored structurally by [[zValueSql]]. */
+  def zValue(d1: Column, d2: Column): Column =
+    (0 until ZBits).map { j =>
+      shiftleft(shiftright(d1, j).bitwiseAND(1), 2 * j + 1)
+        .bitwiseOR(shiftleft(shiftright(d2, j).bitwiseAND(1), 2 * j))
+    }.reduce(_.bitwiseOR(_))
+
+  def zValueSql(d1: String, d2: String): String =
+    (0 until ZBits).map { j =>
+      s"((($d1 >> $j) & 1) << ${2 * j + 1}) | ((($d2 >> $j) & 1) << ${2 * j})"
+    }.mkString("(", ") | (", ")")
+
+  /** Z-order layout audit: cluster events by the interleaved key of
+    * (user_id, value-bucket), carve the ordering into ZFiles equal
+    * files, and report each file's bounding box over BOTH dimensions.
+    * Tight per-file boxes are the point: a scan filtered on EITHER
+    * dimension can skip most files on min/max stats alone, which a
+    * single-column sort only delivers for its leading column. This is
+    * the audit/planning query; the production write is
+    * `repartitionByRange(ZFiles, $"z").sortWithinPartitions($"z")` —
+    * the same layout, distributed, no global window. (The row_number
+    * formulation here is the oracle-exact twin; at 10^5 bench rows the
+    * single-partition sort is noise.) */
+  def q92ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Tables.events(spark, sfDir)
+      .select($"event_id",
+        ($"user_id" % 256).cast("long").as("d1"),
+        least(floor($"value" / 2), lit(255)).cast("long").as("d2"))
+    val keyed = dims.select($"event_id", $"d1", $"d2", zValue($"d1", $"d2").as("z"))
+    val n = keyed.count()
+    val perFile = (n + ZFiles - 1) / ZFiles
+    keyed
+      .withColumn("rn", row_number().over(Window.orderBy($"z", $"event_id")))
+      .withColumn("file_id", (($"rn" - 1) / perFile).cast("long"))
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"d1").as("d1_min"), max($"d1").as("d1_max"),
+        min($"d2").as("d2_min"), max($"d2").as("d2_max"))
+      .orderBy($"file_id")
+  }
+
+  def q92Sql: String = {
+    val z = zValueSql("d1", "d2")
+    s"""WITH dims AS (
+          SELECT event_id,
+            CAST(user_id % 256 AS BIGINT) AS d1,
+            CAST(least(floor(value / 2), 255) AS BIGINT) AS d2
+          FROM events),
+        keyed AS (SELECT event_id, d1, d2, ($z) AS z FROM dims),
+        sized AS (SELECT CAST(ceil(count(*) / $ZFiles.0) AS BIGINT) AS per_file FROM keyed),
+        filed AS (
+          SELECT d1, d2,
+            (row_number() OVER (ORDER BY z, event_id) - 1)
+              // (SELECT per_file FROM sized) AS file_id
+          FROM keyed)
+        SELECT file_id, count(*) AS n_rows,
+          min(d1) AS d1_min, max(d1) AS d1_max,
+          min(d2) AS d2_min, max(d2) AS d2_max
+        FROM filed GROUP BY file_id ORDER BY file_id"""
+  }
+
+  /** Event-time boundary splitting the corpus for the drift audit. */
+  val DriftCutoff = "2024-01-16"
+
+  /** Distribution drift between two time slices of the stream: per
+    * event_type, the share in the first half vs the second, and the
+    * absolute share difference — summing `drift`/2 over types gives
+    * total variation distance. Everything until the final division is
+    * 64-bit integer arithmetic (|n1·N2 − n2·N1| — cross-products avoid
+    * forming non-portable intermediate doubles); the one IEEE division
+    * of exact operands is correctly rounded in both engines. Scale: two
+    * single-pass conditional counts per type, one broadcast of the two
+    * scalar totals — no per-row shuffle beyond the type groupBy. */
+  def q95DistributionDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val flagged = Tables.events(spark, sfDir)
+      .select($"event_type",
+        ($"ts" < lit(DriftCutoff).cast("timestamp")).cast("long").as("first_half"))
+    val perType = flagged.groupBy($"event_type")
+      .agg(sum($"first_half").as("n_first"),
+        (count(lit(1)) - sum($"first_half")).as("n_second"))
+    val totals = flagged.agg(
+      sum($"first_half").as("t_first"),
+      (count(lit(1)) - sum($"first_half")).as("t_second"))
+    perType.crossJoin(broadcast(totals))
+      .select($"event_type", $"n_first", $"n_second",
+        abs($"n_first" * $"t_second" - $"n_second" * $"t_first").as("abs_cross"),
+        (abs($"n_first" * $"t_second" - $"n_second" * $"t_first")
+          / ($"t_first".cast("double") * $"t_second")).as("drift"))
+      .orderBy($"event_type")
+  }
+
+  def q95Sql: String =
+    s"""WITH f AS (
+          SELECT event_type,
+            CASE WHEN ts < TIMESTAMP '$DriftCutoff 00:00:00' THEN 1 ELSE 0 END AS first_half
+          FROM events),
+        t AS (SELECT sum(first_half) AS t_first,
+                count(*) - sum(first_half) AS t_second FROM f),
+        p AS (SELECT event_type, sum(first_half) AS n_first,
+                count(*) - sum(first_half) AS n_second
+              FROM f GROUP BY event_type)
+        SELECT event_type,
+          CAST(n_first AS BIGINT) AS n_first,
+          CAST(n_second AS BIGINT) AS n_second,
+          CAST(abs(n_first * t_second - n_second * t_first) AS BIGINT) AS abs_cross,
+          CAST(abs(n_first * t_second - n_second * t_first) AS BIGINT)
+            / (CAST(t_first AS DOUBLE) * t_second) AS drift
+        FROM p, t ORDER BY event_type"""
+}

@@ -504,4 +504,68 @@ object TextQueries {
             AS n_whole_docs
         FROM spans GROUP BY seq ORDER BY seq"""
   }
+
+  /** Chunk window / stride (tokens) for overlapping chunking: 32-token
+    * chunks every 24 tokens → 8 tokens of overlap, the
+    * retrieval-indexing shape (context preserved across boundaries). */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  /** Overlapping document chunking: one row per (doc, chunk) with its
+    * token interval — chunks start at every stride multiple below the
+    * token count, the trailing chunk may be short. Interval arithmetic
+    * only (like q88's packing): no token text is exploded or shuffled,
+    * so the fan-out costs rows, not corpus bytes; a downstream embedder
+    * slices the original text by the emitted [tok_start, tok_start +
+    * tok_len) window. */
+  def q93ChunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", tokenCount($"text").as("n"))
+      .filter($"n" >= 1)
+      .select($"doc_id", $"n",
+        posexplode(sequence(lit(0), $"n" - 1, lit(ChunkStride)))
+          .as(Seq("chunk_idx", "tok_start")))
+      .select($"doc_id",
+        $"chunk_idx".cast("long").as("chunk_idx"),
+        $"tok_start".cast("long").as("tok_start"),
+        least(lit(ChunkLen), $"n" - $"tok_start").cast("long").as("tok_len"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  def q93Sql: String =
+    s"""WITH d AS (
+          SELECT doc_id, CAST(${tokenCountSql("text")} AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, n, unnest(range(0, n, $ChunkStride)) AS tok_start
+          FROM d WHERE n >= 1)
+        SELECT doc_id, tok_start // $ChunkStride AS chunk_idx, tok_start,
+          least($ChunkLen, n - tok_start) AS tok_len
+        FROM c ORDER BY doc_id, chunk_idx"""
+
+  /** Corpus bigram counts — the n-gram language-model / collocation
+    * statistic (q16 is the unigram twin). Emitted via the WordShingles
+    * UDTF (n=2), so the bigram stream never materializes per-doc arrays;
+    * top-20 with a deterministic (count DESC, bigram ASC) tie-break.
+    * Scale: one shuffle keyed by bigram with map-side partial counts;
+    * the top-k is a TakeOrdered over the aggregated (much smaller)
+    * key space. */
+  def q94BigramCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(tokens($"text").as("toks"))
+      .select(graft.functions.Generators.wordShingles($"toks", 2))
+      .groupBy($"shingle")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"shingle")
+      .limit(20)
+      .select($"shingle".as("bigram"), $"n")
+  }
+
+  def q94Sql: String =
+    s"""SELECT bigram, count(*) AS n
+        FROM (SELECT unnest(${Dedup.shinglesSqlN("text", 2)}) AS bigram
+              FROM documents)
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""
 }
