@@ -122,6 +122,7 @@ object SparkEntry {
     "q93_chunk_overlap"    -> TextQueries.q93ChunkOverlap _,
     "q94_bigram_counts"    -> TextQueries.q94BigramCounts _,
     "q95_distribution_drift" -> Relational5.q95DistributionDrift _,
+    "q96_tws_sessionize"   -> graft.streaming.Sessionize.q96TransformWithState _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -436,5 +437,8 @@ object SparkEntry {
     "q93_chunk_overlap"     -> TextQueries.q93Sql,
     "q94_bigram_counts"     -> TextQueries.q94Sql,
     "q95_distribution_drift" -> Relational5.q95Sql,
+    // the state-v2 sessionizer implements the same contract as
+    // q39/q40 — one gap-sessionization oracle covers all three forms.
+    "q96_tws_sessionize"    -> graft.streaming.Sessionize.q39Sql,
   )
 }

@@ -152,4 +152,77 @@ object Sessionize {
         $"duration_s")
       .orderBy($"user_id", $"session_idx")
   }
+
+  /** [[StatefulProcessor]] (the Spark 4 `transformWithState` arbitrary-
+    * state API) computing the same session assembly as q40's
+    * flatMapGroupsWithState: one ValueState cell per user. The v2 API's
+    * wins at scale: named state variables (value/list/map) instead of
+    * one opaque blob, per-state TTL, and timers decoupled from output
+    * mode — a production deployment closes sessions from
+    * `handleExpiredTimer` on an event-time timer per key. */
+  private[graft] class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Session] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      val st0 = if (state.exists()) state.get() else SessState(0L, None)
+      val (st1, closed) = advance(st0, sorted)
+      // AvailableNow drain-time flush, mirroring q40; a production
+      // trigger keeps the open session and closes it from a timer.
+      state.update(SessState(st1.idx, None))
+      (closed ++ st1.open).iterator
+    }
+  }
+
+  /** Streaming sessionization via `transformWithState` — same contract
+    * and oracle as q39/q40, on the state-v2 API. Requires the RocksDB
+    * state store provider (the HDFS-backed default does not implement
+    * v2 state); scoped to this query and restored after. */
+  def q96TransformWithState(spark: SparkSession, sfDir: String): DataFrame =
+      Streaming.withStatePartitions(spark) {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Streaming.readEventsStream(spark, sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select($"user_id", $"ts", $"event_id")
+        .as[Ev]
+      val sessions = events
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          implicitly[org.apache.spark.sql.Encoder[Session]])
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("tws_sessions")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.engine.TempIo.materialize(spark,
+        spark.table("tws_sessions")
+          .select($"user_id", $"session_idx", $"n_events",
+            graft.engine.Exact.tsString($"start_ts").as("start_ts"),
+            graft.engine.Exact.tsString($"end_ts").as("end_ts"),
+            $"duration_s")
+          .orderBy($"user_id", $"session_idx"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }

@@ -51,6 +51,16 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q96 transformWithState sessionize equals q39 batch sessionize") {
+    val batch = graft.streaming.Sessionize.q39Sessionize(spark, sf)
+    val tws = graft.streaming.Sessionize.q96TransformWithState(spark, sf)
+    assert(batch.count() == tws.count())
+    assert(tws.exceptAll(batch).isEmpty && batch.exceptAll(tws).isEmpty)
+    // the provider swap is scoped: the session default must be restored
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .forall(!_.contains("RocksDB")))
+  }
+
   test("sessionize advance() is incremental: chunked == one-shot (state continuity)") {
     import graft.streaming.Sessionize
     import Sessionize.{Ev, SessState}
