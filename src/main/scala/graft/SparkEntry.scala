@@ -123,6 +123,7 @@ object SparkEntry {
     "q94_bigram_counts"    -> TextQueries.q94BigramCounts _,
     "q95_distribution_drift" -> Relational5.q95DistributionDrift _,
     "q96_tws_sessionize"   -> graft.streaming.Sessionize.q96TransformWithState _,
+    "q97_stream_outer_join" -> graft.streaming.Streaming.q97StreamOuterJoin _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -440,5 +441,6 @@ object SparkEntry {
     // the state-v2 sessionizer implements the same contract as
     // q39/q40 — one gap-sessionization oracle covers all three forms.
     "q96_tws_sessionize"    -> graft.streaming.Sessionize.q39Sql,
+    "q97_stream_outer_join" -> graft.streaming.Streaming.q97Sql,
   )
 }

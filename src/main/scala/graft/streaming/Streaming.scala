@@ -360,6 +360,66 @@ object Streaming {
         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
        ORDER BY a.user_id, p_id, e_id"""
 
+  /** Stream-stream LEFT OUTER interval join — q42's inner form plus the
+    * watermark-driven null-padding semantics: an unmatched purchase is
+    * emitted with null error columns only once the watermark proves no
+    * matching error can still arrive (wm > p_ts + join range). With
+    * AvailableNow the watermark lands at max(event time) − 3 h after the
+    * data batch and a final no-data batch flushes evicted state, so the
+    * emitted outer rows are exactly the unmatched purchases whose match
+    * window closed below that watermark — a deterministic, data-defined
+    * set, which is what makes this oracle-checkable: the SQL twin
+    * reproduces the eviction predicate with a scalar max(ts) subquery.
+    * Purchases inside the final 5 h (3 h delay + 2 h range) stay in
+    * state unflushed — exactly what a production query would do, since
+    * their window is still open. */
+  def q97StreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    def side(tag: String, eventType: String) =
+      readEventsStream(spark, sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter($"event_type" === eventType)
+        .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+          $"event_id".as(s"${tag}_id"))
+        .withWatermark(s"${tag}_ts", "3 hours")
+    val joined = side("p", "purchase").join(side("e", "error"),
+      expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 2 hours"),
+      "left_outer")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_outer_join")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.engine.TempIo.materialize(spark,
+      spark.table("stream_outer_join")
+        .select($"p_user".as("user_id"), $"p_id", $"e_id",
+          expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000").as("gap_s"))
+        .orderBy($"user_id", $"p_id", $"e_id".asc_nulls_last))
+  }
+
+  def q97Sql: String =
+    """SELECT a.user_id AS user_id, a.event_id AS p_id, b.event_id AS e_id,
+       CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT) AS gap_s
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+         ON a.user_id = b.user_id
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+       WHERE b.event_id IS NOT NULL
+          -- watermark mirror: each side carries its own withWatermark
+          -- node, so the global watermark is min over SIDES of
+          -- (side max event time − 3 h), with Spark tracking event-time
+          -- stats in MILLISECONDS (micros truncated). A left row flushes
+          -- null-padded when its match window closes below it:
+          -- p_ts + 2 h < wm.
+          OR epoch_us(a.ts) + 7200000000 <
+             ((SELECT least(
+                 (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'),
+                 (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'error'))
+               ) - 10800000) * 1000
+       ORDER BY user_id, p_id, e_id NULLS LAST"""
+
   def q27Sql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
        event_type, count(*) AS counts,

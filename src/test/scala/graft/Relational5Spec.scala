@@ -145,6 +145,21 @@ class Relational5Spec extends SparkTestBase {
     }
   }
 
+  test("q90/q95 are partitioning-independent: same rows under a different shuffle width") {
+    // the Exact decimal recipe and integer cross-products exist to make
+    // double aggregation order-independent — prove it by re-running under
+    // a co-prime shuffle parallelism and comparing collected rows
+    val conf = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(conf)
+    val base90 = Relational5.q90CdcUpsert(spark, sf).collect().toSeq
+    val base95 = Relational5.q95DistributionDrift(spark, sf).collect().toSeq
+    try {
+      spark.conf.set(conf, "7")
+      assert(Relational5.q90CdcUpsert(spark, sf).collect().toSeq == base90)
+      assert(Relational5.q95DistributionDrift(spark, sf).collect().toSeq == base95)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("q95 drift: halves partition the corpus; drift bounded by 1; TVD in [0, 1]") {
     val rows = Relational5.q95DistributionDrift(spark, sf).collect()
     val total = Tables.events(spark, sf).count()

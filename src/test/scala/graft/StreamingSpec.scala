@@ -51,6 +51,21 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q97 outer join: matched rows equal the inner join; null rows are unique flushed purchases") {
+    val outer = graft.streaming.Streaming.q97StreamOuterJoin(spark, sf).collect()
+    val inner = graft.streaming.Streaming.q42StreamStreamJoin(spark, sf).collect()
+    val matched = outer.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(matched ==
+      inner.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet,
+      "left-outer must contain exactly the inner join's matches")
+    val nulls = outer.filter(_.isNullAt(2))
+    assert(nulls.nonEmpty, "the drained stream must flush some unmatched purchases")
+    assert(nulls.map(_.getLong(1)).distinct.length == nulls.length,
+      "each flushed purchase is emitted null-padded exactly once")
+    assert(nulls.forall(_.isNullAt(3)), "gap is null wherever the error side is null")
+  }
+
   test("q96 transformWithState sessionize equals q39 batch sessionize") {
     val batch = graft.streaming.Sessionize.q39Sessionize(spark, sf)
     val tws = graft.streaming.Sessionize.q96TransformWithState(spark, sf)
