@@ -124,6 +124,8 @@ object SparkEntry {
     "q95_distribution_drift" -> Relational5.q95DistributionDrift _,
     "q96_tws_sessionize"   -> graft.streaming.Sessionize.q96TransformWithState _,
     "q97_stream_outer_join" -> graft.streaming.Streaming.q97StreamOuterJoin _,
+    "q98_variant_ops"      -> Relational5.q98VariantOps _,
+    "q99_observe_metrics"  -> Relational5.q99ObserveMetrics _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -442,5 +444,7 @@ object SparkEntry {
     // q39/q40 — one gap-sessionization oracle covers all three forms.
     "q96_tws_sessionize"    -> graft.streaming.Sessionize.q39Sql,
     "q97_stream_outer_join" -> graft.streaming.Streaming.q97Sql,
+    "q98_variant_ops"       -> Relational5.q98Sql,
+    "q99_observe_metrics"   -> Relational5.q99Sql,
   )
 }

@@ -152,6 +152,70 @@ object Relational5 {
       .orderBy($"event_type")
   }
 
+  /** Semi-structured columns through Spark 4's VARIANT type: parse the
+    * props payload once into the binary variant encoding, then typed
+    * path extraction — the schema-on-read path for payloads whose shape
+    * is NOT known at write time (q82's MapType twin needs a uniform
+    * value type; variant does not). At 100 TB the win is parse-once:
+    * the variant column stores a shredded binary encoding, so N
+    * downstream `variant_get` paths don't re-parse JSON N times.
+    * Corpus contract (single-key integer props) is enforced by the q82
+    * corpus spec; the oracle shares q82's terminator-anchored regexp.
+    * The contract matters more here than for q82: `variant_get(...,
+    * "bigint")` TRUNCATES a fractional value (cast semantics) where the
+    * MapType path nulls the whole map and the oracle regexp rejects it
+    * — three different behaviors that only coincide on integer props. */
+  def q98VariantOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type",
+        variant_get(parse_json($"props"), "$.k", "bigint").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("counts"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  def q98Sql: String =
+    """SELECT event_type, count(*) AS counts,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)[,}]', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(regexp_extract(props, '"k": (-?\d+)[,}]', 1) AS BIGINT)) AS min_k,
+       max(CAST(regexp_extract(props, '"k": (-?\d+)[,}]', 1) AS BIGINT)) AS max_k
+       FROM events
+       WHERE regexp_extract(props, '"k": (-?\d+)[,}]', 1) <> ''
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** In-flight data-quality metrics via `observe` + [[Observation]]:
+    * the quality counters ride the SAME pass as the scan (CollectMetrics
+    * accumulates per-task, no second job, no extra shuffle) — at 100 TB
+    * this is how ingest quality gets monitored for free, vs re-scanning
+    * the corpus with a separate aggregate. The returned row IS the
+    * observed metrics map; the oracle recomputes the same aggregates
+    * relationally. Per-row decimal→cents casting keeps the value sum
+    * exact under any accumulation order. */
+  def q99ObserveMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val observed = Tables.events(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when($"value" > 100, 1)).as("high_value"),
+        sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+    observed.write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("high_value").asInstanceOf[Long],
+      m("cents").asInstanceOf[Long] / 100.0))
+      .toDF("n_rows", "high_value", "sum_value")
+  }
+
+  def q99Sql: String =
+    """SELECT count(*) AS n_rows,
+       count(*) FILTER (WHERE value > 100) AS high_value,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+       FROM events"""
+
   def q95Sql: String =
     s"""WITH f AS (
           SELECT event_type,

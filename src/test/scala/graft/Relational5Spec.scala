@@ -160,6 +160,43 @@ class Relational5Spec extends SparkTestBase {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("q98 variant path extraction agrees with the q82 MapType path") {
+    val viaVariant = Relational5.q98VariantOps(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val viaMap = graft.engine.Relational4.q82MapOps(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("counts"), r.getAs[Long]("sum_v"),
+          r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))).toMap
+    assert(viaVariant == viaMap,
+      "two independent semi-structured decoders must agree on this corpus")
+  }
+
+  test("variant surface handles dynamic shapes: missing keys and non-integer values") {
+    val rows = Seq(
+      """{"a": 1, "k": 7}""",
+      """{"nope": 2}""",
+      """{"k": 1.5}""").toDF("props")
+      .select(try_variant_get(parse_json($"props"), "$.k", "bigint").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    // try_variant_get: present integer extracts; absent key → null;
+    // 1.5 → bigint TRUNCATES to 1 (cast semantics) — unlike the q82
+    // MapType path, which nulls the whole map on a non-long value. This
+    // is why q98 needs the integer corpus contract: on fractional props
+    // the two semi-structured decoders legitimately diverge.
+    assert(rows.toSeq == Seq(Some(7L), None, Some(1L)))
+  }
+
+  test("q99 observed metrics equal a direct aggregation of the same pass") {
+    val m = Relational5.q99ObserveMetrics(spark, sf).head()
+    val direct = Tables.events(spark, sf).agg(
+      count(lit(1)).as("n"),
+      count(when($"value" > 100, 1)).as("hv"),
+      graft.engine.Exact.sumExact($"value", 2).as("sv")).head()
+    assert(m.getAs[Long]("n_rows") == direct.getAs[Long]("n"))
+    assert(m.getAs[Long]("high_value") == direct.getAs[Long]("hv"))
+    assert(m.getAs[Double]("sum_value") == direct.getAs[Double]("sv"))
+  }
+
   test("q95 drift: halves partition the corpus; drift bounded by 1; TVD in [0, 1]") {
     val rows = Relational5.q95DistributionDrift(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
