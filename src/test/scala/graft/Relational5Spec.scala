@@ -104,6 +104,28 @@ class Relational5Spec extends SparkTestBase {
     assert(rows.toSeq == Seq(0L, 0xAAAAL, 0x5555L, 0xFFFFL, 6L))
   }
 
+  test("z-value matches an independent bit model and is injective on sampled pairs") {
+    def model(d1: Long, d2: Long): Long =
+      (0 until Relational5.ZBits).map(j =>
+        (((d1 >> j) & 1L) << (2 * j + 1)) | (((d2 >> j) & 1L) << (2 * j))).reduce(_ | _)
+    val pairs = (0 until 500).map(i => ((i * 37L) % 256L, (i * 101L) % 256L))
+    val rows = pairs.toDF("d1", "d2")
+      .select(Relational5.zValue($"d1", $"d2").as("z")).collect().map(_.getLong(0))
+    rows.zip(pairs).foreach { case (z, (a, b)) => assert(z == model(a, b)) }
+    assert(rows.distinct.length == pairs.distinct.length,
+      "interleaving distinct (d1, d2) pairs must give distinct z-values")
+  }
+
+  test("bloom law: zero false negatives over a seeded adversarial key set") {
+    val keys = (0 until 2000).map(i => s"key-${(i * 2654435761L) % 100003}")
+    val df = keys.toDF("k")
+    val bloom = BloomFunctions.buildBloom(df, $"k", 4000L)
+    val survivors = df
+      .filter(BloomFunctions.bloomMightContain(bloom, xxhash64($"k"))).count()
+    assert(survivors == df.count(),
+      "every inserted key must pass its own filter — false negatives break the join contract")
+  }
+
   test("q93 chunks tile each doc: stride-spaced starts, bounded lengths, full coverage") {
     val chunks = Relational5Spec.groupedChunks(
       TextQueries.q93ChunkOverlap(spark, sf).collect()
