@@ -126,6 +126,15 @@ object SparkEntry {
     "q97_stream_outer_join" -> graft.streaming.Streaming.q97StreamOuterJoin _,
     "q98_variant_ops"      -> Relational5.q98VariantOps _,
     "q99_observe_metrics"  -> Relational5.q99ObserveMetrics _,
+    "q100_mixture_weights" -> Relational6.q100MixtureWeights _,
+    "q101_transitions"     -> Relational6.q101Transitions _,
+    "q102_prefix_simjoin"  -> Dedup.q102PrefixSimJoin _,
+    "q103_heavy_hitters"   -> Relational6.q103HeavyHitters _,
+    "q104_split_leakage"   -> Dedup.q104SplitLeakage _,
+    "q105_budget_sample"   -> TextQueries.q105BudgetSample _,
+    "q106_retention"       -> Relational6.q106Retention _,
+    "q107_append_window"   -> graft.streaming.Streaming.q107AppendWindow _,
+    "q108_outlier_audit"   -> Relational6.q108OutlierAudit _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -446,5 +455,14 @@ object SparkEntry {
     "q97_stream_outer_join" -> graft.streaming.Streaming.q97Sql,
     "q98_variant_ops"       -> Relational5.q98Sql,
     "q99_observe_metrics"   -> Relational5.q99Sql,
+    "q100_mixture_weights"  -> Relational6.q100Sql,
+    "q101_transitions"      -> Relational6.q101Sql,
+    "q102_prefix_simjoin"   -> Dedup.q102Sql,
+    "q103_heavy_hitters"    -> Relational6.q103Sql,
+    "q104_split_leakage"    -> Dedup.q104Sql,
+    "q105_budget_sample"    -> TextQueries.q105Sql,
+    "q106_retention"        -> Relational6.q106Sql,
+    "q107_append_window"    -> graft.streaming.Streaming.q107Sql,
+    "q108_outlier_audit"    -> Relational6.q108Sql,
   )
 }

@@ -402,4 +402,120 @@ object Dedup {
           count(DISTINCT e.eval_doc) AS n_eval_docs
         FROM t JOIN e ON t.shingle = e.shingle
         GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+  /** Prefix-filtering EXACT set-similarity join (AllPairs/PPJoin family):
+    * every pair of docs whose distinct-3-gram-shingle sets have
+    * Jaccard ≥ 1/2, with no false negatives — the exact complement of
+    * the probabilistic detectors (q21 MinHash banding can miss, q25/q73
+    * ANN approximate). The blocking lemma: order every set by one GLOBAL
+    * token order (rarest-first, shingle text tiebreak) and take each
+    * set's first |S| − ⌈τ·|S|⌉ + 1 elements; any pair with J ≥ τ MUST
+    * share a prefix element. Rarest-first makes prefixes low-frequency,
+    * so the candidate join fans out near-linearly instead of
+    * quadratically — the scale path LSH gets by sacrificing exactness.
+    * Candidates then prune by the length bound (2·min ≥ max, else
+    * J < 1/2 is impossible) and verify by exact intersection counts:
+    * J ≥ 1/2 ⟺ 3·|A∩B| ≥ |A| + |B| — all 64-bit integer arithmetic;
+    * the reported jaccard is one exact division.
+    *
+    * Scale: shuffles are keyed by shingle (freq + candidate join) and by
+    * doc (sets + verification) — no all-pairs stage anywhere; the
+    * verification join touches only candidate pairs. */
+  def q102PrefixSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
+      .distinct()
+    val freq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val ordered = sh.join(freq, "sh")
+      .withColumn("pos", row_number().over(byDoc.orderBy($"df", $"sh")))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    // prefix length for τ = 1/2: |S| − ⌈|S|/2⌉ + 1 = ⌊|S|/2⌋ + 1
+    val prefix = ordered.filter($"pos" <= $"sz" / 2 + 1)
+      .select($"doc_id", $"sh", $"sz")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+          least($"a.sz", $"b.sz") * 2 >= greatest($"a.sz", $"b.sz"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter.filter($"n_common" * 3 >= $"sz_a" + $"sz_b")
+      .select($"doc_a", $"doc_b", $"n_common",
+        ($"sz_a" + $"sz_b" - $"n_common").as("n_union"),
+        round($"n_common".cast("double") / ($"sz_a" + $"sz_b" - $"n_common"), 6)
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle is the brute-force join over the same shingle sets (shared-
+    * element blocking, then the identical integer threshold) — the
+    * prefix filter must be result-invisible. */
+  def q102Sql: String =
+    s"""WITH s AS (
+          SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh
+          FROM documents),
+        sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        i AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+          sa.n + sb.n - n_common AS n_union,
+          round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+            AS jaccard
+        FROM i
+        JOIN sz sa ON i.doc_a = sa.doc_id
+        JOIN sz sb ON i.doc_b = sb.doc_id
+        WHERE 3 * n_common >= sa.n + sb.n
+        ORDER BY doc_a, doc_b"""
+
+  /** Train/test leakage audit: the q21 MinHash near-dup candidate pairs
+    * crossed with q80's deterministic md5 split assignment — every
+    * (split, split) cell counts near-dup pairs landing in it. Off-
+    * diagonal cells with split(test/val) on one side are contamination:
+    * a test doc with a train-side near-duplicate inflates eval. This is
+    * the audit run BEFORE freezing a split (dedup-then-split); the
+    * composition costs one broadcast-able map-side join over the
+    * already-computed pair list. */
+  def q104SplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 2)
+    val splits = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        when(bucket < "cd", "train")
+          .when(bucket < "e7", "val")
+          .otherwise("test").as("split"))
+    val pairs = q21MinhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    pairs
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when($"split_a" =!= $"split_b", 1)).as("n_leaks"))
+      .orderBy($"split_a", $"split_b")
+  }
+
+  def q104Sql: String =
+    s"""WITH $bandCtes,
+        sp AS (
+          SELECT doc_id, CASE
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+            ELSE 'test' END AS split
+          FROM documents)
+        SELECT sa.split AS split_a, sb.split AS split_b,
+          count(*) AS n_pairs,
+          count(*) FILTER (WHERE sa.split <> sb.split) AS n_leaks
+        FROM pairs
+        JOIN sp sa ON pairs.doc_a = sa.doc_id
+        JOIN sp sb ON pairs.doc_b = sb.doc_id
+        GROUP BY 1, 2 ORDER BY split_a, split_b"""
 }

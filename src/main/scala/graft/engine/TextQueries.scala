@@ -568,4 +568,65 @@ object TextQueries {
         FROM (SELECT unnest(${Dedup.shinglesSqlN("text", 2)}) AS bigram
               FROM documents)
         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""
+
+  /** Deterministic Bernoulli down-sampling to a per-source token budget
+    * (the streaming-friendly complement of q70's ranked-prefix
+    * selection: rate sampling needs NO sort and NO per-source state —
+    * each row decides membership from its own hash, so the same
+    * predicate runs identically in a batch scan or a stream filter).
+    * rate_s = min(1, B / source_tokens); a doc survives iff its md5
+    * fraction u < rate_s. The comparison is STRING order on fixed-width
+    * lowercase hex — u's first 13 hex digits vs the threshold
+    * ⌊rate·2^52⌋ rendered as 13-digit hex — so no float ever crosses
+    * engines (the rate→threshold arithmetic is one exact division and
+    * one exact power-of-two scale; rate ≥ 1 short-circuits to keep-all,
+    * since its threshold would need a 14th hex digit).
+    *
+    * Scale: one window-sum keyed by source (or a broadcast of the tiny
+    * per-source totals frame), then a stateless filter — the decision
+    * is reproducible per row forever, the property that makes the
+    * sample auditable and re-runnable on a growing corpus. */
+  def q105BudgetSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = 3000.0
+    val d = Tables.documents(spark, sfDir)
+      .select($"source", tokenCount($"text").cast("long").as("wc"),
+        substring(md5($"doc_id".cast("string")), 1, 13).as("u"))
+      .withColumn("src_tokens",
+        sum($"wc").over(Window.partitionBy($"source")))
+      .withColumn("rate", lit(B) / $"src_tokens")
+      .withColumn("keep", $"rate" >= 1.0 ||
+        $"u" < lpad(lower(hex(floor($"rate" * lit(4503599627370496.0))
+          .cast("long"))), 13, "0"))
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"wc").as("n_tokens"),
+        round(least(lit(1.0), max($"rate")), 6).as("rate"),
+        count(when($"keep", 1)).as("kept_docs"),
+        coalesce(sum(when($"keep", $"wc")), lit(0L)).as("kept_tokens"))
+      .orderBy($"source")
+  }
+
+  def q105Sql: String =
+    s"""WITH d AS (
+          SELECT source, CAST(${TF_tokenCountSql} AS BIGINT) AS wc,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS u
+          FROM documents),
+        s AS (
+          SELECT *, sum(wc) OVER (PARTITION BY source) AS src_tokens,
+            3000.0 / sum(wc) OVER (PARTITION BY source) AS rate
+          FROM d),
+        k AS (
+          SELECT *, (rate >= 1.0 OR
+            u < printf('%013x',
+              CAST(floor(rate * 4503599627370496.0) AS BIGINT))) AS keep
+          FROM s)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(wc) AS BIGINT) AS n_tokens,
+          round(least(1.0, max(rate)), 6) AS rate,
+          count(*) FILTER (WHERE keep) AS kept_docs,
+          CAST(coalesce(sum(wc) FILTER (WHERE keep), 0) AS BIGINT)
+            AS kept_tokens
+        FROM k GROUP BY source ORDER BY source"""
 }

@@ -429,4 +429,48 @@ object Streaming {
   def q28Sql: String =
     """SELECT DISTINCT user_id, event_type FROM events
        ORDER BY user_id, event_type"""
+
+  /** T4/T5 in APPEND mode — the production streaming-ETL form (q27 is
+    * the complete-mode twin): each hourly window row is emitted exactly
+    * once, when the watermark passes its end, and never revised — the
+    * only mode a file/Kafka sink accepts for aggregations. The cost of
+    * single-emission is the tail: windows the watermark hasn't passed
+    * when the stream drains stay in state and are withheld (here the
+    * last hour of event time — the delay — which a production run emits
+    * as soon as later data arrives). The withheld set is
+    * data-deterministic (same eviction arithmetic as q97: ms-truncated
+    * max event time − delay), so the oracle reproduces the gate
+    * exactly. */
+  def q107AppendWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val agg = readEventsStream(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("counts"),
+        graft.engine.Exact.sumExact($"value", 2).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("append_window")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.engine.TempIo.materialize(spark,
+      spark.table("append_window")
+        .select(graft.engine.Exact.tsString($"window.start").as("ws"),
+          $"event_type", $"counts", $"sum_value")
+        .orderBy($"ws", $"event_type"))
+  }
+
+  /** Watermark gate mirror: a window [s, s+1h) emits iff
+    * s + 1 h ≤ wm = ms-truncated max event time − 1 h. */
+  def q107Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type, count(*) AS counts,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_value
+       FROM events
+       WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <=
+         (SELECT epoch_ms(max(ts)) FROM events) - 3600000
+       GROUP BY 1, 2 ORDER BY ws, event_type"""
 }

@@ -70,6 +70,23 @@ object Profile {
         spark.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       },
+      "q63" -> { () =>
+        import java.nio.file.Files
+        val out = Files.createTempDirectory("prof-ingest-").toString
+        time("runIngest (stream sink)",
+          { graft.streaming.Streaming.runIngest(spark, sfDir, out,
+              partitionCols = Seq("date")); 0L })
+        val files = Option(new java.io.File(out).listFiles())
+          .getOrElse(Array.empty).flatMap(d =>
+            Option(d.listFiles()).getOrElse(Array.empty)).length
+        println(s"[profile] sink files: $files")
+        time("read-back agg", spark.read.parquet(out)
+          .groupBy($"date", $"hour")
+          .agg(count(lit(1)), countDistinct($"key")).count())
+        graft.engine.TempIo.deleteRecursively(out)
+        time("full q63", graft.streaming.Streaming.q63IngestRoundtrip(spark, sfDir).count())
+        time("full q63 again", graft.streaming.Streaming.q63IngestRoundtrip(spark, sfDir).count())
+      },
       "simjoin" -> { () =>
         time("q24 topk", graft.engine.Similarity.q24CosineTopk(spark, sfDir).count())
         time("q26 neardup", graft.engine.Similarity.q26EmbeddingNearDup(spark, sfDir).count())
