@@ -424,10 +424,15 @@ object Dedup {
   def q102PrefixSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // checkpointed once: four consumers below (freq, both prefix join
+    // sides, both verification sides) would otherwise each re-derive
+    // the scan → Generate → distinct chain (at 100 TB: persist to
+    // reliable storage instead of executor-local blocks)
     val sh = Tables.documents(spark, sfDir)
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
       .distinct()
+      .localCheckpoint()
     val freq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
     val ordered = sh.join(freq, "sh")
@@ -436,18 +441,33 @@ object Dedup {
     // prefix length for τ = 1/2: |S| − ⌈|S|/2⌉ + 1 = ⌊|S|/2⌋ + 1
     val prefix = ordered.filter($"pos" <= $"sz" / 2 + 1)
       .select($"doc_id", $"sh", $"sz")
+      .localCheckpoint()
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
           least($"a.sz", $"b.sz") * 2 >= greatest($"a.sz", $"b.sz"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
       .distinct()
-    val inter = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"sh"), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
-      .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
-      .agg(count(lit(1)).as("n_common"))
-    inter.filter($"n_common" * 3 >= $"sz_a" + $"sz_b")
+    // Verification by set intersection INSIDE one codegen'd expression:
+    // each doc's distinct shingle set collects (sorted) once, candidates
+    // fetch both sets and a merge loop counts the overlap — an exploded
+    // pairs×shingles re-join would shuffle |pair|·|set| rows (measured
+    // 4× slower at sf0.1), and array_intersect would build a hash set
+    // per pair (2.7× slower). Sets here are broadcast-small; at corpus
+    // scale the same two joins run doc_id-keyed (drop the hint), still
+    // moving each set once rather than once per candidate shingle.
+    val docSets = sh.groupBy($"doc_id")
+      .agg(sort_array(collect_set($"sh")).as("set"))
+      .localCheckpoint()
+    cand
+      .join(broadcast(docSets.select($"doc_id".as("doc_a"), $"set".as("set_a"))),
+        "doc_a")
+      .join(broadcast(docSets.select($"doc_id".as("doc_b"), $"set".as("set_b"))),
+        "doc_b")
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.sorted_intersect_count(
+          $"set_a", $"set_b"))
+      .filter($"n_common" * 3 >= $"sz_a" + $"sz_b")
       .select($"doc_a", $"doc_b", $"n_common",
         ($"sz_a" + $"sz_b" - $"n_common").as("n_union"),
         round($"n_common".cast("double") / ($"sz_a" + $"sz_b" - $"n_common"), 6)

@@ -105,9 +105,89 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** |a ∩ b| for two SORTED string arrays (caller contract: both sides
+    * produced by `sort_array` — Spark's binary UTF8String order — with
+    * distinct elements, e.g. `sort_array(collect_set(...))`).
+    *
+    * Why not `size(array_intersect(...))`: array_intersect builds a
+    * hash set of one side PER ROW and materializes the intersection
+    * array just to take its length — measured 2.7× slower than a
+    * straight merge on q102's 310k-pair verification at sf0.1. This is
+    * a single allocation-free merge loop in whole-stage codegen.
+    *
+    * Null contract: null array → NULL; a null ELEMENT reached by the
+    * merge → NULL, never a silently-partial count (a null beyond the
+    * shorter side's exhaustion point is unreachable and thus unchecked
+    * — inputs from `collect_set` are null-free by construction). */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    import org.apache.spark.sql.types.{LongType, StringType}
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count expects array<string>, got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (nx, ny) = (x.numElements(), y.numElements())
+      var (i, j) = (0, 0)
+      var acc = 0L
+      while (i < nx && j < ny) {
+        if (x.isNullAt(i) || y.isNullAt(j)) return null
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { acc += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val acc = ctx.freshName("acc"); val c = ctx.freshName("c")
+        s"""
+           |int $nx = $a.numElements();
+           |int $ny = $b.numElements();
+           |int $i = 0; int $j = 0;
+           |long $acc = 0L;
+           |while ($i < $nx && $j < $ny) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($c == 0) { $acc++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+           |}
+           |if (!${ev.isNull}) { ${ev.value} = $acc; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column API: codegen'd dot product. */
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  /** Column API: merge-count of two sorted distinct string arrays. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCount(ColumnBridge.expr(a), ColumnBridge.expr(b)))
 
   /** Column API: cosine via codegen'd dots (caller may precompute norms
     * with dot_product(v, v) and divide — see graft.engine.Similarity). */

@@ -88,6 +88,66 @@ object Profile {
         time("full q63 again", graft.streaming.Streaming.q63IngestRoundtrip(spark, sfDir).count())
       },
       "simjoin" -> { () =>
+        locally {
+          import graft.functions.TextFunctions
+          import org.apache.spark.sql.expressions.Window
+          val docs = graft.engine.Tables.documents(spark, sfDir)
+          val toks = TextFunctions.tokens($"text")
+          val shingles = when(size(toks) >= 3,
+            transform(sequence(lit(1), size(toks) - 2), i =>
+              concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+            .otherwise(array().cast("array<string>"))
+          val sh = docs.select($"doc_id", explode(shingles).as("sh")).distinct().localCheckpoint()
+          time("sh distinct+ckpt", sh.count())
+          val freq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+          val byDoc = Window.partitionBy($"doc_id")
+          val ordered = sh.join(freq, "sh")
+            .withColumn("pos", row_number().over(byDoc.orderBy($"df", $"sh")))
+            .withColumn("sz", count(lit(1)).over(byDoc))
+          val prefix = ordered.filter($"pos" <= $"sz" / 2 + 1)
+            .select($"doc_id", $"sh", $"sz").localCheckpoint()
+          time("prefix build+ckpt", prefix.count())
+          val cand = prefix.as("a").join(prefix.as("b"),
+              $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+                least($"a.sz", $"b.sz") * 2 >= greatest($"a.sz", $"b.sz"))
+            .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+              $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
+          time("cand pairs raw", cand.count())
+          val candD = cand.distinct()
+          time("cand pairs distinct", candD.count())
+          val candC = candD.localCheckpoint()
+          time("candD ckpt", candC.count())
+          val docSets = sh.groupBy($"doc_id").agg(collect_set($"sh").as("set")).localCheckpoint()
+          time("docSets build+ckpt", docSets.count())
+          val inter = candC
+            .join(broadcast(docSets.select($"doc_id".as("doc_a"), $"set".as("set_a"))), "doc_a")
+            .join(broadcast(docSets.select($"doc_id".as("doc_b"), $"set".as("set_b"))), "doc_b")
+            .withColumn("n_common", size(array_intersect($"set_a", $"set_b")).cast("long"))
+            .filter($"n_common" * 3 >= $"sz_a" + $"sz_b")
+          time("verify intersect", inter.count())
+          time("verify intersect again", inter.count())
+          val docSetsH = sh.select($"doc_id", xxhash64($"sh").as("h"))
+            .groupBy($"doc_id").agg(sort_array(collect_set($"h")).as("set")).localCheckpoint()
+          time("docSetsH build", docSetsH.count())
+          val interH = candC
+            .join(broadcast(docSetsH.select($"doc_id".as("doc_a"), $"set".as("set_a"))), "doc_a")
+            .join(broadcast(docSetsH.select($"doc_id".as("doc_b"), $"set".as("set_b"))), "doc_b")
+            .withColumn("n_common", size(array_intersect($"set_a", $"set_b")).cast("long"))
+            .filter($"n_common" * 3 >= $"sz_a" + $"sz_b")
+          time("verify intersect hashed", interH.count())
+          time("verify intersect hashed again", interH.count())
+          val docSetsS = sh.groupBy($"doc_id").agg(sort_array(collect_set($"sh")).as("set")).localCheckpoint()
+          time("docSetsS build", docSetsS.count())
+          val interS = candC
+            .join(broadcast(docSetsS.select($"doc_id".as("doc_a"), $"set".as("set_a"))), "doc_a")
+            .join(broadcast(docSetsS.select($"doc_id".as("doc_b"), $"set".as("set_b"))), "doc_b")
+            .withColumn("n_common", graft.functions.VectorExpressions.sorted_intersect_count($"set_a", $"set_b"))
+            .filter($"n_common" * 3 >= $"sz_a" + $"sz_b")
+          time("verify merge-count", interS.count())
+          time("verify merge-count again", interS.count())
+        }
+        time("q102 prefix simjoin", graft.engine.Dedup.q102PrefixSimJoin(spark, sfDir).count())
+        time("q102 again (warm)", graft.engine.Dedup.q102PrefixSimJoin(spark, sfDir).count())
         time("q24 topk", graft.engine.Similarity.q24CosineTopk(spark, sfDir).count())
         time("q26 neardup", graft.engine.Similarity.q26EmbeddingNearDup(spark, sfDir).count())
         time("q23 jaccard", graft.engine.Dedup.q23NgramJaccard(spark, sfDir).count())

@@ -54,4 +54,36 @@ class VectorExpressionsSpec extends SparkTestBase {
       .as[Double].collect()
     cos.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on fixture token sets") {
+    // every consecutive doc pair's sorted distinct token sets — the
+    // merge loop must agree with the builtin on real data
+    val sets = Tables.documents(spark, sf)
+      .select($"doc_id", sort_array(array_distinct(
+        graft.functions.TextFunctions.tokens($"text"))).as("set"))
+    val pairs = sets.as("a").join(sets.as("b"), $"a.doc_id" + 1 === $"b.doc_id")
+      .select($"a.set".as("sa"), $"b.set".as("sb"))
+    val got = pairs.select(
+        VectorExpressions.sorted_intersect_count($"sa", $"sb").as("m"),
+        size(array_intersect($"sa", $"sb")).cast("long").as("e"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("sorted_intersect_count null contract: null element poisons, empty is 0") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")))
+      .toDF("a", "b")
+    val got = df.select(VectorExpressions.sorted_intersect_count($"a", $"b").as("m"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got(0).contains(2L))
+    assert(got(1).contains(0L))
+    val withNull = Seq((Seq[String]("a", null), Seq("a", "b")))
+      .toDF("a", "b")
+      .select(VectorExpressions.sorted_intersect_count($"a", $"b").as("m"))
+      .collect().map(r => Option(r.get(0)))
+    assert(withNull(0).isEmpty, "null element must yield NULL, not a partial count")
+  }
 }
