@@ -135,6 +135,14 @@ object SparkEntry {
     "q106_retention"       -> Relational6.q106Retention _,
     "q107_append_window"   -> graft.streaming.Streaming.q107AppendWindow _,
     "q108_outlier_audit"   -> Relational6.q108OutlierAudit _,
+    "q109_scd2_intervals"  -> Relational7.q109Scd2Intervals _,
+    "q110_char_entropy"    -> TextQueries.q110CharEntropy _,
+    "q111_schema_drift_union" -> Relational7.q111SchemaDriftUnion _,
+    "q112_value_windows"   -> Relational7.q112ValueWindows _,
+    "q113_winsorize"       -> Relational7.q113Winsorize _,
+    "q114_hll_merge_bounds" -> Relational7.q114HllMergeBounds _,
+    "q115_history_pack"    -> Relational7.q115HistoryPack _,
+    "q116_bucketed_join"   -> Relational7.q116BucketedJoin _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -464,5 +472,13 @@ object SparkEntry {
     "q106_retention"        -> Relational6.q106Sql,
     "q107_append_window"    -> graft.streaming.Streaming.q107Sql,
     "q108_outlier_audit"    -> Relational6.q108Sql,
+    "q109_scd2_intervals"   -> Relational7.q109Sql,
+    "q110_char_entropy"     -> TextQueries.q110Sql,
+    "q111_schema_drift_union" -> Relational7.q111Sql,
+    "q112_value_windows"    -> Relational7.q112Sql,
+    "q113_winsorize"        -> Relational7.q113Sql,
+    "q114_hll_merge_bounds" -> Relational7.q114Sql,
+    "q115_history_pack"     -> Relational7.q115Sql,
+    "q116_bucketed_join"    -> Relational7.q116Sql,
   )
 }

@@ -629,4 +629,45 @@ object TextQueries {
           CAST(coalesce(sum(wc) FILTER (WHERE keep), 0) AS BIGINT)
             AS kept_tokens
         FROM k GROUP BY source ORDER BY source"""
+
+  /** Character-level Shannon entropy per document — the degenerate-text
+    * detector q18's surface ratios miss (a 2000-char run of "ababab…"
+    * has perfect length/punct ratios but ~1 bit of entropy; clean prose
+    * sits near 4–4.5 bits/char). Computed distributively from character
+    * counts: H = log2(n) − Σ c·log2(c) / n, so the per-(doc, char)
+    * partial aggregate does the heavy reduction and the per-doc final
+    * pass touches ≤ |alphabet| rows per document.
+    *
+    * Scale: the explode fans each document into |text| rows, but both
+    * groupBys are partial+final hash aggregates keyed by doc_id — the
+    * fan-out never crosses the shuffle un-reduced (char counts collapse
+    * it to ≤ |alphabet| rows/doc map-side). */
+  def q110CharEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          .as("ch"))
+      .groupBy($"doc_id", $"ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars"),
+        round(log2(sum($"c")) - sum($"c" * log2($"c")) / sum($"c"), 6)
+          .as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  def q110Sql: String =
+    """WITH chars AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, length(text) + 1),
+             i -> substr(text, i, 1))) AS ch
+         FROM documents),
+       counts AS (
+         SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         round(log2(CAST(sum(c) AS DOUBLE))
+           - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+       FROM counts GROUP BY doc_id ORDER BY doc_id"""
 }
