@@ -143,6 +143,13 @@ object SparkEntry {
     "q114_hll_merge_bounds" -> Relational7.q114HllMergeBounds _,
     "q115_history_pack"    -> Relational7.q115HistoryPack _,
     "q116_bucketed_join"   -> Relational7.q116BucketedJoin _,
+    "q117_cms_bounds"      -> Relational8.q117CmsBounds _,
+    "q118_lateral_topk"    -> Relational8.q118LateralTopk _,
+    "q119_khop_reach"      -> Dedup.q119KhopReach _,
+    "q120_session_window"  -> graft.streaming.Sessionize.q120SessionWindowNative _,
+    "q121_linear_trend"    -> Relational8.q121LinearTrend _,
+    "q122_inverted_index"  -> Relational8.q122InvertedIndex _,
+    "q123_bm25"            -> Relational8.q123Bm25 _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -480,5 +487,12 @@ object SparkEntry {
     "q114_hll_merge_bounds" -> Relational7.q114Sql,
     "q115_history_pack"     -> Relational7.q115Sql,
     "q116_bucketed_join"    -> Relational7.q116Sql,
+    "q117_cms_bounds"       -> Relational8.q117Sql,
+    "q118_lateral_topk"     -> Relational8.q118Sql,
+    "q119_khop_reach"       -> Dedup.q119Sql,
+    "q120_session_window"   -> graft.streaming.Sessionize.q120Sql,
+    "q121_linear_trend"     -> Relational8.q121Sql,
+    "q122_inverted_index"   -> Relational8.q122Sql,
+    "q123_bm25"             -> Relational8.q123Sql,
   )
 }

@@ -538,4 +538,65 @@ object Dedup {
         JOIN sp sa ON pairs.doc_a = sa.doc_id
         JOIN sp sb ON pairs.doc_b = sb.doc_id
         GROUP BY 1, 2 ORDER BY split_a, split_b"""
+
+  /** k-hop reach in the near-dup candidate graph via a NATIVE recursive
+    * CTE (Spark 4's `WITH RECURSIVE`) — per doc, how many distinct other
+    * docs are within 3 undirected hops of it over q21's LSH pairs. q67
+    * answers "which cluster" with a driver-side loop; this answers "how
+    * locally dense" with the recursion pushed into the engine itself
+    * (UnionLoop iterates inside one query execution, no driver round-
+    * trips or localCheckpoints).
+    *
+    * Spark's recursion supports UNION ALL only (no in-recursion dedup),
+    * so termination comes from the explicit depth < 3 bound and dedup
+    * happens once in the final count(DISTINCT …) — path counts in a
+    * clique of size c grow as c³, bounded because LSH clusters are
+    * near-dup groups, not arbitrary graphs (the same property q67's
+    * convergence relies on). Scale: each iteration is one distributed
+    * join of the frontier against the (tiny, doubly-listed) edge set. */
+  def q119KhopReach(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize the pair list ONCE: the recursion references the view
+    // in its anchor and in every UnionLoop iteration, and a lazy view
+    // would re-run the whole LSH pipeline per iteration (measured 4.6s
+    // -> ~1s at sf0.1). The pair list is tiny post-banding, so it also
+    // collapses to one partition for the per-iteration joins.
+    q21MinhashLsh(spark, sfDir).select("doc_a", "doc_b")
+      .coalesce(1).localCheckpoint()
+      .createOrReplaceTempView("graft_neardup_pairs")
+    spark.sql(
+      """WITH RECURSIVE reach(seed, node, depth) AS (
+           SELECT doc, doc, 0 FROM (
+             SELECT DISTINCT doc_a AS doc FROM graft_neardup_pairs
+             UNION
+             SELECT doc_b FROM graft_neardup_pairs) seeds
+           UNION ALL
+           SELECT r.seed, e.b, r.depth + 1
+           FROM reach r
+           JOIN (SELECT doc_a AS a, doc_b AS b FROM graft_neardup_pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM graft_neardup_pairs) e
+             ON r.node = e.a
+           WHERE r.depth < 3)
+         SELECT seed AS doc, count(DISTINCT node) - 1 AS n_reach3
+         FROM reach GROUP BY seed ORDER BY doc""")
+  }
+
+  def q119Sql: String =
+    s"""WITH RECURSIVE $bandCtes,
+        seeds AS (
+          SELECT DISTINCT doc_a AS doc FROM pairs
+          UNION
+          SELECT doc_b FROM pairs),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(seed, node, depth) AS (
+          SELECT doc, doc, 0 FROM seeds
+          UNION ALL
+          SELECT r.seed, e.b, r.depth + 1
+          FROM reach r JOIN edges e ON r.node = e.a
+          WHERE r.depth < 3)
+        SELECT seed AS doc, count(DISTINCT node) - 1 AS n_reach3
+        FROM reach GROUP BY seed ORDER BY doc"""
 }

@@ -1,0 +1,274 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tenth query wave: frequency sketches with self-checked bounds,
+  * correlated LATERAL joins, exact-integer regression, inverted-index
+  * construction, and BM25 term weighting.
+  *
+  * The unifying theme is the QUERY surface a retrieval/curation stack
+  * adds on top of the corpus: estimate frequencies without a second
+  * scan (count-min), rank per group without a self-join (lateral),
+  * fit per-key trends without a float ever crossing engines until the
+  * final division (regression), and build the index structures
+  * (postings, BM25 weights) that power retrieval over the corpus.
+  */
+object Relational8 {
+
+  /** Count-min-sketch frequency bounds: one pass builds a CMS over
+    * `user_id` (Spark's own `count_min_sketch` aggregate — mergeable
+    * partials, so the same sketch is maintainable incrementally at
+    * ingest like q114's HLL), then the exact top-20 users' counts are
+    * probed against it. CMS guarantees est >= exact always (no
+    * deletions) and est <= exact + eps*N with confidence 0.99; both
+    * sides of that sandwich are emitted as an oracle-checked boolean —
+    * the oracle can't run the sketch, so it emits `true` literally and
+    * a drifting estimate hash-mismatches the gate (q114's pattern).
+    *
+    * Scale: the sketch is a fixed (depth x width) integer grid
+    * regardless of key cardinality — the heavy-hitter shortlist costs
+    * one aggregation of the key space, the sketch costs one map-side
+    * pass, and probing is O(shortlist). */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+  def q117CmsBounds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val sketch = events.agg(
+      count_min_sketch($"user_id", lit(CmsEps), lit(CmsConfidence), lit(CmsSeed))
+        .as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = events.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"user_id").limit(20)
+    val estimate = udf { (sk: Array[Byte], key: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sk)).estimateCount(key)
+    }
+    top.crossJoin(sketch)
+      .withColumn("est", estimate($"sk", $"user_id"))
+      .select($"user_id", $"n_exact",
+        ($"est" >= $"n_exact" &&
+          $"est" <= $"n_exact" + ceil($"n_total" * CmsEps)).as("within_bound"))
+      .orderBy($"n_exact".desc, $"user_id")
+  }
+
+  def q117Sql: String =
+    """SELECT user_id, count(*) AS n_exact, true AS within_bound
+       FROM events GROUP BY user_id
+       ORDER BY n_exact DESC, user_id LIMIT 20"""
+
+  /** Correlated LATERAL join: per-nation top-3 customers by account
+    * balance, written as the SQL LATERAL form (the per-group-top-k
+    * shape analysts reach for first). Catalyst decorrelates the
+    * correlated LIMIT subquery into a join + per-key limit — the same
+    * physical family as the window formulation (q13/q54) but declared
+    * point-wise. Decimal balances exit through the integral-BIGINT /
+    * one-division recipe (Exact.decToDouble's SQL twin) for bit-exact
+    * cross-engine hashing.
+    *
+    * Scale: the decorrelated plan shuffles customer once by nation key
+    * with a per-key limit — no driver loop over groups, no N+1
+    * subquery execution. */
+  def q118LateralTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_nation")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    spark.sql(q118Text("graft_nation", "graft_customer"))
+  }
+
+  private def q118Text(nation: String, customer: String): String =
+    s"""SELECT n.n_name, t.c_name, t.c_acctbal
+       FROM $nation n,
+       LATERAL (
+         SELECT c_name,
+           -- 100.0 would parse as DECIMAL in Spark (decimal result) but
+           -- float in DuckDB; the explicit DOUBLE keeps one IEEE division
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             / CAST(100 AS DOUBLE) AS c_acctbal
+         FROM $customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+         LIMIT 3) t
+       ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
+
+  def q118Sql: String = q118Text("nation", "customer")
+
+  /** Per-type linear trend of the hourly event rate, with every moment
+    * (n, Σx, Σy, Σxy, Σx², Σy²) an exact 64-bit integer: x is the hour
+    * index rebased to each type's first hour, y the hourly count. Slope
+    * and intercept are then ONE IEEE division of exact operands each,
+    * and r² is one multiply per side of one division — deterministic
+    * cross-engine because every float op sees bit-identical inputs
+    * (q95/q108's integer-moments discipline applied to regression;
+    * `regr_slope`-style float accumulation would drift under shuffle
+    * reordering).
+    *
+    * Scale: the fact scan reduces to |types|·|hours| rows in one
+    * map-side-combined aggregation; the regression itself runs on that
+    * tiny grid. Rebasing uses a per-type window over the grid, not the
+    * fact table. */
+  def q121LinearTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy($"event_type", expr("unix_micros(ts) div 3600000000").as("h_abs"))
+      .agg(count(lit(1)).as("y"))
+    val rebased = hourly.withColumn("x",
+      $"h_abs" - min($"h_abs").over(Window.partitionBy($"event_type")))
+    val m = rebased.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"),
+      sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"))
+    m.select($"event_type", $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+          / ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6).as("slope"),
+        round(($"sy" * $"sxx" - $"sx" * $"sxy").cast("double")
+          / ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6).as("intercept"),
+        round(
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+            * ($"n" * $"sxy" - $"sx" * $"sy").cast("double"))
+          / (($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+            * ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("r2"))
+      .orderBy($"event_type")
+  }
+
+  def q121Sql: String =
+    """WITH hourly AS (
+         SELECT event_type, epoch_us(ts) // 3600000000 AS h_abs,
+           count(*) AS y
+         FROM events GROUP BY 1, 2),
+       rebased AS (
+         SELECT event_type,
+           h_abs - min(h_abs) OVER (PARTITION BY event_type) AS x, y
+         FROM hourly),
+       m AS (
+         SELECT event_type, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+         FROM rebased GROUP BY 1)
+       SELECT event_type, n,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
+         round((CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE))
+           / (CAST(n * sxx - sx * sx AS DOUBLE)
+             * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+       FROM m ORDER BY event_type"""
+
+  /** Inverted-index construction: per token, the exact document
+    * frequency plus the HEAD of its posting list (first 20 doc_ids,
+    * sorted) emitted as one comma-joined string — arrays don't hash
+    * portably across the gate, and the bounded head keeps every output
+    * row a fixed width no matter how common the token is (an unbounded
+    * `collect_set` on a stop-word would hold one entry per matching
+    * document — millions at 100 TB). The distinct (token, doc_id) pass
+    * is the standard index-build reduction; df and the packed head come
+    * from the same single aggregation.
+    *
+    * Scale: one shuffle keyed by token with map-side distinct partials.
+    * A full index build shards by token hash and spills whole lists to
+    * the shard files — same plan with the slice removed; the df column
+    * here is what decides which tokens even get materialized lists
+    * (stop-words get skipped, rare tokens get exact postings). */
+  val PostingHead = 20
+  def q122InvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .distinct()
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(slice(sort_array(collect_set($"doc_id")), 1, PostingHead),
+            _.cast("string")),
+          ",").as("postings_head"))
+      .orderBy($"token")
+  }
+
+  def q122Sql: String =
+    s"""WITH dt AS (
+         SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         FROM documents)
+       SELECT token, count(*) AS df,
+         array_to_string(
+           list_slice(list_sort(list(doc_id)), 1, $PostingHead),
+           ',') AS postings_head
+       FROM dt WHERE token <> ''
+       GROUP BY token
+       ORDER BY token"""
+
+  /** BM25 term weighting (k1=1.2, b=0.75) over q44's document sample —
+    * TF-IDF plus the two things retrieval actually needs: term-frequency
+    * saturation (tf/(tf+k1·…) caps repeated-term influence) and document
+    * -length normalization (b·dl/avgdl discounts long docs). The idf is
+    * the non-negative (+1) variant, so weights never go negative on
+    * ubiquitous terms. Every input to the float chain (tf, dl, df, n)
+    * is an exact integer and both engines evaluate the identical
+    * expression tree, so the only cross-engine hazard is `ln`'s last
+    * ulp — absorbed by round(…,6) exactly as q44's log does.
+    *
+    * Scale: same shape as q44 — tf/df/dl are map-side-combined
+    * aggregations of the token stream, the corpus stats are a 1-row
+    * broadcast, and the final top-5-per-doc is a WindowGroupLimit
+    * (map-side truncation, see PLANS.md q24). */
+  def q123Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val dft = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val st = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sum_dl"))
+    val scored = tf.join(dl, Seq("doc_id")).join(dft, Seq("token")).crossJoin(st)
+      .withColumn("bm25",
+        round(
+          log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0))
+            * ($"tf" * lit(2.2))
+            / ($"tf" + lit(1.2) * (lit(0.25)
+              + lit(0.75) * $"dl" / ($"sum_dl".cast("double") / $"n".cast("double")))),
+          6))
+    val w = Window.partitionBy($"doc_id").orderBy($"bm25".desc, $"token")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"token", $"bm25")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  def q123Sql: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+         FROM documents WHERE doc_id % 10 = 0),
+       tf AS (
+         SELECT doc_id, token, count(*) AS tf
+         FROM toks WHERE token <> '' GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       scored AS (
+         SELECT tf.doc_id, tf.token,
+           round(ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25
+               + 0.75 * dl.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE)))),
+             6) AS bm25
+         FROM tf JOIN dl USING (doc_id) JOIN dft USING (token) CROSS JOIN st),
+       ranked AS (
+         SELECT doc_id, token, bm25,
+           row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, token)
+             AS rank
+         FROM scored)
+       SELECT doc_id, rank, token, bm25 FROM ranked
+       WHERE rank <= 5 ORDER BY doc_id, rank"""
+}

@@ -225,4 +225,54 @@ object Sessionize {
       }
     }
   }
+
+  /** The FOURTH sessionization formulation: Spark's native
+    * `session_window` grouping function — sessions become a merging
+    * group key instead of a lag/running-sum derivation (q39), a
+    * stateful function (q40), or a StatefulProcessor (q96). Probed
+    * boundary semantics: an event exactly `gap` after the previous one
+    * MERGES (windows [ts, ts+gap) merge when touching), i.e. new
+    * session iff diff > gap — the same contract as q39, so the oracle
+    * is q39's CTE with the session end extended by the gap
+    * (session_window's end = last event + gap, vs q39's end = last
+    * event). In streaming the identical expression runs with
+    * `sessionWindowStateStore` merge-on-update state — this batch form
+    * is the plan Spark shares between both modes.
+    *
+    * Scale: one shuffle by (user_id) then an in-partition sort-merge of
+    * windows — the same single-shuffle posture as q39, with the session
+    * merge inside the aggregation operator instead of a window pass. */
+  def q120SessionWindowNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sess = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts")
+      .groupBy($"user_id", session_window($"ts", s"$GapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"w.start")
+    sess.select($"user_id",
+        row_number().over(byUser).cast("long").as("session_idx"),
+        $"n_events",
+        graft.engine.Exact.tsString($"w.start").as("start_ts"),
+        graft.engine.Exact.tsString($"w.end").as("end_ts_gap"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  def q120Sql: String =
+    s"""WITH flagged AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${GapMinutes * 60000000L} THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+            CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx, count(*) AS n_events,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+          strftime(max(ts) + INTERVAL ${GapMinutes} MINUTE, '%Y-%m-%d %H:%M:%S')
+            AS end_ts_gap
+        FROM numbered GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx"""
 }
