@@ -150,6 +150,9 @@ object SparkEntry {
     "q121_linear_trend"    -> Relational8.q121LinearTrend _,
     "q122_inverted_index"  -> Relational8.q122InvertedIndex _,
     "q123_bm25"            -> Relational8.q123Bm25 _,
+    "q124_triangles"       -> GraphQueries.q124Triangles _,
+    "q125_pagerank_exact"  -> GraphQueries.q125PagerankExact _,
+    "q126_approx_pctl_bounds" -> Relational8.q126ApproxPercentileBounds _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -494,5 +497,8 @@ object SparkEntry {
     "q121_linear_trend"     -> Relational8.q121Sql,
     "q122_inverted_index"   -> Relational8.q122Sql,
     "q123_bm25"             -> Relational8.q123Sql,
+    "q124_triangles"        -> GraphQueries.q124Sql,
+    "q125_pagerank_exact"   -> GraphQueries.q125Sql,
+    "q126_approx_pctl_bounds" -> Relational8.q126Sql,
   )
 }

@@ -78,7 +78,7 @@ object Dedup {
 
   /** The minhash/banding CTE chain, shared by q21's pair listing and
     * q67's recursive component closure over the same pairs. */
-  private def bandCtes: String = {
+  private[engine] def bandCtes: String = {
     val sh = shinglesSql("text")
     s"""sh AS (
           SELECT doc_id, md5(unnest($sh)) AS h FROM documents),

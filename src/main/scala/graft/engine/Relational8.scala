@@ -271,4 +271,41 @@ object Relational8 {
          FROM scored)
        SELECT doc_id, rank, token, bm25 FROM ranked
        WHERE rank <= 5 ORDER BY doc_id, rank"""
+
+  /** Approximate-percentile rank bound, self-checked: q113 notes that
+    * at 100 TB its exact per-group percentiles swap to
+    * `percentile_approx` — this query VALIDATES that swap. Per type,
+    * the GK-sketch median (accuracy 1000 → rank error ≤ n/1000) is
+    * probed by counting, exactly, how many values sit at or below it;
+    * the guarantee `rank(est) ∈ [n/2 − n/1000, n/2 + n/1000]` is
+    * emitted as an oracle-checked boolean (q114/q117's pattern — the
+    * oracle can't run the sketch, so it emits `true` and a sketch
+    * whose estimate ever leaves the band hash-mismatches the gate).
+    * The band check is integer arithmetic (×1000 through), with one
+    * row of slack each side for rank-ceiling ambiguity — no float
+    * compare decides the flag.
+    *
+    * Scale: the sketch pass is one map-side-combined aggregation
+    * (bounded GK summary per partition); the probe is a second scan
+    * with the 5-row estimate frame broadcast back. */
+  def q126ApproxPercentileBounds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir).select($"event_type", $"value")
+    val est = events.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("est"))
+    events.join(broadcast(est), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(first($"n").as("n"),
+        count(when($"value" <= $"est", 1)).as("rank_le"),
+        count(when($"value" < $"est", 1)).as("rank_lt"))
+      .select($"event_type", $"n",
+        ($"rank_le" * 1000L >= $"n" * 500L - $"n" - 1000L &&
+         $"rank_lt" * 1000L <= $"n" * 500L + $"n" + 1000L).as("within_bound"))
+      .orderBy($"event_type")
+  }
+
+  def q126Sql: String =
+    """SELECT event_type, count(*) AS n, true AS within_bound
+       FROM events GROUP BY event_type ORDER BY event_type"""
 }
