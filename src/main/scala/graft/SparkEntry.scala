@@ -153,6 +153,9 @@ object SparkEntry {
     "q124_triangles"       -> GraphQueries.q124Triangles _,
     "q125_pagerank_exact"  -> GraphQueries.q125PagerankExact _,
     "q126_approx_pctl_bounds" -> Relational8.q126ApproxPercentileBounds _,
+    "q127_kmv_distinct"    -> Relational8.q127KmvDistinct _,
+    "q128_update_mode"     -> graft.streaming.Streaming.q128UpdateMode _,
+    "q129_file_metadata"   -> Formats.q129FileMetadata _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -500,5 +503,8 @@ object SparkEntry {
     "q124_triangles"        -> GraphQueries.q124Sql,
     "q125_pagerank_exact"   -> GraphQueries.q125Sql,
     "q126_approx_pctl_bounds" -> Relational8.q126Sql,
+    "q127_kmv_distinct"     -> Relational8.q127Sql,
+    "q128_update_mode"      -> graft.streaming.Streaming.q128Sql,
+    "q129_file_metadata"    -> Formats.q129Sql,
   )
 }

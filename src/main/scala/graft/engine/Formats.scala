@@ -67,4 +67,36 @@ object Formats {
        (SELECT count(*) FROM events WHERE event_id % 20 = 0) AS counts
        FROM (VALUES ('csv'), ('json'), ('orc')) f(format)
        ORDER BY f.format"""
+
+  /** Hidden `_metadata` file columns — per-file lineage audit (rows,
+    * event_id extents, non-zero size) straight from the scan, the
+    * provenance surface a corpus snapshot needs to map every row back
+    * to its source file without a path-parsing UDF or a second listing
+    * job. The reference hand-builds partition paths and globs them back
+    * (consumer.scala:92-107); `_metadata.file_name` is the engine-native
+    * inverse. The oracle pins the expected lineage (single-file tables
+    * here, so the name is a constant and size positivity is a literal
+    * `true`); at scale the same query audits thousands of files per
+    * partition with file-level pruning intact.
+    *
+    * Scale: metadata columns are populated by the reader per split —
+    * no extra I/O, no shuffle beyond the audit's own aggregate. */
+  def q129FileMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(col("_metadata.file_name").as("file_name"),
+        col("_metadata.file_size").as("fsize"),
+        $"event_id")
+      .groupBy($"file_name")
+      .agg(count(lit(1)).as("counts"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"),
+        (min($"fsize") > 0L).as("nonzero_size"))
+      .orderBy($"file_name")
+  }
+
+  def q129Sql: String =
+    """SELECT 'events.parquet' AS file_name, count(*) AS counts,
+       min(event_id) AS min_id, max(event_id) AS max_id,
+       true AS nonzero_size
+       FROM events GROUP BY 1 ORDER BY file_name"""
 }

@@ -308,4 +308,59 @@ object Relational8 {
   def q126Sql: String =
     """SELECT event_type, count(*) AS n, true AS within_bound
        FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** KMV distinct-count sketch ([[graft.functions.KmvSketch]], a
+    * TypedImperativeAggregate — the third aggregate extension tier
+    * after the codegen'd scalar Expression and the typed Aggregator).
+    * Per type, the k=32 smallest distinct 32-bit hashes of user_id
+    * yield the estimate (k−1)·2³²/h_k. A min-k set is completely
+    * order-independent under update AND merge, so unlike the HLL/CMS
+    * self-checks (q114/q117) the oracle recomputes the ESTIMATE ITSELF
+    * bit-for-bit: rank the same hashes in SQL, take the 32nd, apply
+    * the same integer division. The hash (first 8 md5 hex chars) is
+    * computed outside the aggregate so both engines share it.
+    *
+    * Scale: partials ship k longs per partition regardless of input
+    * size; the estimate column is maintainable per ingest batch and
+    * re-mergeable later, like q114's sketch column. */
+  val KmvK = 32
+  def q127KmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id",
+        conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy($"event_type")
+      .agg(
+        graft.functions.KmvAggregate.kmvDistinct($"hv", KmvK).as("kmv_est"),
+        countDistinct($"user_id").as("n_exact"))
+      .orderBy($"event_type")
+  }
+
+  def q127Sql: String =
+    s"""WITH h AS (
+         SELECT DISTINCT event_type,
+           list_reduce(list_transform(range(1, 9), i ->
+             strpos('0123456789abcdef',
+               substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+             (a, b) -> a * 16 + b) AS hv
+         FROM events),
+       kth AS (
+         SELECT event_type, hv FROM (
+           SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+           FROM h)
+         WHERE rn = $KmvK),
+       cnt AS (SELECT event_type, count(*) AS nh FROM h GROUP BY 1),
+       ex AS (
+         SELECT event_type, count(DISTINCT user_id) AS n_exact
+         FROM events GROUP BY 1)
+       SELECT e.event_type,
+         CAST(COALESCE((${KmvK - 1} * 4294967296) // kth.hv, cnt.nh) AS BIGINT)
+           AS kmv_est,
+         e.n_exact
+       FROM ex e
+       JOIN cnt USING (event_type)
+       LEFT JOIN kth USING (event_type)
+       ORDER BY event_type"""
 }

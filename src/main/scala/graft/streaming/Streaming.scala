@@ -473,4 +473,74 @@ object Streaming {
        WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <=
          (SELECT epoch_ms(max(ts)) FROM events) - 3600000
        GROUP BY 1, 2 ORDER BY ws, event_type"""
+
+  /** T2 completes the output-mode triad: UPDATE mode (complete = q27,
+    * append = q107) over a genuinely multi-batch stream. The corpus is
+    * carved into 4 chunk files by ntile over event-time order and
+    * replayed with maxFilesPerTrigger=1, so update mode re-emits a
+    * (window, type) group once per micro-batch that touches it — the
+    * memory sink accumulates that update LOG. The reported shape —
+    * emissions per group and the final (maximum) count — is
+    * deliberately insensitive to BATCH ORDER: emission count = #chunks
+    * containing the group (set membership, not sequence), final count
+    * is the total; so the oracle reproduces both from the same chunk
+    * assignment without modeling the file source's scheduling. Chunk =
+    * event_id % 4 — a pure projection (an event-time ntile would need
+    * a global single-partition sort just to carve the fixture), and it
+    * routes every group through ~all 4 batches, exercising re-emission
+    * maximally.
+    *
+    * Scale: update mode is the changelog-sink contract (per-batch
+    * deltas to a keyed store) — state is one row per open group, each
+    * batch shuffles only its own chunk. The chunk carving here is
+    * test-fixture prep, not the operator (production chunks arrive as
+    * files). */
+  def q128UpdateMode(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val nChunks = 4
+    val src = graft.engine.TempIo.createTempDir("graft-upd-src-")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    (1 to nChunks).foreach { i =>
+      val dir = s"$src/stage$i"
+      raw.filter(pmod($"event_id", lit(nChunks)) === i - 1)
+        .coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/chunk$i.parquet"))
+      graft.engine.TempIo.deleteRecursively(dir)
+    }
+    val agg = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("counts"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("update_window")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = graft.engine.TempIo.materialize(spark,
+      spark.table("update_window")
+        .groupBy($"window", $"event_type")
+        .agg(count(lit(1)).as("n_emissions"), max($"counts").as("final_counts"))
+        .select(graft.engine.Exact.tsString($"window.start").as("ws"),
+          $"event_type", $"n_emissions", $"final_counts")
+        .orderBy($"ws", $"event_type"))
+    graft.engine.TempIo.deleteRecursively(src)
+    result
+  }
+
+  def q128Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type,
+       count(DISTINCT event_id % 4) AS n_emissions,
+       count(*) AS final_counts
+       FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Formats, Relational8, Tables}
+
+/** Twelfth query wave: KMV TypedImperativeAggregate, update-mode
+  * streaming, and hidden file-metadata columns. */
+class KmvWave12Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q127 KMV estimate equals an exact min-k replay, at any parallelism") {
+    val hashes = Tables.events(spark, sf)
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val expected = hashes.map { case (tpe, hs) =>
+      tpe -> (if (hs.length < Relational8.KmvK) hs.length.toLong
+              else (Relational8.KmvK - 1).toLong * 4294967296L /
+                hs(Relational8.KmvK - 1))
+    }
+    val got = Relational8.q127KmvDistinct(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("kmv_est")).toMap
+    assert(got == expected, "min-k sketch must replay exactly")
+    // order-independence: a different partitioning yields the same bits
+    val hv = Tables.events(spark, sf)
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+    val reparted = hv.repartition(7, $"hv")
+      .groupBy($"event_type")
+      .agg(graft.functions.KmvAggregate.kmvDistinct($"hv", Relational8.KmvK)
+        .as("kmv_est"))
+      .as[(String, Long)].collect().toMap
+    assert(reparted == expected, "merge order must not perturb the estimate")
+  }
+
+  test("q127 estimate lands near the exact count (KMV accuracy sanity)") {
+    Relational8.q127KmvDistinct(spark, sf).collect().foreach { r =>
+      val est = r.getAs[Long]("kmv_est")
+      val exact = r.getAs[Long]("n_exact")
+      // distinct hashes can collide 32-bit, so compare loosely: KMV with
+      // k=32 has ~18% relative standard error; 3 sigma
+      assert(math.abs(est - exact) <= math.max(3, exact * 0.55),
+        s"KMV estimate $est implausibly far from exact $exact")
+    }
+  }
+
+  test("q128 update log conserves rows and bounds emissions by chunk count") {
+    val rows = graft.streaming.Streaming.q128UpdateMode(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("final_counts")).sum
+    assert(total == Tables.events(spark, sf).count(),
+      "final update per group must carry the full count")
+    rows.foreach { r =>
+      val e = r.getAs[Long]("n_emissions")
+      assert(e >= 1 && e <= 4, "each group is emitted 1..nChunks times")
+    }
+  }
+
+  test("q128 at sf0.01: chunk boundaries genuinely re-emit groups") {
+    // at sf0.001 nearly every (hour, type) group holds ~1 row, so no
+    // group straddles a chunk boundary; the multi-emission property
+    // needs the denser corpus (7 straddling groups at sf0.01)
+    val rows = graft.streaming.Streaming
+      .q128UpdateMode(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.exists(_.getAs[Long]("n_emissions") >= 2),
+      "the chunked replay must actually update some group")
+    assert(rows.forall(r => {
+      val e = r.getAs[Long]("n_emissions")
+      e >= 1 && e <= 4
+    }))
+  }
+
+  test("q129 metadata audit matches the direct scan") {
+    val r = Formats.q129FileMetadata(spark, sf).collect()
+    assert(r.length == 1 && r.head.getAs[String]("file_name") == "events.parquet")
+    val (n, lo, hi) = Tables.events(spark, sf)
+      .agg(count(lit(1)), min($"event_id"), max($"event_id"))
+      .as[(Long, Long, Long)].head()
+    assert(r.head.getAs[Long]("counts") == n)
+    assert(r.head.getAs[Long]("min_id") == lo)
+    assert(r.head.getAs[Long]("max_id") == hi)
+    assert(r.head.getAs[Boolean]("nonzero_size"))
+  }
+}
