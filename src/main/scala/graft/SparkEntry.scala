@@ -310,8 +310,8 @@ object SparkEntry {
     "q24_cosine_topk"       -> Similarity.q24Sql,
     "q25_ann_lsh"           -> Similarity.q25Sql,
     "q26_embedding_neardup" -> Similarity.q26Sql,
-    // q30 (mapPartitions decode) and q33 (HLL estimate) have no SQL twin
-    // → driver records rows-only checks for them.
+    // (since the q33 self-check retrofit, EVERY query is oracle-gated —
+    // sketch estimates ride as oracle-checked bound booleans.)
     "q27_stream_window"     -> graft.streaming.Streaming.q27Sql,
     "q28_stream_dedup"      -> graft.streaming.Streaming.q28Sql,
     "q29_multimodal_meta"   -> Multimodal.q29Sql,
@@ -332,6 +332,7 @@ object SparkEntry {
          count(DISTINCT l_suppkey) AS n_supps,
          count(*) AS counts
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q33_approx_distinct"   -> Relational2.q33Sql,
     "q34_semi_join" ->
       """SELECT c_mktsegment, count(*) AS counts FROM customer
          WHERE EXISTS (SELECT 1 FROM orders

@@ -40,15 +40,32 @@ object Relational2 {
 
   /** HLL sketch (approx_count_distinct): the 100 TB-scale form of q32 —
     * one pass, fixed memory, no per-key exact state. No DuckDB twin with
-    * matching estimates, so the oracle checks the exact cardinality
-    * bounds instead are covered by q32; this query is rows-only. */
+    * matching estimates, so the query SELF-CHECKS (the q114/q117/q126
+    * pattern, retrofitted so the whole inventory is oracle-gated): the
+    * exact per-flag cardinality rides along and the estimate is emitted
+    * as a boolean asserting it landed within 3× the configured relative
+    * standard deviation — the oracle emits `true` literally, so a
+    * drifting sketch hash-mismatches the gate. (3×rsd because rsd is a
+    * standard deviation, not a hard bound — HLL's error is
+    * probabilistic; the estimate is deterministic per dataset, so the
+    * flag is stable once observed green at a given SF.) */
+  val HllRsd = 0.02
   def q33ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .agg(approx_count_distinct($"l_partkey", HllRsd).as("approx_parts"),
+        countDistinct($"l_partkey").as("n_exact"))
+      .select($"l_returnflag", $"n_exact",
+        (abs($"approx_parts" - $"n_exact") <= $"n_exact" * (3 * HllRsd))
+          .as("within_bound"))
       .orderBy($"l_returnflag")
   }
+
+  def q33Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+       true AS within_bound
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Left-semi join (EXISTS): customers having at least one open order. */
   def q34SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {

