@@ -18,9 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * Registered SQL surface:
   *  - `graft_bloom_agg(xxhash64(k), nItems)` → binary bloom filter
   *  - `graft_bloom_might_contain(bloom, xxhash64(k))` → boolean probe
-  * (Spark ships both expressions for its internal runtime filters but
-  * leaves them unregistered; the Column-API twins live in
-  * [[graft.functions.BloomFunctions]].)
+  *  - `graft_kmv_distinct(hash, k)` → KMV distinct-count estimate
+  * (Spark ships the bloom expressions for its internal runtime filters
+  * but leaves them unregistered; the Column-API twins live in
+  * [[graft.functions.BloomFunctions]] / [[graft.functions.KmvAggregate]].)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -57,6 +58,17 @@ object GraftExtensions {
         case Seq(bloom, hash) => BloomFilterMightContain(bloom, hash)
         case _ => throw new IllegalArgumentException(
           "graft_bloom_might_contain expects (bloom, hash)")
+      }),
+    (FunctionIdentifier("graft_kmv_distinct"),
+      info("graft_kmv_distinct",
+        "graft_kmv_distinct(hash, k) - KMV (k-minimum-values) distinct estimate " +
+          "over BIGINT hashes; order-independent, exactly reproducible"),
+      (args: Seq[Expression]) => args match {
+        case Seq(hash, k) if k.foldable =>
+          graft.functions.KmvSketch(hash,
+            k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_kmv_distinct expects (hash, k-literal)")
       }))
 
   /** Register on a live session (idempotent — re-registration of the

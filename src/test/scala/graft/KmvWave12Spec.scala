@@ -73,6 +73,16 @@ class KmvWave12Spec extends SparkTestBase {
     }))
   }
 
+  test("graft_kmv_distinct is SQL-callable through GraftExtensions") {
+    graft.GraftExtensions.install(spark)
+    // 3 distinct hashes with k=8 -> fewer than k, estimate = exact size
+    val r = spark.sql(
+      """SELECT graft_kmv_distinct(h, 8) FROM
+         (VALUES (CAST(10 AS BIGINT)), (20), (20), (30)) v(h)""")
+      .as[Long].head()
+    assert(r == 3L, "below k, KMV degenerates to the exact distinct count")
+  }
+
   test("q129 metadata audit matches the direct scan") {
     val r = Formats.q129FileMetadata(spark, sf).collect()
     assert(r.length == 1 && r.head.getAs[String]("file_name") == "events.parquet")
