@@ -156,6 +156,7 @@ object SparkEntry {
     "q127_kmv_distinct"    -> Relational8.q127KmvDistinct _,
     "q128_update_mode"     -> graft.streaming.Streaming.q128UpdateMode _,
     "q129_file_metadata"   -> Formats.q129FileMetadata _,
+    "q130_dedup_apply"     -> Dedup.q130DedupApply _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -507,5 +508,6 @@ object SparkEntry {
     "q127_kmv_distinct"     -> Relational8.q127Sql,
     "q128_update_mode"      -> graft.streaming.Streaming.q128Sql,
     "q129_file_metadata"    -> Formats.q129Sql,
+    "q130_dedup_apply"      -> Dedup.q130Sql,
   )
 }

@@ -599,4 +599,55 @@ object Dedup {
           WHERE r.depth < 3)
         SELECT seed AS doc, count(DISTINCT node) - 1 AS n_reach3
         FROM reach GROUP BY seed ORDER BY doc"""
+
+  /** Dedup SUPPRESSION — the step that actually edits the corpus: every
+    * clustered document except its cluster's canonical (min doc_id,
+    * q67's label) is dropped; unclustered documents pass through. The
+    * per-source audit (total / kept / dropped and the exact token
+    * count removed) is what a curation run reports before committing
+    * the drop set — detect (q21) → cluster (q67) → suppress (this)
+    * completes the dedup lifecycle.
+    *
+    * Scale: the drop set is |clustered docs| rows — tiny next to the
+    * corpus — broadcast into one corpus scan; token counting rides the
+    * same scan (no second pass). */
+  def q130DedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val drops = q67DedupClusters(spark, sfDir)
+      .filter($"doc" =!= $"canonical")
+      .select($"doc".as("drop_id"))
+    Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id",
+        size(TextFunctions.tokens($"text")).as("n_tokens"))
+      .join(broadcast(drops), $"doc_id" === $"drop_id", "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"drop_id").as("n_dropped"),
+        (count(lit(1)) - count($"drop_id")).as("n_kept"),
+        sum(when($"drop_id".isNotNull, $"n_tokens").otherwise(0L))
+          .as("tokens_dropped"))
+      .orderBy($"source")
+  }
+
+  def q130Sql: String =
+    s"""WITH RECURSIVE $bandCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT a AS doc, min(b) AS canonical FROM reach GROUP BY a),
+        drops AS (SELECT doc FROM labels WHERE doc <> canonical)
+        SELECT d.source, count(*) AS n_docs,
+          count(dr.doc) AS n_dropped,
+          count(*) - count(dr.doc) AS n_kept,
+          CAST(coalesce(sum(CASE WHEN dr.doc IS NOT NULL
+            THEN len(regexp_split_to_array(trim(d.text), '\\s+')) END), 0)
+            AS BIGINT) AS tokens_dropped
+        FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc
+        GROUP BY d.source ORDER BY d.source"""
 }

@@ -57,6 +57,21 @@ class GraphQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q130 suppression conserves the corpus and drops exactly the non-canonicals") {
+    val rows = Dedup.q130DedupApply(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_docs"))
+    }
+    val expectedDrops = Dedup.q67DedupClusters(spark, sf)
+      .filter(col("doc") =!= col("canonical")).count()
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum == expectedDrops,
+      "exactly the non-canonical cluster members are dropped")
+    assert(expectedDrops > 0, "the corpus contains near-dup clusters to act on")
+  }
+
   test("q126 approx-median rank bound holds and counts are exact") {
     val rows = Relational8.q126ApproxPercentileBounds(spark, sf).collect()
     assert(rows.nonEmpty)
