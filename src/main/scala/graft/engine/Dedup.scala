@@ -335,9 +335,12 @@ object Dedup {
     sample.as("a")
       .join(sample.as("b"),
         $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      // threshold form: banded DP, O(threshold·n) per pair with early
+      // exit, returning -1 above the bound — exact distances for every
+      // surviving pair, so the thresholdless oracle is unchanged
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        levenshtein($"a.prefix", $"b.prefix").as("dist"))
-      .filter($"dist" <= 20)
+        levenshtein($"a.prefix", $"b.prefix", 20).as("dist"))
+      .filter($"dist" >= 0)
       .orderBy($"doc_a", $"doc_b")
   }
 
