@@ -147,6 +147,73 @@ class StreamingSpec extends SparkTestBase {
       "the checkpoint records consumed files, so a resumed run must be a no-op")
   }
 
+  test("STATEFUL restart: windowed-agg state survives a checkpoint restart") {
+    // Phase 1 streams the first half of the time range and shuts down;
+    // phase 2 restarts from the checkpoint with the second half present.
+    // Windows straddling the split are OPEN state at shutdown — the
+    // restarted query must restore them and keep counting, and windows
+    // already emitted must not re-emit. Proof: the two-phase output is
+    // row-identical to a one-shot run over both chunks.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val mid = raw.agg((min($"ts") + (max($"ts") - min($"ts")) / 2).cast("long"))
+      .head().getLong(0)
+    def carve(dst: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$dst/stage"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dst/$name"))
+      graft.engine.TempIo.deleteRecursively(stage)
+    }
+    def drain(src: String, out: String, ckpt: String): Unit = {
+      val q = spark.readStream
+        .schema(Streaming.eventsRawSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("counts"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def emitted(out: String): Seq[(String, String, Long)] =
+      spark.read.parquet(out)
+        .select(graft.engine.Exact.tsString($"window.start").as("ws"),
+          $"event_type", $"counts")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sorted
+    val twoPhaseSrc = Files.createTempDirectory("graft-restart-src-").toString
+    val oneShotSrc = Files.createTempDirectory("graft-oneshot-src-").toString
+    val Seq(out2, ck2, out1, ck1) = Seq("o2", "c2", "o1", "c1")
+      .map(p => Files.createTempDirectory(s"graft-restart-$p-").toString)
+    try {
+      carve(twoPhaseSrc, raw.filter($"ts" <= mid), "chunk1.parquet")
+      drain(twoPhaseSrc, out2, ck2)
+      val phase1 = emitted(out2)
+      carve(twoPhaseSrc, raw.filter($"ts" > mid), "chunk2.parquet")
+      drain(twoPhaseSrc, out2, ck2) // restart from the same checkpoint
+      carve(oneShotSrc, raw.filter($"ts" <= mid), "chunk1.parquet")
+      carve(oneShotSrc, raw.filter($"ts" > mid), "chunk2.parquet")
+      drain(oneShotSrc, out1, ck1)
+      val twoPhase = emitted(out2)
+      assert(phase1.nonEmpty && phase1.size < twoPhase.size,
+        "the restart must emit additional closed windows")
+      assert(twoPhase == emitted(out1),
+        "restart-with-state must equal the one-shot run exactly")
+      val keys = twoPhase.map(t => (t._1, t._2))
+      assert(keys.distinct.size == keys.size, "no window may emit twice")
+    } finally Seq(twoPhaseSrc, oneShotSrc, out2, ck2, out1, ck1)
+      .foreach(graft.engine.TempIo.deleteRecursively)
+  }
+
   test("schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
     val dir = Files.createTempDirectory("graft-evolve-").toString
     val base = Tables.events(spark, sf).select($"event_id", $"event_type")
