@@ -157,6 +157,7 @@ object SparkEntry {
     "q128_update_mode"     -> graft.streaming.Streaming.q128UpdateMode _,
     "q129_file_metadata"   -> Formats.q129FileMetadata _,
     "q130_dedup_apply"     -> Dedup.q130DedupApply _,
+    "q131_snapshot_diff"   -> Relational5.q131SnapshotDiff _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -509,5 +510,6 @@ object SparkEntry {
     "q128_update_mode"      -> graft.streaming.Streaming.q128Sql,
     "q129_file_metadata"    -> Formats.q129Sql,
     "q130_dedup_apply"      -> Dedup.q130Sql,
+    "q131_snapshot_diff"    -> Relational5.q131Sql,
   )
 }

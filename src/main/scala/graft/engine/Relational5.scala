@@ -233,4 +233,64 @@ object Relational5 {
           CAST(abs(n_first * t_second - n_second * t_first) AS BIGINT)
             / (CAST(t_first AS DOUBLE) * t_second) AS drift
         FROM p, t ORDER BY event_type"""
+
+  /** Snapshot state DIFF — the CDC-generation inverse of q90's CDC
+    * apply: materialize the per-user latest-state view at the corpus
+    * midpoint and at the end, then report the transition matrix
+    * (old_state → new_state → user count, 'absent' for users born
+    * after the midpoint). This is how a pipeline derives a changelog
+    * from two snapshot versions when the upstream never emitted one —
+    * the diff drives incremental re-embedding / re-indexing instead of
+    * a full rebuild. The midpoint is exact integer arithmetic on epoch
+    * micros; both states use the same (ts, event_id)-ordered window,
+    * so the matrix is bit-stable.
+    *
+    * Scale: both snapshots come from ONE scan (the v1 state is the
+    * same window with a ts filter inside max_by via conditional
+    * structs), one shuffle by user_id, matrix-sized output. */
+  def q131SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    // `div`, not `/`: Column `/` on longs is DOUBLE division, and a sum
+    // of two epoch-micros (~3.4e18) exceeds double's exact-integer range
+    // — the truncated result could drift ~512 µs off the oracle's `// 2`
+    val mid = ev.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"))
+      .head().getLong(0)
+    val states = ev
+      .groupBy($"user_id")
+      .agg(
+        max_by($"event_type", struct($"ts", $"event_id")).as("new_state"),
+        max_by(
+          when(unix_micros($"ts") <= mid, $"event_type"),
+          when(unix_micros($"ts") <= mid, struct($"ts", $"event_id")))
+          .as("old_state"))
+    states
+      .groupBy(coalesce($"old_state", lit("absent")).as("old_state"),
+        $"new_state")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"old_state", $"new_state")
+  }
+
+  def q131Sql: String =
+    """WITH b AS (
+         SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+         FROM events),
+       r AS (
+         SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn_all,
+           CASE WHEN epoch_us(ts) <= (SELECT mid FROM b) THEN
+             row_number() OVER (PARTITION BY user_id,
+               CASE WHEN epoch_us(ts) <= (SELECT mid FROM b) THEN 1 ELSE 0 END
+               ORDER BY ts DESC, event_id DESC) END AS rn_old
+         FROM events),
+       st AS (
+         SELECT
+           any_value(CASE WHEN rn_all = 1 THEN event_type END) AS new_state,
+           coalesce(any_value(CASE WHEN rn_old = 1 THEN event_type END),
+             'absent') AS old_state
+         FROM r GROUP BY user_id)
+       SELECT old_state, new_state, count(*) AS n_users
+       FROM st GROUP BY 1, 2 ORDER BY old_state, new_state"""
 }

@@ -227,6 +227,23 @@ class Relational5Spec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Double]("drift") >= 0 && r.getAs[Double]("drift") <= 1))
     assert(tvd >= 0 && tvd <= 1, s"total variation distance out of range: $tvd")
   }
+
+  test("q131 snapshot diff conserves users and classifies 'absent' correctly") {
+    val rows = Relational5.q131SnapshotDiff(spark, sf).collect()
+    val nUsers = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "every user appears in exactly one transition cell")
+    // 'absent' rows = users whose FIRST event is after the midpoint
+    val mid = Tables.events(spark, sf)
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"))
+      .head().getLong(0)
+    val born = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("first_us"))
+      .filter($"first_us" > mid).count()
+    assert(rows.filter(_.getAs[String]("old_state") == "absent")
+      .map(_.getAs[Long]("n_users")).sum == born,
+      "'absent' cells are exactly the users born after the midpoint")
+  }
 }
 
 object Relational5Spec {
