@@ -158,6 +158,7 @@ object SparkEntry {
     "q129_file_metadata"   -> Formats.q129FileMetadata _,
     "q130_dedup_apply"     -> Dedup.q130DedupApply _,
     "q131_snapshot_diff"   -> Relational5.q131SnapshotDiff _,
+    "q132_lsh_precision"   -> Dedup.q132LshPrecision _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -511,5 +512,6 @@ object SparkEntry {
     "q129_file_metadata"    -> Formats.q129Sql,
     "q130_dedup_apply"      -> Dedup.q130Sql,
     "q131_snapshot_diff"    -> Relational5.q131Sql,
+    "q132_lsh_precision"    -> Dedup.q132Sql,
   )
 }

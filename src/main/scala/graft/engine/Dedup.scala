@@ -603,6 +603,66 @@ object Dedup {
         SELECT seed AS doc, count(DISTINCT node) - 1 AS n_reach3
         FROM reach GROUP BY seed ORDER BY doc"""
 
+  /** LSH detector PRECISION audit: q21's candidate pairs judged against
+    * exact ground truth — per shared-band count, how many candidates
+    * are true near-dups (shingle Jaccard ≥ ½, decided by the integer
+    * test 3·∩ ≥ |A|+|B|, no float threshold). This is the measurement
+    * that tunes the band/row trade: more shared bands should mean
+    * higher precision, and the audit quantifies exactly how much —
+    * the recall side is q102's exact join (which the prefix filter
+    * makes complete by construction).
+    *
+    * Scale: candidates come pre-blocked from LSH (never all-pairs);
+    * ground truth per candidate costs one broadcast of the per-doc
+    * sorted shingle sets and a codegen'd merge-intersect per pair
+    * (q102's verification machinery). */
+  def q132LshPrecision(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cand = q21MinhashLsh(spark, sfDir)
+    val sets = Tables.documents(spark, sfDir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
+      .distinct()
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"sh")).as("set"))
+      .localCheckpoint()
+    val judged = cand
+      .join(broadcast(sets.select($"doc_id".as("doc_a"), $"set".as("set_a"))), "doc_a")
+      .join(broadcast(sets.select($"doc_id".as("doc_b"), $"set".as("set_b"))), "doc_b")
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.sorted_intersect_count($"set_a", $"set_b"))
+      .withColumn("is_true",
+        $"n_common" * 3 >= size($"set_a") + size($"set_b"))
+    judged.groupBy($"shared_bands")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when($"is_true", 1)).as("n_true"),
+        round(count(when($"is_true", 1)).cast("double") / count(lit(1)), 6)
+          .as("prec"))
+      .orderBy($"shared_bands")
+  }
+
+  def q132Sql: String =
+    s"""WITH $bandCtes,
+        s AS (
+          SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh
+          FROM documents),
+        sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        i AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT p.shared_bands, count(*) AS n_candidates,
+          count(*) FILTER (WHERE 3 * coalesce(i.n_common, 0) >= sa.n + sb.n)
+            AS n_true,
+          round(CAST(count(*) FILTER
+              (WHERE 3 * coalesce(i.n_common, 0) >= sa.n + sb.n) AS DOUBLE)
+            / count(*), 6) AS prec
+        FROM pairs p
+        LEFT JOIN i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+        JOIN sz sa ON p.doc_a = sa.doc_id
+        JOIN sz sb ON p.doc_b = sb.doc_id
+        GROUP BY p.shared_bands ORDER BY p.shared_bands"""
+
   /** Dedup SUPPRESSION — the step that actually edits the corpus: every
     * clustered document except its cluster's canonical (min doc_id,
     * q67's label) is dropped; unclustered documents pass through. The

@@ -15,12 +15,14 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val show = sys.env.get("SHOW").exists(_ == "1")
     args.drop(1).foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       fn(spark, sfDir).count() // warm
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+      if (show) fn(spark, sfDir).show(50, truncate = false)
     }
     spark.stop()
   }

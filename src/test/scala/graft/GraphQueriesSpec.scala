@@ -72,6 +72,34 @@ class GraphQueriesSpec extends SparkTestBase {
     assert(expectedDrops > 0, "the corpus contains near-dup clusters to act on")
   }
 
+  test("q132 precision audit: candidates conserved, truth matches brute force") {
+    val rows = Dedup.q132LshPrecision(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_candidates")).sum ==
+      Dedup.q21MinhashLsh(spark, sf).count(),
+      "every LSH candidate is judged exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_candidates"))
+      val p = r.getAs[Double]("prec")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // brute-force ground truth over the collected corpus
+    def shingles(text: String): Set[String] = {
+      val t = text.trim.split("\\s+").toSeq
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val pairs = Dedup.q21MinhashLsh(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val expectTrue = pairs.count { case (a, b) =>
+      val (sa, sb) = (shingles(docs(a)), shingles(docs(b)))
+      3L * (sa & sb).size >= sa.size + sb.size
+    }
+    assert(rows.map(_.getAs[Long]("n_true")).sum == expectTrue,
+      "integer Jaccard test must agree with a driver-side replay")
+  }
+
   test("q126 approx-median rank bound holds and counts are exact") {
     val rows = Relational8.q126ApproxPercentileBounds(spark, sf).collect()
     assert(rows.nonEmpty)
