@@ -159,6 +159,8 @@ object SparkEntry {
     "q130_dedup_apply"     -> Dedup.q130DedupApply _,
     "q131_snapshot_diff"   -> Relational5.q131SnapshotDiff _,
     "q132_lsh_precision"   -> Dedup.q132LshPrecision _,
+    "q133_cross_correlation" -> Relational8.q133CrossCorrelation _,
+    "q134_ordered_funnel"  -> Relational8.q134OrderedFunnel _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -513,5 +515,7 @@ object SparkEntry {
     "q130_dedup_apply"      -> Dedup.q130Sql,
     "q131_snapshot_diff"    -> Relational5.q131Sql,
     "q132_lsh_precision"    -> Dedup.q132Sql,
+    "q133_cross_correlation" -> Relational8.q133Sql,
+    "q134_ordered_funnel"   -> Relational8.q134Sql,
   )
 }

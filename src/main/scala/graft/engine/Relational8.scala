@@ -363,4 +363,130 @@ object Relational8 {
        JOIN cnt USING (event_type)
        LEFT JOIN kth USING (event_type)
        ORDER BY event_type"""
+
+  /** Cross-stream correlation matrix: Pearson correlation of each pair
+    * of event types' hourly count series — the co-movement diagnostic
+    * (do error spikes track click spikes?). The hourly grid is pivoted
+    * to one column per type (explicit value list, reference A4's
+    * pivot), then every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    * 64-bit integer per pair; corr = num / sqrt(dx·dy) with the two
+    * variance factors cast to double BEFORE the product (dx·dy can
+    * exceed int64) — multiply, sqrt, divide are each one correctly-
+    * rounded IEEE op on identical operands, so round(…,6) matches
+    * cross-engine (q121's moment discipline extended to covariance).
+    *
+    * Scale: the fact scan reduces to |hours| rows in one aggregation;
+    * the 10-pair matrix math runs on that grid. */
+  def q133CrossCorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    val pairs = for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield (types(i), types(j))
+    // ALL moments in one aggregation over the hourly grid, pinned to a
+    // 1-row frame — a lazy per-pair union would rescan the fact table
+    // once per matrix cell
+    val m = graft.engine.TempIo.materialize(spark,
+      hourly.agg(
+        count(lit(1)).as("n"),
+        types.map(t => sum(col(t)).as(s"sx_$t")) ++
+        types.map(t => sum(col(t) * col(t)).as(s"sxx_$t")) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sxy_${a}_$b") }: _*))
+    pairs.map { case (a, b) =>
+      m.select(lit(a).as("type_a"), lit(b).as("type_b"),
+        round(($"n" * col(s"sxy_${a}_$b") - col(s"sx_$a") * col(s"sx_$b"))
+          .cast("double")
+          / sqrt(($"n" * col(s"sxx_$a") - col(s"sx_$a") * col(s"sx_$a"))
+            .cast("double")
+            * (($"n" * col(s"sxx_$b") - col(s"sx_$b") * col(s"sx_$b"))
+              .cast("double"))), 6).as("corr"))
+    }.reduce(_.unionAll(_)).orderBy($"type_a", $"type_b")
+  }
+
+  def q133Sql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")
+    val pairs = for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield (types(i), types(j))
+    val selects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS type_a, '$b' AS type_b,
+          round(CAST(n * sxy_${a}_$b - sx_$a * sx_$b AS DOUBLE)
+            / sqrt(CAST(n * sxx_$a - sx_$a * sx_$a AS DOUBLE)
+              * CAST(n * sxx_$b - sx_$b * sx_$b AS DOUBLE)), 6) AS corr
+          FROM m"""
+    }.mkString(" UNION ALL ")
+    val moments = types.map(t =>
+      s"CAST(sum($t) AS BIGINT) AS sx_$t, CAST(sum($t * $t) AS BIGINT) AS sxx_$t")
+      .mkString(", ") + ", " +
+      pairs.map { case (a, b) =>
+        s"CAST(sum($a * $b) AS BIGINT) AS sxy_${a}_$b" }.mkString(", ")
+    s"""WITH hourly AS (
+          SELECT epoch_us(ts) // 3600000000 AS h, $cols
+          FROM events GROUP BY 1),
+        m AS (SELECT count(*) AS n, $moments FROM hourly)
+        SELECT * FROM ($selects) ORDER BY type_a, type_b"""
+  }
+
+  /** Ordered funnel — sequence-pattern matching, not stage counting
+    * (q69/q75 count per-stage survivors; this requires the steps to
+    * happen IN ORDER per user): first view, then the first click
+    * strictly after it, then the first purchase strictly after that.
+    * Three chained conditional aggregations over the same user-keyed
+    * shuffle; each step's timestamp is an exact min over a filtered
+    * set, so step membership is bit-stable.
+    *
+    * Scale: one shuffle by user_id, then three map-side-combinable
+    * aggregations on the (already tiny) per-user frame — the pattern
+    * generalizes to K steps without a self-join per step (a naive
+    * funnel joins the event table once per stage). */
+  def q134OrderedFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val steps = ev.groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"us")).as("t1"))
+      .join(ev, Seq("user_id"), "left_outer")
+      .groupBy($"user_id", $"t1")
+      .agg(min(when($"event_type" === "click" && $"us" > $"t1", $"us")).as("t2"))
+      .join(ev, Seq("user_id"), "left_outer")
+      .groupBy($"user_id", $"t1", $"t2")
+      .agg(min(when($"event_type" === "purchase" && $"us" > $"t2", $"us")).as("t3"))
+    steps.agg(
+      count(lit(1)).as("n_users"),
+      count($"t1").as("n_viewed"),
+      count($"t2").as("n_clicked_after"),
+      count($"t3").as("n_purchased_after"))
+  }
+
+  def q134Sql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       s1 AS (
+         SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN us END) AS t1
+         FROM ev GROUP BY user_id),
+       s2 AS (
+         SELECT s1.user_id, s1.t1,
+           min(CASE WHEN ev.event_type = 'click' AND ev.us > s1.t1
+             THEN ev.us END) AS t2
+         FROM s1 LEFT JOIN ev ON s1.user_id = ev.user_id
+         GROUP BY s1.user_id, s1.t1),
+       s3 AS (
+         SELECT s2.user_id, s2.t1, s2.t2,
+           min(CASE WHEN ev.event_type = 'purchase' AND ev.us > s2.t2
+             THEN ev.us END) AS t3
+         FROM s2 LEFT JOIN ev ON s2.user_id = ev.user_id
+         GROUP BY s2.user_id, s2.t1, s2.t2)
+       SELECT count(*) AS n_users,
+         count(t1) AS n_viewed,
+         count(t2) AS n_clicked_after,
+         count(t3) AS n_purchased_after
+       FROM s3"""
 }

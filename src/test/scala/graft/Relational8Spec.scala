@@ -129,6 +129,55 @@ class Relational8Spec extends SparkTestBase {
     }
   }
 
+  test("q133 correlation matrix: 10 cells, each in [-1, 1], replayed exactly") {
+    val rows = Relational8.q133CrossCorrelation(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(!c.isNaN && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr $c")
+    }
+    // replay one cell exactly on the driver
+    val hourly = Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"), $"event_type")
+      .count().as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val hs = hourly.keys.toSeq
+    def series(t: String) = hs.map(h => hourly(h).getOrElse(t, 0L))
+    val (xa, xb) = (series("click"), series("error"))
+    val n = hs.length.toLong
+    val (sx, sy) = (xa.sum, xb.sum)
+    val sxy = xa.zip(xb).map { case (x, y) => x * y }.sum
+    val (sxx, syy) = (xa.map(x => x * x).sum, xb.map(y => y * y).sum)
+    val expect = BigDecimal((n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * ((n * syy - sy * sy).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(r => r.getAs[String]("type_a") == "click" &&
+      r.getAs[String]("type_b") == "error").get.getAs[Double]("corr")
+    assert(got == expect, s"click-error corr $got != replay $expect")
+  }
+
+  test("q134 funnel is monotone and matches a driver-side sequence scan") {
+    val r = Relational8.q134OrderedFunnel(spark, sf).head()
+    val (nu, v, c, p) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
+      r.getAs[Long]("n_clicked_after"), r.getAs[Long]("n_purchased_after"))
+    assert(nu >= v && v >= c && c >= p && p >= 0, s"funnel not monotone: $nu $v $c $p")
+    // exact replay: per user ordered events, greedy first-match sequence
+    val byUser = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    var (ev2, ec2, ep2) = (0L, 0L, 0L)
+    byUser.values.foreach { es =>
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(t => es.filter(e => e._2 == "click" && e._3 > t).map(_._3).minOption)
+      val t3 = t2.flatMap(t => es.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption)
+      if (t1.isDefined) ev2 += 1
+      if (t2.isDefined) ec2 += 1
+      if (t3.isDefined) ep2 += 1
+    }
+    assert((v, c, p) == ((ev2, ec2, ep2)), "funnel counts must match the replay")
+    assert(nu == byUser.size)
+  }
+
   test("q120 native session_window matches q39's session contract") {
     val native = graft.streaming.Sessionize
       .q120SessionWindowNative(spark, sf)
