@@ -180,15 +180,26 @@ object Relational8 {
   val PostingHead = 20
   def q122InvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    val dt = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
       .filter($"token" =!= "")
       .distinct()
-      .groupBy($"token")
-      .agg(count(lit(1)).as("df"),
+    // rank-then-collect, NOT collect-then-slice: a collect_set over a
+    // stop-word token would buffer one doc_id per matching document on
+    // a single reducer before the slice trims it — the window keeps
+    // per-token state in a spillable sort and only the <=20 surviving
+    // rows ever reach the collect. df comes from the same partition
+    // pass; the follow-up groupBy reuses the window's hash partitioning
+    // (no second exchange).
+    val w = Window.partitionBy($"token")
+    val headed = dt
+      .withColumn("rn", row_number().over(w.orderBy($"doc_id")))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter($"rn" <= PostingHead)
+    headed.groupBy($"token")
+      .agg(first($"df").as("df"),
         array_join(
-          transform(slice(sort_array(collect_set($"doc_id")), 1, PostingHead),
-            _.cast("string")),
+          transform(sort_array(collect_list($"doc_id")), _.cast("string")),
           ",").as("postings_head"))
       .orderBy($"token")
   }
@@ -438,26 +449,29 @@ object Relational8 {
     * (q69/q75 count per-stage survivors; this requires the steps to
     * happen IN ORDER per user): first view, then the first click
     * strictly after it, then the first purchase strictly after that.
-    * Three chained conditional aggregations over the same user-keyed
-    * shuffle; each step's timestamp is an exact min over a filtered
-    * set, so step membership is bit-stable.
+    * Three chained full-frame window minima over ONE user-keyed
+    * shuffle — each step's timestamp references the previous step's
+    * (itself a per-user window scalar) inside its filter, so K steps
+    * cost K window passes over the SAME partitioning, never a
+    * re-scan or a per-stage self-join of the fact table. Each min is
+    * exact, so step membership is bit-stable.
     *
-    * Scale: one shuffle by user_id, then three map-side-combinable
-    * aggregations on the (already tiny) per-user frame — the pattern
-    * generalizes to K steps without a self-join per step (a naive
-    * funnel joins the event table once per stage). */
+    * Scale: one Exchange on user_id; the three Window operators and
+    * the per-user reduction all reuse it (a naive funnel joins the
+    * event table once per stage, tripling scan and shuffle volume). */
   def q134OrderedFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, sfDir)
+    val byUser = Window.partitionBy($"user_id")
+    val steps = Tables.events(spark, sfDir)
       .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-    val steps = ev.groupBy($"user_id")
-      .agg(min(when($"event_type" === "view", $"us")).as("t1"))
-      .join(ev, Seq("user_id"), "left_outer")
-      .groupBy($"user_id", $"t1")
-      .agg(min(when($"event_type" === "click" && $"us" > $"t1", $"us")).as("t2"))
-      .join(ev, Seq("user_id"), "left_outer")
-      .groupBy($"user_id", $"t1", $"t2")
-      .agg(min(when($"event_type" === "purchase" && $"us" > $"t2", $"us")).as("t3"))
+      .withColumn("t1",
+        min(when($"event_type" === "view", $"us")).over(byUser))
+      .withColumn("t2",
+        min(when($"event_type" === "click" && $"us" > $"t1", $"us")).over(byUser))
+      .withColumn("t3",
+        min(when($"event_type" === "purchase" && $"us" > $"t2", $"us")).over(byUser))
+      .groupBy($"user_id")
+      .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
     steps.agg(
       count(lit(1)).as("n_users"),
       count($"t1").as("n_viewed"),
