@@ -424,18 +424,37 @@ object Dedup {
     * Scale: shuffles are keyed by shingle (freq + candidate join) and by
     * doc (sets + verification) — no all-pairs stage anywhere; the
     * verification join touches only candidate pairs. */
+  /** Distinct (doc_id, shingle) pairs, materialized once — the shared
+    * input of q102's prefix filter and the q102/q132 exact-Jaccard
+    * verification (at 100 TB: persist to reliable storage instead of
+    * executor-local blocks). */
+  private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** Per-doc SORTED shingle sets over [[distinctShingles]] — the
+    * broadcast ground-truth frame both q102's verification and q132's
+    * precision audit consume (one definition, so the recall and
+    * precision sides of the pairing can never diverge). */
+  private def docShingleSets(spark: SparkSession, sh: DataFrame): DataFrame = {
+    import spark.implicits._
+    sh.groupBy($"doc_id")
+      .agg(sort_array(collect_set($"sh")).as("set"))
+      .localCheckpoint()
+  }
+
   def q102PrefixSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     // checkpointed once: four consumers below (freq, both prefix join
     // sides, both verification sides) would otherwise each re-derive
-    // the scan → Generate → distinct chain (at 100 TB: persist to
-    // reliable storage instead of executor-local blocks)
-    val sh = Tables.documents(spark, sfDir)
-      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
-      .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
-      .distinct()
-      .localCheckpoint()
+    // the scan → Generate → distinct chain
+    val sh = distinctShingles(spark, sfDir)
     val freq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
     val ordered = sh.join(freq, "sh")
@@ -459,9 +478,7 @@ object Dedup {
     // per pair (2.7× slower). Sets here are broadcast-small; at corpus
     // scale the same two joins run doc_id-keyed (drop the hint), still
     // moving each set once rather than once per candidate shingle.
-    val docSets = sh.groupBy($"doc_id")
-      .agg(sort_array(collect_set($"sh")).as("set"))
-      .localCheckpoint()
+    val docSets = docShingleSets(spark, sh)
     cand
       .join(broadcast(docSets.select($"doc_id".as("doc_a"), $"set".as("set_a"))),
         "doc_a")
@@ -619,13 +636,7 @@ object Dedup {
   def q132LshPrecision(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cand = q21MinhashLsh(spark, sfDir)
-    val sets = Tables.documents(spark, sfDir)
-      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
-      .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
-      .distinct()
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_set($"sh")).as("set"))
-      .localCheckpoint()
+    val sets = docShingleSets(spark, distinctShingles(spark, sfDir))
     val judged = cand
       .join(broadcast(sets.select($"doc_id".as("doc_a"), $"set".as("set_a"))), "doc_a")
       .join(broadcast(sets.select($"doc_id".as("doc_b"), $"set".as("set_b"))), "doc_b")

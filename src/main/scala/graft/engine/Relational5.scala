@@ -130,9 +130,17 @@ object Relational5 {
     * total variation distance. Everything until the final division is
     * 64-bit integer arithmetic (|n1·N2 − n2·N1| — cross-products avoid
     * forming non-portable intermediate doubles); the one IEEE division
-    * of exact operands is correctly rounded in both engines. Scale: two
-    * single-pass conditional counts per type, one broadcast of the two
-    * scalar totals — no per-row shuffle beyond the type groupBy. */
+    * of exact operands is correctly rounded in both engines.
+    *
+    * DOMAIN (the Exact.decToDouble discipline): the cross-product is
+    * exact only while n·N < 2^63, i.e. per-slice totals below ~3·10^9
+    * rows. Auditing a full 10^12-row corpus in one shot needs the two
+    * CAST sites widened — `decimal(38,0)` here, HUGEINT in the oracle —
+    * a two-line swap that keeps every property below; or run the audit
+    * per partition-grain slice (the usual deployment) where counts stay
+    * in domain. Scale: two single-pass conditional counts per type, one
+    * broadcast of the two scalar totals — no per-row shuffle beyond the
+    * type groupBy. */
   def q95DistributionDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val flagged = Tables.events(spark, sfDir)
@@ -251,9 +259,10 @@ object Relational5 {
   def q131SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
-    // `div`, not `/`: Column `/` on longs is DOUBLE division, and a sum
-    // of two epoch-micros (~3.4e18) exceeds double's exact-integer range
-    // — the truncated result could drift ~512 µs off the oracle's `// 2`
+    // `div`, not `/`: Column `/` on longs is DOUBLE division. For this
+    // corpus (epoch micros ~1.7e15, sum ~3.4e15) a double happens to
+    // stay exact, but only while min+max < 2^53 µs — `div` is integer-
+    // exact unconditionally and always matches the oracle's `// 2`.
     val mid = ev.agg(
       expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"))
       .head().getLong(0)

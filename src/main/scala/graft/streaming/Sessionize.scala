@@ -58,8 +58,12 @@ object Sessionize {
       .orderBy($"user_id", $"session_idx")
   }
 
-  def q39Sql: String =
-    s"""WITH flagged AS (
+  /** The gap-flag/session-number CTE chain every sessionization oracle
+    * shares (q39/q40/q96/q120 all assert the SAME session contract —
+    * one definition, so the four formulations' oracles cannot drift
+    * apart; the Dedup.bandCtes pattern). */
+  private def sessionCtes: String =
+    s"""flagged AS (
           SELECT user_id, ts, event_id,
             CASE WHEN lag(ts) OVER w IS NULL
                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${GapMinutes * 60000000L} THEN 1 ELSE 0 END AS new_session
@@ -69,7 +73,10 @@ object Sessionize {
           SELECT user_id, ts,
             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-          FROM flagged)
+          FROM flagged)"""
+
+  def q39Sql: String =
+    s"""WITH $sessionCtes
         SELECT user_id, session_idx, count(*) AS n_events,
           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
@@ -258,17 +265,7 @@ object Sessionize {
   }
 
   def q120Sql: String =
-    s"""WITH flagged AS (
-          SELECT user_id, ts, event_id,
-            CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${GapMinutes * 60000000L} THEN 1 ELSE 0 END AS new_session
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        numbered AS (
-          SELECT user_id, ts,
-            CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-          FROM flagged)
+    s"""WITH $sessionCtes
         SELECT user_id, session_idx, count(*) AS n_events,
           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
           strftime(max(ts) + INTERVAL ${GapMinutes} MINUTE, '%Y-%m-%d %H:%M:%S')

@@ -116,23 +116,29 @@ object Streaming {
     * projection → partitioned append sink → partition-pruned batch read)
     * preserves every row in its event-time partition. Oracle is the
     * direct batch aggregation of the same grains. */
-  def q63IngestRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Sink read-back → per-(date, hour) aggregate — the shared roundtrip
+    * contract of q63 and q86 (both verify against the same oracle, so
+    * they must aggregate identically; the partition column comes back
+    * typed by discovery, hence the string cast). Pinned to driver
+    * memory so the caller can reclaim the scratch sink the lazy plan
+    * would otherwise still be reading from. */
+  private def readbackAgg(spark: SparkSession, out: String): DataFrame = {
     import spark.implicits._
+    TempIo.materialize(spark,
+      spark.read.parquet(out)
+        .groupBy($"date", $"hour")
+        .agg(count(lit(1)).as("counts"), countDistinct($"key").as("n_keys"))
+        .select($"date".cast("string").as("date"), $"hour", $"counts", $"n_keys")
+        .orderBy($"date", $"hour"))
+  }
+
+  def q63IngestRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val out = Files.createTempDirectory("graft-ingest-").toString
     // date-grain sink here (the hour column still flows as data); the
     // full (date, hour) layout is exercised by the runIngest spec — the
     // roundtrip proof is identical, at 1/24th the directory count.
     runIngest(spark, sfDir, out, partitionCols = Seq("date"))
-    val agg = spark.read.parquet(out)
-      .groupBy($"date", $"hour")
-      .agg(count(lit(1)).as("counts"), countDistinct($"key").as("n_keys"))
-      // the partition column comes back typed by discovery; cast to the
-      // string grain the oracle computes directly
-      .select($"date".cast("string").as("date"), $"hour", $"counts", $"n_keys")
-      .orderBy($"date", $"hour")
-    // pin the (small, post-aggregation) result before reclaiming the
-    // scratch sink the lazy plan reads from
-    val result = TempIo.materialize(spark, agg)
+    val result = readbackAgg(spark, out)
     TempIo.deleteRecursively(out)
     result
   }
@@ -167,12 +173,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val agg = spark.read.parquet(out)
-      .groupBy($"date", $"hour")
-      .agg(count(lit(1)).as("counts"), countDistinct($"key").as("n_keys"))
-      .select($"date".cast("string").as("date"), $"hour", $"counts", $"n_keys")
-      .orderBy($"date", $"hour")
-    val result = TempIo.materialize(spark, agg)
+    val result = readbackAgg(spark, out)
     TempIo.deleteRecursively(out)
     TempIo.deleteRecursively(checkpoint)
     result
@@ -327,15 +328,24 @@ object Streaming {
     * state-cleanup contract at scale: state for a side is dropped once
     * its watermark passes the join window); with AvailableNow all matches
     * are in one batch, so output equals the batch interval join. */
+  /** One watermarked, tag-prefixed side of the q42/q97 interval joins —
+    * shared so the inner and left-outer variants cannot silently
+    * diverge in projection or watermark delay. */
+  private def intervalJoinSide(spark: SparkSession, sfDir: String,
+      tag: String, eventType: String): DataFrame = {
+    import spark.implicits._
+    readEventsStream(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter($"event_type" === eventType)
+      .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+        $"event_id".as(s"${tag}_id"))
+      .withWatermark(s"${tag}_ts", "3 hours")
+  }
+
   def q42StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     def side(tag: String, eventType: String) =
-      readEventsStream(spark, sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .filter($"event_type" === eventType)
-        .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
-          $"event_id".as(s"${tag}_id"))
-        .withWatermark(s"${tag}_ts", "3 hours")
+      intervalJoinSide(spark, sfDir, tag, eventType)
     val joined = side("p", "purchase").join(side("e", "error"),
       expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 2 hours"))
     val q = joined.writeStream
@@ -376,12 +386,7 @@ object Streaming {
   def q97StreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     def side(tag: String, eventType: String) =
-      readEventsStream(spark, sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .filter($"event_type" === eventType)
-        .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
-          $"event_id".as(s"${tag}_id"))
-        .withWatermark(s"${tag}_ts", "3 hours")
+      intervalJoinSide(spark, sfDir, tag, eventType)
     val joined = side("p", "purchase").join(side("e", "error"),
       expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 2 hours"),
       "left_outer")
