@@ -39,6 +39,13 @@ object Exact {
   def sumExact(c: Column, scale: Int): Column =
     decToDouble(sum(c.cast(s"decimal(18,$scale)")), scale)
 
+  /** Double → exact integer CENTS (decimal-first, then shift) — the
+    * load-bearing money/measure grid every integer-arithmetic query
+    * shares (q55 arg-keys, q78 medians, q92 z-buckets, q108 fences).
+    * Oracle twin: `CAST(CAST(c AS DECIMAL(18,2)) * 100 AS BIGINT)`. */
+  def cents(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
   /** Timestamp → second-truncated string; identical to DuckDB
     * `strftime(ts, '%Y-%m-%d %H:%M:%S')` and sorts chronologically. */
   def tsString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")

@@ -129,7 +129,7 @@ object Relational3 {
   private def argKey(value: Column, id: Column): Column =
     when(value.isNotNull && id.isNotNull,
       format_string("%012d%010d",
-        (value.cast("decimal(18,2)") * 100).cast("long") + lit(ArgKeyBias), id))
+        Exact.cents(value) + lit(ArgKeyBias), id))
 
   /** arg-min/max aggregates (Spark max_by/min_by ≡ DuckDB
     * arg_max/arg_min): the event carrying each type's extreme value. */

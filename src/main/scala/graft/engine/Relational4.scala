@@ -114,7 +114,7 @@ object Relational4 {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sfDir)
       .select($"event_type",
-        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        Exact.cents($"value").as("cents"))
     val med = ev.groupBy($"event_type")
       .agg((median($"cents") / 100.0).as("median_value"))
     val w = Window.partitionBy($"event_type")

@@ -209,7 +209,7 @@ object Relational5 {
       .observe(obs,
         count(lit(1)).as("n_rows"),
         count(when($"value" > 100, 1)).as("high_value"),
-        sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+        sum(Exact.cents($"value")).as("cents"))
     observed.write.mode("overwrite").format("noop").save()
     val m = obs.get
     Seq((m("n_rows").asInstanceOf[Long],

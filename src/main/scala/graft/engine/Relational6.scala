@@ -245,12 +245,14 @@ object Relational6 {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
       .select($"event_type",
-        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        Exact.cents($"value").as("cents"))
     val fences = ev.groupBy($"event_type")
       .agg(
         (expr("percentile(cents, 0.25)") * 4).cast("long").as("a4"),
         (expr("percentile(cents, 0.75)") * 4).cast("long").as("b4"))
-    ev.join(fences, "event_type")
+    // explicit broadcast (q113's discipline): a sort-merge fallback here
+    // would shuffle the whole fact table onto |event_type| reducers
+    ev.join(broadcast(fences), Seq("event_type"))
       .groupBy($"event_type", $"a4", $"b4")
       .agg(count(lit(1)).as("n"),
         count(when($"cents" * 8 < $"a4" * 5 - $"b4" * 3, 1)).as("n_low"),

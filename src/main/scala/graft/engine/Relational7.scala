@@ -184,7 +184,14 @@ object Relational7 {
       .agg(count(lit(1)).as("n"),
         round(first($"p05"), 6).as("p05"),
         round(first($"p95"), 6).as("p95"),
-        round(avg($"clipped"), 6).as("clipped_mean"))
+        // NOT avg(double): a float mean accumulates in shuffle-dependent
+        // order and can flip the 6th decimal against the oracle. Each
+        // clipped value is pinned to 6dp decimal (both engines round
+        // identically there), summed exactly, one division by n — the
+        // same order-independence contract as Exact.sumExact.
+        round(Exact.decToDouble(
+          sum($"clipped".cast("decimal(18,6)")), 6) / count(lit(1)), 6)
+          .as("clipped_mean"))
       .orderBy($"event_type")
   }
 
@@ -197,7 +204,9 @@ object Relational7 {
        SELECT e.event_type, count(*) AS n,
          round(any_value(p.p05), 6) AS p05,
          round(any_value(p.p95), 6) AS p95,
-         round(avg(least(greatest(e.value, p.p05), p.p95)), 6) AS clipped_mean
+         round(CAST(sum(CAST(least(greatest(e.value, p.p05), p.p95)
+             AS DECIMAL(18,6))) * 1000000 AS BIGINT) / CAST(1000000 AS DOUBLE)
+           / count(*), 6) AS clipped_mean
        FROM events e JOIN p ON e.event_type = p.event_type
        GROUP BY e.event_type ORDER BY e.event_type"""
 
