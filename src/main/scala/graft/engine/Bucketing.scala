@@ -13,7 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table at `path`. */
+  /** Write `df` as a bucketed+sorted EXTERNAL table at `path` — the
+    * explicit path keeps the data out of the default warehouse dir, but
+    * it means DROP TABLE removes only the catalog entry: callers own
+    * deleting `path` (q116 and BucketedJoinSpec pair the drop with a
+    * recursive delete of the scratch dir). */
   def writeBucketed(df: DataFrame, name: String, path: String,
       key: String, buckets: Int): Unit =
     df.write

@@ -189,8 +189,11 @@ object TextQueries {
   def q69CurationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // text itself is NOT projected forward: only its derived signals
+    // flow into the fingerprint-partitioned window exchange — explicit,
+    // not left to ColumnPruning
     val enriched = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"text",
+      .select($"doc_id",
         langId($"text").as("pred"),
         qualityScore($"text").as("q"),
         tokenCount($"text").as("wc"),
@@ -330,21 +333,24 @@ object TextQueries {
     * Returns (doc_id, wc, before) with `before` = sum of all earlier
     * docs' token counts.
     *
-    * The bucket width SCALES with the corpus (≈ n_docs / 8192, floored
-    * at 1000) so the broadcast offset frame and its single-partition
-    * running-total window stay ~8k rows at ANY corpus size — a fixed
-    * width would grow the frame linearly and eventually bust the forced
-    * broadcast and the one-task window. Sizing costs one parquet
-    * metadata count (footer row counts, no data scan). For corpora
-    * where even n/8192 buckets of docs overflow a partition, the same
+    * The bucket width SCALES with the corpus — sized from the doc_id
+    * RANGE (not the row count: bucket = doc_id div width, so on a
+    * sparse-id corpus — exactly what post-dedup/curation survivors look
+    * like — a count-derived width would inflate the "tiny" offset frame
+    * by the sparsity factor and bust the forced broadcast and the
+    * one-task window). ⌈span/8192⌉-ish width, floored at 1000, keeps
+    * the frame ~8k rows at ANY corpus size and sparsity; sizing costs
+    * one min/max column scan (parquet stats). For corpora where even
+    * span/8192 buckets of docs overflow a partition, the same
     * two-level construction nests recursively. */
   private def tokenPrefixSums(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val nDocs = Tables.documents(spark, sfDir).count()
-    val BucketSz = math.max(1000L, nDocs / 8192L)
+    val (minId, maxId) = Tables.documents(spark, sfDir)
+      .agg(min($"doc_id"), max($"doc_id")).as[(Long, Long)].head()
+    val BucketSz = math.max(1000L, (maxId - minId + 1) / 8192L)
     val docs = Tables.documents(spark, sfDir)
-      .select($"doc_id", expr(s"doc_id div $BucketSz").as("bucket"),
+      .select($"doc_id", expr(s"(doc_id - $minId) div $BucketSz").as("bucket"),
         tokenCount($"text").cast("long").as("wc"))
     val bucketOffsets = docs.groupBy($"bucket")
       .agg(sum($"wc").as("bwc"))

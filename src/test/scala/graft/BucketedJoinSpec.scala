@@ -31,6 +31,9 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS o_b")
+      // external tables: DROP TABLE removes only the catalog entry —
+      // the scratch dir is the caller's to reclaim
+      graft.engine.TempIo.deleteRecursively(wh)
     }
   }
 }
