@@ -66,23 +66,36 @@ object Similarity {
     * fixed K or take the scale paths: q25 (LSH buckets) / q73 (IVF
     * cells), which shuffle instead of broadcasting. This query is the
     * EXACT BASELINE those are graded against, not the at-scale plan. */
-  def q24CosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (query_id, vec_id, cos) pair stream q24 and q38 both rank —
+    * one definition, so their "row-identical, same oracle" pairing
+    * cannot drift: norms precomputed once per side, query slice
+    * broadcast, corpus scanned without a shuffle. */
+  private def scoredPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
     val queries = emb
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"norm2".as("q_norm2"))
       .filter($"query_id" % 100 === 0)
-    val scored = emb.crossJoin(broadcast(queries))
+    emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosinePre($"q_emb", $"embedding", $"q_norm2", $"norm2").as("cos"))
+  }
+
+  /** Deterministic per-query top-10 of a (query_id, vec_id, cos) frame —
+    * the ranked tail q24/q25/q73 share. */
+  private[engine] def top10(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 10)
       .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
       .orderBy($"query_id", $"rank")
   }
+
+  def q24CosineTopk(spark: SparkSession, sfDir: String): DataFrame =
+    top10(scoredPairs(spark, sfDir))
 
   def q24Sql: String =
     s"""WITH q AS (
@@ -167,16 +180,7 @@ object Similarity {
     * scored corpus. Output is row-identical to q24 (same oracle). */
   def q38CosineTopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
-    val queries = emb
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"norm2".as("q_norm2"))
-      .filter($"query_id" % 100 === 0)
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id",
-        cosinePre($"q_emb", $"embedding", $"q_norm2", $"norm2").as("cos"))
-    scored.groupBy($"query_id")
+    scoredPairs(spark, sfDir).groupBy($"query_id")
       .agg(graft.functions.TopKAggregator.top_k(10)($"cos", $"vec_id").as("top"))
       .select($"query_id", posexplode($"top").as(Seq("pos", "t")))
       .select($"query_id", ($"pos" + 1).as("rank"),

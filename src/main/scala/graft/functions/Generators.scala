@@ -40,9 +40,16 @@ case class WordShingles(child: Expression, n: Int)
     else {
       val sep = UTF8String.fromString(" ")
       val toks = Array.tabulate(arr.numElements())(arr.getUTF8String)
+      // a window containing a null token emits NO row — concatWs would
+      // silently skip the null and mislabel an (n-1)-gram as an n-gram,
+      // corrupting every dedup/simjoin built on the shingles (the same
+      // poison-don't-truncate contract VectorExpressions documents;
+      // null never occurs in split() output, so this is a guard, not a
+      // hot path)
       Iterator.tabulate(toks.length - n + 1) { i =>
-        InternalRow(i, UTF8String.concatWs(sep, toks.slice(i, i + n): _*))
-      }
+        if (toks.view.slice(i, i + n).exists(_ == null)) null
+        else InternalRow(i, UTF8String.concatWs(sep, toks.slice(i, i + n): _*))
+      }.filter(_ != null)
     }
   }
 

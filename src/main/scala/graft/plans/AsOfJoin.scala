@@ -97,11 +97,18 @@ case class AsOfJoinExec(
         val lk = lKey(lrow)
         val lo = lOrd(lrow)
         var scanning = true
+        // lk is constant across this scan: copy it at most once per left
+        // row (not once per consumed right row — a key with millions of
+        // right rows would otherwise allocate a redundant copy for each)
+        var lkCopy: InternalRow = null
         while (scanning && rBuf.hasNext) {
           val head = rBuf.head
           val c = keyCmp.compare(rKey(head), lk)
           if (c < 0 || (c == 0 && ordCmp.compare(rOrd(head), lo) < 0)) {
-            if (c == 0) { matchKey = lk.copy(); matchRow = head.copy() }
+            if (c == 0) {
+              if (lkCopy == null) lkCopy = lk.copy()
+              matchKey = lkCopy; matchRow = head.copy()
+            }
             rBuf.next()
           } else scanning = false
         }
@@ -145,12 +152,27 @@ object AsOf {
       payload: Seq[String]): DataFrame = {
     val spark = left0.sparkSession
     register(spark)
-    // SQL join semantics for NULLs (see object doc): drop null-keyed rows
-    // before the merge, where RowOrdering would otherwise match them.
+    // SQL join semantics for NULLs (see object doc): drop null-keyed
+    // rows AND null-ordered rows before the merge. RowOrdering would
+    // otherwise match null keys, and a null order tuple sorts FIRST —
+    // a null-timestamp right row would silently become every early
+    // left row's "as-of" match, where SQL's strictly-before predicate
+    // is never true for NULL.
     import org.apache.spark.sql.functions.col
-    val notNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
-    val left = left0.where(notNullKeys)
-    val right = right0.where(notNullKeys)
+    val left = left0.where(
+      (keys ++ leftOrder).map(col(_).isNotNull).reduce(_ && _))
+    val right = right0.where(
+      (keys ++ rightOrder).map(col(_).isNotNull).reduce(_ && _))
+    // The merge compares right-side projections with orderings built
+    // from LEFT-side types (and hash-partitions each side by its own
+    // type) — built-in joins coerce at analysis, this API must refuse.
+    def types(df: DataFrame, names: Seq[String]) =
+      names.map(n => df.schema(n).dataType)
+    require(types(left, keys) == types(right, keys) &&
+        types(left, leftOrder) == types(right, rightOrder),
+      s"as-of join requires identical key/order column types on both sides: " +
+        s"left=${types(left, keys ++ leftOrder)} " +
+        s"right=${types(right, keys ++ rightOrder)}")
     val lPlan = left.queryExecution.analyzed
     // Re-alias the right side with FRESH expression ids: when both inputs
     // derive from the same base relation (the common as-of case), shared
