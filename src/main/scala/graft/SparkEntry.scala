@@ -161,6 +161,11 @@ object SparkEntry {
     "q132_lsh_precision"   -> Dedup.q132LshPrecision _,
     "q133_cross_correlation" -> Relational8.q133CrossCorrelation _,
     "q134_ordered_funnel"  -> Relational8.q134OrderedFunnel _,
+    "q135_local_supplier"  -> Relational9.q135LocalSupplierRevenue _,
+    "q136_ivm_merge"       -> Relational9.q136IvmMerge _,
+    "q137_bpe_pairs"       -> Relational9.q137BpePairs _,
+    "q138_market_share"    -> Relational9.q138MarketShare _,
+    "q139_checksum_diff"   -> Relational9.q139ChecksumDiff _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -517,5 +522,10 @@ object SparkEntry {
     "q132_lsh_precision"    -> Dedup.q132Sql,
     "q133_cross_correlation" -> Relational8.q133Sql,
     "q134_ordered_funnel"   -> Relational8.q134Sql,
+    "q135_local_supplier"   -> Relational9.q135Sql,
+    "q136_ivm_merge"        -> Relational9.q136Sql,
+    "q137_bpe_pairs"        -> Relational9.q137Sql,
+    "q138_market_share"     -> Relational9.q138Sql,
+    "q139_checksum_diff"    -> Relational9.q139Sql,
   )
 }

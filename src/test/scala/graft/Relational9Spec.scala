@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Exact, Relational9, Tables}
+
+/** Fifteenth query wave: TPC-H Q5/Q8 join shapes, incremental view
+  * maintenance, BPE pair statistics, and the anti-entropy bucket diff. */
+class Relational9Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q135 Q5 shape: the nation-agreement constraint actually binds") {
+    val constrained = Relational9.q135LocalSupplierRevenue(spark, sf)
+      .agg(sum($"counts")).as[Long].collect().head
+    // relax ONLY the supplier-nation side: same joins, customer nation
+    // drives the group — strictly more lineitems qualify
+    val regionNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter($"r_name" === Relational9.Q135Region),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val relaxed = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .filter($"o_orderdate" >= lit(Relational9.Q135YearStart).cast("timestamp") &&
+          $"o_orderdate" < lit(Relational9.Q135YearEnd).cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(broadcast(regionNations), $"c_nationkey" === $"n_nationkey")
+      .count()
+    assert(constrained > 0, "fixture must produce at least one qualifying row")
+    assert(constrained < relaxed,
+      s"supplier-nation agreement must prune rows ($constrained !< $relaxed)")
+  }
+
+  test("q136 IVM: merged partial states equal a direct recompute") {
+    val merged = Relational9.q136IvmMerge(spark, sf)
+      .select($"event_type", $"n_total", $"sum_value").collect().toSet
+    val direct = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        Exact.decToDouble(sum($"value".cast("decimal(18,2)")), 2).as("sum_value"))
+      .select($"event_type", $"n_total", $"sum_value").collect().toSet
+    assert(merged == direct, "base ⊕ delta must equal full recompute")
+    // the refresh is real on this fixture: every arm contributes
+    val deltas = Relational9.q136IvmMerge(spark, sf)
+      .select($"n_total", $"n_delta").as[(Long, Long)].collect()
+    assert(deltas.forall { case (n, d) => d > 0 && d < n },
+      "fixture cutoff must leave both a base and a delta arm per type")
+  }
+
+  test("q137 pair counts conserve total adjacent positions") {
+    // the un-truncated pair count must equal sum(len-1) over docs;
+    // checked via the same transform the query uses, minus the top-K
+    val totalPairs = Tables.documents(spark, sf)
+      .select(split($"text", "").as("cs"))
+      .filter(size($"cs") >= 2)
+      .select(explode(expr(
+        "transform(slice(cs, 1, size(cs) - 1), (c, i) -> concat(c, element_at(cs, i + 2)))"))
+        .as("pair"))
+      .count()
+    val expected = Tables.documents(spark, sf)
+      .select(sum(length($"text") - 1)).as[Long].collect().head
+    assert(totalPairs == expected,
+      s"pair stream must cover every adjacent position ($totalPairs != $expected)")
+    val top = Relational9.q137BpePairs(spark, sf).collect()
+    assert(top.length == Relational9.BpeTopK)
+    assert(top.forall(_.getAs[String]("pair").length == 2),
+      "every emitted pair is exactly two characters")
+    val counts = top.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "top-K is ordered by descending count")
+  }
+
+  test("q138 market share: shares in [0,1] and revenue sums to the region total") {
+    val rows = Relational9.q138MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0, s"share $s out of range")
+    }
+    // conservation: yearly denominators sum to one unconditional total
+    val yearly = rows.map(_.getAs[Double]("revenue")).map(BigDecimal(_)).sum
+    val regionNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter($"r_name" === Relational9.Q138Region),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val total = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(broadcast(regionNations), $"c_nationkey" === $"n_nationkey")
+      .agg(Exact.decToDouble(
+        sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")), 4))
+      .as[Double].collect().head
+    assert((yearly - BigDecimal(total)).abs < BigDecimal("0.0001"),
+      s"yearly revenue $yearly must reassemble the region total $total")
+  }
+
+  test("q139 diff: mismatching buckets are exactly those holding lost rows") {
+    val verdicts = Relational9.q139ChecksumDiff(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Boolean]("is_match")).toMap
+    val touched = Tables.events(spark, sf)
+      .filter($"event_id" < Relational9.DiffLostBelow)
+      .select(($"event_id" % Relational9.DiffBuckets).as("b"))
+      .distinct().as[Long].collect().toSet
+    verdicts.foreach { case (bucket, ok) =>
+      assert(ok == !touched.contains(bucket),
+        s"bucket $bucket: is_match=$ok but lost-row presence=${touched.contains(bucket)}")
+    }
+    assert(touched.nonEmpty && touched.size < verdicts.size,
+      "fixture must mismatch some buckets and match others")
+  }
+}
