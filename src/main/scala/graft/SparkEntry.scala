@@ -166,6 +166,8 @@ object SparkEntry {
     "q137_bpe_pairs"       -> Relational9.q137BpePairs _,
     "q138_market_share"    -> Relational9.q138MarketShare _,
     "q139_checksum_diff"   -> Relational9.q139ChecksumDiff _,
+    "q140_partition_pruning" -> Relational9.q140PartitionPruning _,
+    "q141_equidepth_bins"  -> Relational9.q141EquiDepthBins _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -527,5 +529,7 @@ object SparkEntry {
     "q137_bpe_pairs"        -> Relational9.q137Sql,
     "q138_market_share"     -> Relational9.q138Sql,
     "q139_checksum_diff"    -> Relational9.q139Sql,
+    "q140_partition_pruning" -> Relational9.q140Sql,
+    "q141_equidepth_bins"   -> Relational9.q141Sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fifteenth query wave: classic multiway-join OLAP shapes and the
@@ -302,4 +303,95 @@ object Relational9 {
           CAST(count(*) AS BIGINT) AS n_v2,
           (sum(v1) = count(*) AND sum(h * v1) % $DiffMod = sum(h) % $DiffMod) AS is_match
         FROM h GROUP BY bucket ORDER BY bucket"""
+
+  val PruneStart = "2024-01-08"
+  val PruneEnd = "2024-01-15"
+
+  /** Partition-pruned scan, end to end: write a `date=`-partitioned
+    * copy of the stream (the reference's S5 sink layout,
+    * `consumer.scala:80`), then read one week back through a partition
+    * filter and aggregate per day. The filter never touches data
+    * files — it prunes at the directory listing (PartitionFilters in
+    * the scan node, spec-asserted), which is the optimization that
+    * turns the reference's hand-built partition globs
+    * (`consumer.scala:92-107`, S3) into a plain declarative WHERE.
+    *
+    * Scale: this is THE layout contract for a time-series corpus —
+    * a 30-of-3000-day query costs 1% of the listing and 0 bytes of
+    * the other days' data. The write side repartitions by the
+    * partition column first, so each date directory is one file
+    * (32 shuffle tasks would otherwise each drop a sliver into every
+    * directory — 30× the files, same bytes, slower listings).
+    *
+    * The scratch copy is materialized+deleted inside the query
+    * (q49's contract); the oracle reproduces the week from the
+    * unpartitioned original — equality proves pruning lost no rows. */
+  def q140PartitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = TempIo.createTempDir("graft-prune-")
+    Tables.events(spark, sfDir)
+      .withColumn("date", date_format($"ts", "yyyy-MM-dd"))
+      .repartition($"date")
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter($"date" >= lit(PruneStart).cast("date") &&
+        $"date" < lit(PruneEnd).cast("date"))
+      .groupBy($"date".cast("string").as("date"))
+      .agg(count(lit(1)).as("counts"),
+        Exact.sumExact($"value", 2).as("sum_value"))
+      .orderBy($"date")
+    val out = TempIo.materialize(spark, pruned)
+    TempIo.deleteRecursively(dir)
+    out
+  }
+
+  def q140Sql: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS date,
+          CAST(count(*) AS BIGINT) AS counts,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_value
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') >= '$PruneStart'
+          AND strftime(ts, '%Y-%m-%d') <  '$PruneEnd'
+        GROUP BY 1 ORDER BY date"""
+
+  val NtileBins = 8
+
+  /** Equi-depth quantile bins: per event type, `ntile` over the exact
+    * cents grid (tie-broken by event_id — a total order, so bin
+    * assignment is deterministic in both engines) → per-bin count and
+    * [lo, hi] extent. Completes the histogram family: q56 is
+    * fixed-WIDTH (equal value ranges, skewed counts); this is
+    * fixed-DEPTH (equal counts, data-driven ranges) — the form
+    * quantile normalization and calibration curves consume.
+    *
+    * Scale: ntile costs one hash shuffle + per-key sort. When the
+    * per-key sort is the bottleneck at 100 TB, swap the exact bin
+    * boundaries for `percentile_approx` cut points (q126's audited
+    * GK guarantee) and assign bins by comparison instead — same
+    * output shape, no sort. */
+  def q141EquiDepthBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"event_type", Exact.cents($"value").as("cents"), $"event_id")
+      .withColumn("bin", ntile(NtileBins).over(w).cast("long"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"cents").as("lo"), max($"cents").as("hi"))
+      .orderBy($"event_type", $"bin")
+  }
+
+  def q141Sql: String =
+    s"""WITH t AS (
+          SELECT event_type,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+            event_id
+          FROM events),
+        b AS (
+          SELECT event_type, cents,
+            ntile($NtileBins) OVER (PARTITION BY event_type ORDER BY cents, event_id) AS bin
+          FROM t)
+        SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+          min(cents) AS lo, max(cents) AS hi
+        FROM b GROUP BY event_type, bin ORDER BY event_type, bin"""
 }

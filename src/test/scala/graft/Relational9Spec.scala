@@ -108,4 +108,68 @@ class Relational9Spec extends SparkTestBase {
     assert(touched.nonEmpty && touched.size < verdicts.size,
       "fixture must mismatch some buckets and match others")
   }
+
+  test("q140 partition filter prunes the scan to the requested week") {
+    // mirror the query's write, keep the scratch dir alive to inspect
+    // the lazy plan, and assert the filter lands as a PartitionFilter
+    // (directory-level pruning) rather than a data Filter
+    val dir = graft.engine.TempIo.createTempDir("graft-prune-spec-")
+    // AQE wraps stages around the scan node; turn it off so the scan is
+    // a plain leaf of executedPlan (inspection only — the query itself
+    // runs under whatever the session default is)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Tables.events(spark, sf)
+        .withColumn("date", date_format($"ts", "yyyy-MM-dd"))
+        .repartition($"date")
+        .write.mode("overwrite").partitionBy("date").parquet(dir)
+      val pruned = spark.read.parquet(dir)
+        .filter($"date" >= lit(Relational9.PruneStart).cast("date") &&
+          $"date" < lit(Relational9.PruneEnd).cast("date"))
+        .groupBy($"date").agg(count(lit(1)).as("n"))
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get
+      assert(scan.partitionFilters.nonEmpty,
+        "date bounds must prune at the directory listing")
+      assert(scan.dataFilters.isEmpty,
+        "no residual data filter should survive partition pruning")
+      // one file per pruned day (the repartition-by-date write contract)
+      assert(scan.metrics("numFiles").value == 7L,
+        s"expected 7 of 30 daily files, read ${scan.metrics("numFiles").value}")
+      // and the query's own output matches a direct recompute
+      val viaQuery = Relational9.q140PartitionPruning(spark, sf)
+        .select($"date", $"counts").collect().toSet
+      val direct = Tables.events(spark, sf)
+        .withColumn("date", date_format($"ts", "yyyy-MM-dd"))
+        .filter($"date" >= Relational9.PruneStart && $"date" < Relational9.PruneEnd)
+        .groupBy($"date").agg(count(lit(1)).as("counts"))
+        .collect().toSet
+      assert(viaQuery == direct, "pruned read must lose no rows")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      graft.engine.TempIo.deleteRecursively(dir)
+    }
+  }
+
+  test("q141 bins are equi-depth and their extents tile the value range") {
+    val rows = Relational9.q141EquiDepthBins(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, bins) =>
+      assert(bins.length == Relational9.NtileBins, s"$et missing bins")
+      val counts = bins.map(_.getAs[Long]("n"))
+      assert(counts.max - counts.min <= 1,
+        s"$et bin depths differ by >1: ${counts.mkString(",")}")
+      // ntile front-loads the remainder rows onto the lowest bins
+      assert(counts.sameElements(counts.sortBy(-_)),
+        s"$et remainder must land on the first bins: ${counts.mkString(",")}")
+      val ordered = bins.sortBy(_.getAs[Long]("bin"))
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          s"$et bins overlap: ${a.getAs[Long]("hi")} > ${b.getAs[Long]("lo")}")
+      }
+    }
+  }
 }
