@@ -168,6 +168,7 @@ object SparkEntry {
     "q139_checksum_diff"   -> Relational9.q139ChecksumDiff _,
     "q140_partition_pruning" -> Relational9.q140PartitionPruning _,
     "q141_equidepth_bins"  -> Relational9.q141EquiDepthBins _,
+    "q142_concurrency_gauge" -> Relational9.q142ConcurrencyGauge _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -531,5 +532,6 @@ object SparkEntry {
     "q139_checksum_diff"    -> Relational9.q139Sql,
     "q140_partition_pruning" -> Relational9.q140Sql,
     "q141_equidepth_bins"   -> Relational9.q141Sql,
+    "q142_concurrency_gauge" -> Relational9.q142Sql,
   )
 }

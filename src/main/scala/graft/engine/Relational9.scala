@@ -394,4 +394,64 @@ object Relational9 {
         SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
           min(cents) AS lo, max(cents) AS hi
         FROM b GROUP BY event_type, bin ORDER BY event_type, bin"""
+
+  /** Each event holds its actor "active" for this long — the interval
+    * the sweep measures. */
+  val ActiveWindowUs = 300000000L // 5 minutes
+
+  /** Sweep-line concurrency gauge: peak number of simultaneously
+    * active intervals per day. Every event becomes two delta points —
+    * (+1 at ts, −1 at ts + window) — and a running sum over the
+    * time-ordered points IS the instantaneous load; its per-day max
+    * is the peak. This is the interval-analytics shape session
+    * windows can't express (q39/q120 group TOUCHING activity; the
+    * gauge measures OVERLAP density — capacity planning, rate-limit
+    * sizing, concurrent-user curves).
+    *
+    * Determinism: the sweep orders by (t, delta) with an explicit ROWS
+    * frame on both engines — at equal micros the −1 lands first
+    * (half-open intervals), and the per-day max is invariant to
+    * leftover tie order because peaks are attained on +1 rows only.
+    * Intervals are attributed to their START day (a midnight-crossing
+    * tail is counted in the opening day — the gauge's documented
+    * clipping contract).
+    *
+    * Scale: one union of two projections of the same scan, one
+    * day-partitioned sort for the window, one matrix-sized aggregate.
+    * Day partitions bound the sort; a hotter-than-memory day shards
+    * the sweep by (day, hour) with carry-in offsets — same algebra,
+    * one extra pass over the |shards| frame. */
+  def q142ConcurrencyGauge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+        unix_micros($"ts").as("start_us"))
+    val pts = ev.select($"day", $"start_us".as("t"), lit(1L).as("delta"))
+      .unionAll(ev.select($"day", ($"start_us" + ActiveWindowUs).as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy($"day").orderBy($"t", $"delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("load", sum($"delta").over(w))
+      .groupBy($"day")
+      .agg(max($"load").as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy($"day")
+  }
+
+  def q142Sql: String =
+    s"""WITH pts AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS t, 1 AS delta
+          FROM events
+          UNION ALL
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+            epoch_us(ts) + $ActiveWindowUs AS t, -1 AS delta
+          FROM events),
+        swept AS (
+          SELECT day,
+            sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+          FROM pts)
+        SELECT day, CAST(max(load) AS BIGINT) AS peak_concurrent,
+          CAST(count(*) / 2 AS BIGINT) AS n_intervals
+        FROM swept GROUP BY day ORDER BY day"""
 }

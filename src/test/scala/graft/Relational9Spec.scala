@@ -172,4 +172,23 @@ class Relational9Spec extends SparkTestBase {
       }
     }
   }
+
+  test("q142 gauge matches a driver-side sweep replay") {
+    val got = Relational9.q142ConcurrencyGauge(spark, sf).collect()
+      .map(r => (r.getAs[String]("day"),
+        (r.getAs[Long]("peak_concurrent"), r.getAs[Long]("n_intervals")))).toMap
+    val events = Tables.events(spark, sf)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+        unix_micros($"ts").as("t")).as[(String, Long)].collect()
+    val expected = events.groupBy(_._1).map { case (day, evs) =>
+      val pts = evs.flatMap { case (_, t) =>
+        Seq((t, 1L), (t + Relational9.ActiveWindowUs, -1L)) }
+        .sortBy(identity)
+      val loads = pts.scanLeft(0L) { case (acc, (_, d)) => acc + d }.tail
+      day -> (loads.max, evs.length.toLong)
+    }
+    assert(got == expected, "distributed sweep must equal the sequential replay")
+    assert(got.values.exists(_._1 > 1),
+      "fixture must actually overlap somewhere or the gauge proves nothing")
+  }
 }
