@@ -169,6 +169,8 @@ object SparkEntry {
     "q140_partition_pruning" -> Relational9.q140PartitionPruning _,
     "q141_equidepth_bins"  -> Relational9.q141EquiDepthBins _,
     "q142_concurrency_gauge" -> Relational9.q142ConcurrencyGauge _,
+    "q143_bpe_merge_round" -> Relational9.q143BpeMergeRound _,
+    "q144_stream_ivm"      -> graft.streaming.Streaming.q144StreamIvm _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -533,5 +535,7 @@ object SparkEntry {
     "q140_partition_pruning" -> Relational9.q140Sql,
     "q141_equidepth_bins"   -> Relational9.q141Sql,
     "q142_concurrency_gauge" -> Relational9.q142Sql,
+    "q143_bpe_merge_round"  -> Relational9.q143Sql,
+    "q144_stream_ivm"       -> graft.streaming.Streaming.q144Sql,
   )
 }

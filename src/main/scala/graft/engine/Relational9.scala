@@ -454,4 +454,60 @@ object Relational9 {
         SELECT day, CAST(max(load) AS BIGINT) AS peak_concurrent,
           CAST(count(*) / 2 AS BIGINT) AS n_intervals
         FROM swept GROUP BY day ORDER BY day"""
+
+  /** Private-use placeholder the winning pair collapses into — outside
+    * the ASCII corpus alphabet, so round-2 pairs that touch a merge
+    * site are visibly distinct from unmerged text. */
+  val BpeMergeSymbol = "\uE000"
+
+  /** BPE vocabulary induction, step 2: apply the top merge and
+    * recount. The round-1 winner (q137's (cnt DESC, pair) order,
+    * LIMIT 1) is broadcast as a 1-row frame — never collected by the
+    * caller — and every occurrence collapses to `BpeMergeSymbol` via
+    * plain left-to-right non-overlapping `replace` (exactly BPE's
+    * greedy merge on "aaa"-style overlaps); then the q137 pair count
+    * reruns over the merged symbol stream. Together with q137 this is
+    * one full trainer iteration, expressed declaratively end to end.
+    *
+    * Scale: two corpus scans (the count pass that elects the winner,
+    * the merge+recount pass) — inherent to the algorithm's data
+    * dependence. An N-round trainer caches the current symbol stream
+    * between rounds and adopts q67's checkpoint-per-round discipline
+    * so round k's plan doesn't re-derive rounds 1..k-1 lazily. */
+  def q143BpeMergeRound(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val top1 = q137BpePairs(spark, sfDir)
+      .orderBy($"cnt".desc, $"pair").limit(1).select($"pair")
+    Tables.documents(spark, sfDir)
+      .select($"text")
+      .crossJoin(broadcast(top1))
+      .select(split(expr(s"replace(text, pair, '$BpeMergeSymbol')"), "").as("cs"))
+      .filter(size($"cs") >= 2)
+      .select(explode(expr(
+        "transform(slice(cs, 1, size(cs) - 1), (c, i) -> concat(c, element_at(cs, i + 2)))"))
+        .as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(BpeTopK)
+  }
+
+  def q143Sql: String =
+    s"""WITH pairs1 AS (
+          SELECT unnest(list_transform(range(1, length(text)),
+            i -> substr(text, i, 2))) AS pair
+          FROM documents WHERE length(text) >= 2),
+        top1 AS (
+          SELECT pair FROM pairs1 GROUP BY pair
+          ORDER BY count(*) DESC, pair LIMIT 1),
+        merged AS (
+          SELECT replace(text, (SELECT pair FROM top1), chr(57344)) AS text
+          FROM documents),
+        pairs2 AS (
+          SELECT unnest(list_transform(range(1, length(text)),
+            i -> substr(text, i, 2))) AS pair
+          FROM merged WHERE length(text) >= 2)
+        SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs2 GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT $BpeTopK"""
 }

@@ -548,4 +548,88 @@ object Streaming {
        count(DISTINCT event_id % 4) AS n_emissions,
        count(*) AS final_counts
        FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""
+
+  /** Streaming incremental view maintenance — q136's ⊕ merge driven by
+    * a live refresh loop: each micro-batch aggregates ONLY its own
+    * rows to a |keys|-sized partial, reads the previous state version,
+    * merges, and writes the next version (read-modify-write in
+    * `foreachBatch`, the engine's exactly-once refresh hook — versioned
+    * state paths make each refresh idempotent under epoch replay,
+    * which is foreachBatch's at-least-once obligation). The stream is
+    * the q128 4-chunk replay (maxFilesPerTrigger=1), so the view
+    * absorbs 4 refreshes; `n_refreshes` is MEASURED from the last
+    * state version, and the oracle pins the chunk count — a runtime
+    * that coalesced batches would fail the gate, not silently pass.
+    *
+    * Scale: fact bytes are read once ever (each batch only its chunk);
+    * every refresh costs one |keys|-frame merge. The state table is
+    * what a dashboard reads between refreshes — this is the streaming
+    * complement of q136's batch merge, with the same algebra.
+    *
+    * The oracle recomputes from scratch (q136's contract): equality of
+    * a 4-step maintained state with the one-shot aggregate IS the
+    * maintenance-correctness claim. */
+  def q144StreamIvm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nChunks = 4
+    val src = TempIo.createTempDir("graft-sivm-src-")
+    val stateRoot = TempIo.createTempDir("graft-sivm-state-")
+    val checkpoint = TempIo.createTempDir("graft-sivm-ckpt-")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    (1 to nChunks).foreach { i =>
+      val dir = s"$src/stage$i"
+      raw.filter(pmod($"event_id", lit(nChunks)) === i - 1)
+        .coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/chunk$i.parquet"))
+      TempIo.deleteRecursively(dir)
+    }
+    var stateVersion = -1L
+    val q = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val partial = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("s"))
+        val merged =
+          if (stateVersion < 0) partial
+          else batch.sparkSession.read.parquet(s"$stateRoot/v$stateVersion")
+            .unionByName(partial)
+            .groupBy(col("event_type"))
+            .agg(sum(col("n")).as("n"),
+              sum(col("s")).cast("decimal(38,2)").as("s"))
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v$epochId")
+        stateVersion = epochId
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = TempIo.materialize(spark,
+      spark.read.parquet(s"$stateRoot/v$stateVersion")
+        .select($"event_type", $"n".as("n_total"),
+          graft.engine.Exact.decToDouble($"s", 2).as("sum_value"),
+          lit(stateVersion + 1).as("n_refreshes"))
+        .orderBy($"event_type"))
+    TempIo.deleteRecursively(src)
+    TempIo.deleteRecursively(stateRoot)
+    TempIo.deleteRecursively(checkpoint)
+    result
+  }
+
+  /** The maintained state must equal a from-scratch aggregate, and the
+    * refresh count is the fixture's chunk count. */
+  def q144Sql: String =
+    """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_value,
+       CAST(4 AS BIGINT) AS n_refreshes
+       FROM events GROUP BY event_type ORDER BY event_type"""
 }

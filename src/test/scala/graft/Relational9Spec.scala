@@ -191,4 +191,28 @@ class Relational9Spec extends SparkTestBase {
     assert(got.values.exists(_._1 > 1),
       "fixture must actually overlap somewhere or the gauge proves nothing")
   }
+
+  test("q143 merge round: the winner is fully consumed and the stream shrinks") {
+    val winner = Relational9.q137BpePairs(spark, sf)
+      .orderBy($"cnt".desc, $"pair").limit(1)
+      .select($"pair", $"cnt").as[(String, Long)].collect().head
+    val round2 = Relational9.q143BpeMergeRound(spark, sf).collect()
+    assert(round2.length == Relational9.BpeTopK)
+    // plain replace leaves no literal occurrence of the winner, and no
+    // new one can form (the merge symbol sits between its halves)
+    assert(!round2.exists(_.getAs[String]("pair") == winner._1),
+      s"winner '${winner._1}' must be absent from the round-2 stream")
+    // merged pairs are visible in the full round-2 stream (merge-site
+    // counts are ~winner-sized, so they need not reach the top-K)
+    val mergeSites = Tables.documents(spark, sf)
+      .select(replace($"text", lit(winner._1), lit(Relational9.BpeMergeSymbol))
+        .as("text"))
+      .filter($"text".contains(Relational9.BpeMergeSymbol))
+      .count()
+    assert(mergeSites > 0, "the winner must actually occur somewhere to merge")
+    // each merge removes the winner's pair and shortens the stream, so
+    // no round-2 count can exceed round 1's winning count
+    assert(round2.forall(_.getAs[Long]("cnt") <= winner._2),
+      "no round-2 pair can out-count round 1's winner")
+  }
 }

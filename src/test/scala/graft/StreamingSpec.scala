@@ -264,4 +264,21 @@ class StreamingSpec extends SparkTestBase {
     assert(mismatches == 0L, "per-grain counts via the foreachBatch store must equal batch")
     assert(viaStore.count() == direct.count())
   }
+
+  test("q144 stream-IVM: 4-refresh maintained state equals one-shot aggregate") {
+    val maintained = graft.streaming.Streaming.q144StreamIvm(spark, sf).collect()
+    assert(maintained.forall(_.getAs[Long]("n_refreshes") == 4L),
+      "the chunked replay must drive exactly 4 refreshes")
+    val got = maintained.map(r => r.getAs[String]("event_type")
+      -> ((r.getAs[Long]("n_total"), r.getAs[Double]("sum_value")))).toMap
+    val direct = graft.engine.Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.decToDouble(
+          sum($"value".cast("decimal(18,2)")), 2).as("s"))
+      .collect()
+      .map(r => r.getAs[String]("event_type")
+        -> ((r.getAs[Long]("n"), r.getAs[Double]("s")))).toMap
+    assert(got == direct, "maintained view must equal the from-scratch aggregate")
+  }
 }
