@@ -171,6 +171,7 @@ object SparkEntry {
     "q142_concurrency_gauge" -> Relational9.q142ConcurrencyGauge _,
     "q143_bpe_merge_round" -> Relational9.q143BpeMergeRound _,
     "q144_stream_ivm"      -> graft.streaming.Streaming.q144StreamIvm _,
+    "q145_grouped_split"   -> Dedup.q145GroupedSplit _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -537,5 +538,6 @@ object SparkEntry {
     "q142_concurrency_gauge" -> Relational9.q142Sql,
     "q143_bpe_merge_round"  -> Relational9.q143Sql,
     "q144_stream_ivm"       -> graft.streaming.Streaming.q144Sql,
+    "q145_grouped_split"    -> Dedup.q145Sql,
   )
 }

@@ -724,4 +724,86 @@ object Dedup {
             AS BIGINT) AS tokens_dropped
         FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc
         GROUP BY d.source ORDER BY d.source"""
+
+  val GroupedFolds = 5
+
+  /** Cluster-aware (leakage-free) K-fold split: fold assignment is a
+    * function of the doc's near-dup CLUSTER canonical (q67), not the
+    * doc id — every member of a cluster lands in the same fold, so no
+    * near-duplicate pair can straddle a train/eval boundary. This is
+    * the split q104's leakage audit demands: q80 splits by doc and
+    * AUDITS the contamination; this splits by cluster and PREVENTS it.
+    *
+    * `cross_fold_pairs` is computed for real (every q21 candidate pair
+    * joined against both endpoints' folds), not asserted as a literal —
+    * its guaranteed zero is the query's correctness claim, and any
+    * regression in the cluster labeling breaks the gate visibly.
+    *
+    * Fold = canonical % K on this corpus's uniform synthetic ids
+    * (q139's bucket argument); skewed production ids hash the
+    * canonical first. Scale: labels and pairs are the tiny post-LSH
+    * frames (broadcast); the corpus contributes one scan for token
+    * accounting. */
+  def q145GroupedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labels = q67DedupClusters(spark, sfDir)
+    val folded = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("wc"))
+      .join(broadcast(labels), $"doc_id" === $"doc", "left_outer")
+      .select($"doc_id", $"wc",
+        coalesce($"canonical", $"doc_id").as("canonical"))
+      .withColumn("fold", $"canonical" % GroupedFolds)
+    val perFold = folded.groupBy($"fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"canonical").as("n_clusters"),
+        sum($"wc").as("n_tokens"))
+    val foldOf = folded.select($"doc_id", $"fold")
+    val crossFold = q21MinhashLsh(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+      .join(broadcast(foldOf.select($"doc_id".as("doc_a"), $"fold".as("fold_a"))),
+        "doc_a")
+      .join(broadcast(foldOf.select($"doc_id".as("doc_b"), $"fold".as("fold_b"))),
+        "doc_b")
+      .filter($"fold_a" =!= $"fold_b")
+      .groupBy($"fold_a".as("fold"))
+      .agg(count(lit(1)).as("xf"))
+    perFold.join(crossFold, Seq("fold"), "left_outer")
+      .select($"fold", $"n_docs", $"n_clusters", $"n_tokens",
+        coalesce($"xf", lit(0L)).as("cross_fold_pairs"))
+      .orderBy($"fold")
+  }
+
+  def q145Sql: String =
+    s"""WITH RECURSIVE $bandCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT a AS doc, min(b) AS canonical FROM reach GROUP BY a),
+        folded AS (
+          SELECT d.doc_id,
+            len(regexp_split_to_array(trim(d.text), '\\s+')) AS wc,
+            coalesce(l.canonical, d.doc_id) % $GroupedFolds AS fold
+          FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+        xf AS (
+          SELECT fa.fold AS fold, count(*) AS xf
+          FROM pairs p
+          JOIN folded fa ON p.doc_a = fa.doc_id
+          JOIN folded fb ON p.doc_b = fb.doc_id
+          WHERE fa.fold <> fb.fold
+          GROUP BY fa.fold)
+        SELECT f.fold, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT coalesce(l.canonical, f.doc_id)) AS BIGINT) AS n_clusters,
+          CAST(sum(f.wc) AS BIGINT) AS n_tokens,
+          CAST(coalesce(any_value(xf.xf), 0) AS BIGINT) AS cross_fold_pairs
+        FROM folded f
+        LEFT JOIN labels l ON f.doc_id = l.doc
+        LEFT JOIN xf ON f.fold = xf.fold
+        GROUP BY f.fold ORDER BY f.fold"""
 }

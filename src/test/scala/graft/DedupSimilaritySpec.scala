@@ -109,4 +109,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     val mean = recalls.sum / recalls.size
     assert(mean > 0.05, s"mean nprobe=1 recall $mean should be clearly nonzero")
   }
+
+  test("q145 grouped split: zero leakage where a doc-id split would leak") {
+    val folds = Dedup.q145GroupedSplit(spark, sf).collect()
+    assert(folds.map(_.getAs[Long]("fold")).toSet ==
+      (0L until Dedup.GroupedFolds).toSet)
+    assert(folds.forall(_.getAs[Long]("cross_fold_pairs") == 0L),
+      "cluster-keyed folds must never split a near-dup pair")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(folds.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document gets exactly one fold")
+    // the guarantee is load-bearing: the naive doc-id split DOES leak
+    // on this corpus (some near-dup pair lands in two different folds)
+    val naiveLeaks = Dedup.q21MinhashLsh(spark, sf)
+      .filter($"doc_a" % Dedup.GroupedFolds =!= $"doc_b" % Dedup.GroupedFolds)
+      .count()
+    assert(naiveLeaks > 0,
+      "fixture must contain pairs a doc-keyed split would separate")
+  }
 }

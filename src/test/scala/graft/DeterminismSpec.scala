@@ -23,7 +23,11 @@ class DeterminismSpec extends SparkTestBase {
     "q113_winsorize",         // percentile broadcast + clipped mean
     "q121_linear_trend",      // integer moments regression
     "q125_pagerank_exact",    // fixed-point iteration
-    "q127_kmv_distinct")      // min-k sketch buffer merge
+    "q127_kmv_distinct",      // min-k sketch buffer merge
+    "q135_local_supplier",    // decimal grid + ORDER BY revenue DESC
+    "q136_ivm_merge",         // partial-state decimal merge
+    "q139_checksum_diff",     // commutative mod-sum checksum
+    "q142_concurrency_gauge") // sweep-line running sum with tie order
 
   private def run(name: String): Seq[Seq[Any]] =
     SparkEntry.queries(name)(spark, sf).collect().toSeq.map(_.toSeq)
