@@ -114,9 +114,15 @@ object Dedup {
     * each round (at 100 TB the per-round state is one (doc, label) pair
     * per clustered doc — tiny next to the corpus — and candidate pairs
     * come pre-bucketed by LSH, never all-pairs). */
-  def q67DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def q67DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersFromPairs(spark,
+      q21MinhashLsh(spark, sfDir).select("doc_a", "doc_b"))
+
+  /** HashMin label propagation over a precomputed candidate-pair frame —
+    * split out so callers that also consume the pairs (q145's cross-fold
+    * audit) derive them ONCE instead of re-running the LSH pipeline. */
+  private[engine] def clustersFromPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
     import spark.implicits._
-    val pairs = q21MinhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .localCheckpoint()
@@ -746,7 +752,11 @@ object Dedup {
     * accounting. */
   def q145GroupedSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val labels = q67DedupClusters(spark, sfDir)
+    // the pair frame feeds BOTH the clustering and the cross-fold audit:
+    // checkpoint it once so the LSH pipeline (shingle/md5/band) runs once
+    val pairs = q21MinhashLsh(spark, sfDir)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val labels = clustersFromPairs(spark, pairs)
     val folded = Tables.documents(spark, sfDir)
       .select($"doc_id",
         size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("wc"))
@@ -759,8 +769,7 @@ object Dedup {
         countDistinct($"canonical").as("n_clusters"),
         sum($"wc").as("n_tokens"))
     val foldOf = folded.select($"doc_id", $"fold")
-    val crossFold = q21MinhashLsh(spark, sfDir)
-      .select($"doc_a", $"doc_b")
+    val crossFold = pairs
       .join(broadcast(foldOf.select($"doc_id".as("doc_a"), $"fold".as("fold_a"))),
         "doc_a")
       .join(broadcast(foldOf.select($"doc_id".as("doc_b"), $"fold".as("fold_b"))),
