@@ -172,6 +172,7 @@ object SparkEntry {
     "q143_bpe_merge_round" -> Relational9.q143BpeMergeRound _,
     "q144_stream_ivm"      -> graft.streaming.Streaming.q144StreamIvm _,
     "q145_grouped_split"   -> Dedup.q145GroupedSplit _,
+    "q146_pq_adc"          -> Similarity.q146PqAdc _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -539,5 +540,6 @@ object SparkEntry {
     "q143_bpe_merge_round"  -> Relational9.q143Sql,
     "q144_stream_ivm"       -> graft.streaming.Streaming.q144Sql,
     "q145_grouped_split"    -> Dedup.q145Sql,
+    "q146_pq_adc"           -> Similarity.q146Sql,
   )
 }

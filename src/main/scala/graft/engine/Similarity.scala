@@ -373,4 +373,165 @@ object Similarity {
          CAST(floor(CAST(embedding[1] AS DOUBLE) * 127.0) AS BIGINT))) AS q0,
        count(*) AS counts
        FROM embeddings GROUP BY 1, 2 ORDER BY label, q0"""
+
+  // --- q146: product quantization + asymmetric distance (ADC) ---------
+
+  private val PqM = 8    // subspaces
+  private val PqK = 16   // codewords per subspace
+  private val PqSub = Dim / PqM
+
+  /** Squared L2 between the `m`-th 8-dim slices of two vectors —
+    * sequential left fold over double-cast elements (`m` 0-based,
+    * dynamic column so one broadcast frame serves all subspaces). */
+  private def subDist(a: Column, b: Column, m: Column): Column =
+    aggregate(
+      zip_with(slice(a, m * PqSub + 1, lit(PqSub)),
+               slice(b, m * PqSub + 1, lit(PqSub)),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+                  (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** SQL twin of [[subDist]] (same element order, same fold; the
+    * list_reduce seed-by-first-element equals Spark's 0.0 seed because
+    * every term is a non-negative square). */
+  private def subDistSql(a: String, b: String, m: String): String =
+    s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+          i -> (CAST($a[$m * $PqSub + i] AS DOUBLE) - CAST($b[$m * $PqSub + i] AS DOUBLE))
+             * (CAST($a[$m * $PqSub + i] AS DOUBLE) - CAST($b[$m * $PqSub + i] AS DOUBLE))),
+        (x, y) -> x + y)"""
+
+  /** Squared L2 over the full 64 dims — the exact distance the ADC
+    * estimate is reported against. */
+  private def fullDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+                               (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def fullDistSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+          i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+             * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+        (x, y) -> x + y)"""
+
+  /** The 128-row (m, code, cvec) codebook frame: codewords are the
+    * 16 lowest-vec_id embeddings (deterministic, data-derived — a
+    * k-means codebook would train from exactly this kind of seed), each
+    * replicated across the 8 subspaces. Tiny by construction → always
+    * broadcast. */
+  private def pqCodebook(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .orderBy($"vec_id").limit(PqK)
+      .withColumn("code",
+        row_number().over(Window.orderBy($"vec_id")) - 1)
+      .select($"code",
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        $"embedding".as("cvec"))
+  }
+
+  /** Product quantization with asymmetric distance (ADC) — the memory
+    * scale path past q73's IVF: each vector compresses to 8 nibble codes
+    * (64 B float → 4 B), queries score candidates through a 128-entry
+    * per-query lookup table (8 adds per pair instead of a 64-dim fold).
+    *
+    * Encode: per (vector, subspace) argmin of subspace L2 over the 16
+    * codewords, (distance, code) lexicographic tie-break so float ties
+    * cannot diverge engines. ADC: per query, LUT[m*16+code] = subspace
+    * distance to each codeword; candidate distance = Σ_m LUT lookups —
+    * a left fold over m, bit-identical in both engines. Top-3 by
+    * (adc_d, vec_id) is then re-scored exactly (64-dim fold) to report
+    * the quantization error the judge of an ANN system actually reads.
+    *
+    * Scale posture (100 TB): the codebook is O(K·D) and broadcast; the
+    * encode pass is a map over the corpus (one scan, no shuffle); the
+    * candidate scan carries 4 B codes instead of 256 B vectors — the
+    * whole point of PQ is that this scan stays in memory at corpus
+    * sizes where raw vectors spill. The cross join here is the honest
+    * small-query-set plan (queries broadcast); production composes it
+    * with q73's IVF cells (IVF-PQ) so each query scores one cell, not
+    * the corpus. */
+  def q146PqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebook(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val codes = emb.crossJoin(broadcast(cb))
+      .select($"vec_id", $"m", $"code",
+        subDist($"embedding", $"cvec", $"m").as("d"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d", $"code")).getField("code").as("code"))
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
+        x => x.getField("code")).as("codes"))
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val lut = queries.crossJoin(broadcast(cb))
+      .select($"query_id", $"q_emb", ($"m" * PqK + $"code").as("idx"),
+        subDist($"q_emb", $"cvec", $"m").as("d"))
+      .groupBy($"query_id", $"q_emb")
+      .agg(transform(array_sort(collect_list(struct($"idx", $"d"))),
+        x => x.getField("d")).as("lut"))
+    val adc = codes.crossJoin(broadcast(lut))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"q_emb", $"vec_id", $"codes",
+        aggregate(
+          transform(sequence(lit(0), lit(PqM - 1)),
+            m => element_at($"lut", m * PqK + element_at($"codes", m + 1) + 1)),
+          lit(0.0), (acc, v) => acc + v).as("adc_d"))
+    val topk = Window.partitionBy($"query_id").orderBy($"adc_d", $"vec_id")
+    adc.withColumn("rk", row_number().over(topk))
+      .filter($"rk" <= 3)
+      .join(emb, "vec_id")
+      .select($"query_id", $"rk", $"vec_id",
+        round($"adc_d", 6).as("adc_d"),
+        round(fullDist($"q_emb", $"embedding"), 6).as("exact_d"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  def q146Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        cbase AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                 embedding AS cvec
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT $PqK)),
+        cb AS (
+          SELECT m, code, cvec
+          FROM cbase CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)),
+        enc AS (
+          SELECT e.vec_id, cb.m, cb.code,
+            ${subDistSql("e.embedding", "cb.cvec", "cb.m")} AS d
+          FROM e CROSS JOIN cb),
+        codes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT vec_id, m, code,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+            FROM enc) WHERE rn = 1
+          GROUP BY vec_id),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb
+          FROM e WHERE vec_id % 100 = 0),
+        lut AS (
+          SELECT query_id, list(d ORDER BY idx) AS lut FROM (
+            SELECT q.query_id, cb.m * $PqK + cb.code AS idx,
+              ${subDistSql("q.q_emb", "cb.cvec", "cb.m")} AS d
+            FROM q CROSS JOIN cb)
+          GROUP BY query_id),
+        adc AS (
+          SELECT l.query_id, c.vec_id,
+            list_reduce(list_transform(range(0, $PqM),
+              m -> l.lut[m * $PqK + c.codes[m + 1] + 1]),
+              (x, y) -> x + y) AS adc_d
+          FROM codes c CROSS JOIN lut l
+          WHERE c.vec_id <> l.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, adc_d,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d, vec_id) AS rk
+          FROM adc)
+        SELECT r.query_id, r.rk, r.vec_id, round(r.adc_d, 6) AS adc_d,
+          round(${fullDistSql("q.q_emb", "e.embedding")}, 6) AS exact_d
+        FROM ranked r
+        JOIN q ON q.query_id = r.query_id
+        JOIN e ON e.vec_id = r.vec_id
+        WHERE r.rk <= 3 ORDER BY r.query_id, r.rk"""
 }

@@ -127,4 +127,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(naiveLeaks > 0,
       "fixture must contain pairs a doc-keyed split would separate")
   }
+
+  test("q146 PQ/ADC matches a driver-side recompute of the quantized distance") {
+    val rows = Similarity.q146PqAdc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent model: rebuild codebook + codes + LUT in plain Scala
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .toMap
+    val codebook = emb.keys.toSeq.sorted.take(16).map(emb) // code -> vec
+    def sub(v: Array[Float], m: Int) = v.slice(m * 8, m * 8 + 8)
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }
+    def codesOf(v: Array[Float]): Array[Int] =
+      (0 until 8).map { m =>
+        codebook.zipWithIndex
+          .map { case (c, i) => (d2(sub(v, m), sub(c, m)), i) }.min._2
+      }.toArray
+    rows.foreach { r =>
+      val q = emb(r.getAs[Long]("query_id"))
+      val x = emb(r.getAs[Long]("vec_id"))
+      val adc = (0 until 8).foldLeft(0.0) { (acc, m) =>
+        acc + d2(sub(q, m), sub(codebook(codesOf(x)(m)), m)) }
+      assert(math.abs(r.getAs[Double]("adc_d") - adc) < 1e-6,
+        s"ADC mismatch for ${r}")
+      assert(math.abs(r.getAs[Double]("exact_d") - d2(q, x)) < 1e-6)
+    }
+    // ranks are 1..3 per query with non-decreasing quantized distance
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val byRk = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3))
+      val ds = byRk.map(_.getAs[Double]("adc_d"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
