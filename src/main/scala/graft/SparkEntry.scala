@@ -173,6 +173,9 @@ object SparkEntry {
     "q144_stream_ivm"      -> graft.streaming.Streaming.q144StreamIvm _,
     "q145_grouped_split"   -> Dedup.q145GroupedSplit _,
     "q146_pq_adc"          -> Similarity.q146PqAdc _,
+    "q147_band_join"       -> Relational10.q147BandJoin _,
+    "q148_merge_upsert"    -> Relational10.q148MergeUpsert _,
+    "q149_sliding_distinct" -> Relational10.q149SlidingDistinct _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -541,5 +544,8 @@ object SparkEntry {
     "q144_stream_ivm"       -> graft.streaming.Streaming.q144Sql,
     "q145_grouped_split"    -> Dedup.q145Sql,
     "q146_pq_adc"           -> Similarity.q146Sql,
+    "q147_band_join"        -> Relational10.q147Sql,
+    "q148_merge_upsert"     -> Relational10.q148Sql,
+    "q149_sliding_distinct" -> Relational10.q149Sql,
   )
 }

@@ -54,4 +54,11 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(customerScans == 1,
       s"customer must be scanned exactly once, saw $customerScans")
   }
+
+  test("q147 band join plans as an equi join, never a cartesian product") {
+    val p = plan(graft.engine.Relational10.q147BandJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "the bucket key must make the theta join hash/merge-joinable:\n" + p)
+  }
 }
