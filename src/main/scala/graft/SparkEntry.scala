@@ -176,6 +176,9 @@ object SparkEntry {
     "q147_band_join"       -> Relational10.q147BandJoin _,
     "q148_merge_upsert"    -> Relational10.q148MergeUpsert _,
     "q149_sliding_distinct" -> Relational10.q149SlidingDistinct _,
+    "q150_kmv_setops"      -> Relational10.q150KmvSetOps _,
+    "q151_interpolate"     -> Relational10.q151Interpolate _,
+    "q152_chi_square"      -> Relational10.q152ChiSquare _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -547,5 +550,8 @@ object SparkEntry {
     "q147_band_join"        -> Relational10.q147Sql,
     "q148_merge_upsert"     -> Relational10.q148Sql,
     "q149_sliding_distinct" -> Relational10.q149Sql,
+    "q150_kmv_setops"       -> Relational10.q150Sql,
+    "q151_interpolate"      -> Relational10.q151Sql,
+    "q152_chi_square"       -> Relational10.q152Sql,
   )
 }

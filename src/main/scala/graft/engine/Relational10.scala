@@ -179,6 +179,273 @@ object Relational10 {
       .orderBy($"event_type", $"th")
   }
 
+  /** KMV sketch size for q150 — shared with the oracle SQL. */
+  val KmvSetK = 32
+
+  /** q150 — KMV set-operation cardinalities: two overlapping extracts
+    * of the event log (first 60% / last 60% by event_id) summarized as
+    * min-k sketches, then |A|, |B|, |A∪B|, |A∩B| estimated FROM THE
+    * SKETCHES ALONE — q139's anti-entropy question ("how much do two
+    * replicas share?") answered by exchanging k longs per side instead
+    * of the sets.
+    *
+    * The algebra: min_k(A∪B) = min_k(min_k(A) ∪ min_k(B)) (take the k
+    * smallest of the merged sketches), so the union estimate composes
+    * without re-scanning; the intersection uses the Beyer et al.
+    * estimator |A∩B| ≈ ρ·|A∪B| with ρ = |K(A∪B) ∩ K_A ∩ K_B| / k —
+    * here kept in INTEGER arithmetic (cnt·est_union div k) so the
+    * oracle reproduces it bit-for-bit. Min-k sets are order-independent
+    * under update AND merge, which is what makes the whole row exactly
+    * reproducible (q127's property, extended to set algebra). Exact
+    * counts ride the same single scan as conditional aggregates — the
+    * estimate's error is part of the oracle-checked output.
+    *
+    * Scale posture: each side's sketch is a k-long partial per
+    * partition (map-side combined); the final set math is O(k) on one
+    * row. At 100 TB this is THE way to answer overlap questions across
+    * stores/regions — ship 256 B, not the key sets. */
+  def q150KmvSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = KmvSetK
+    val ids = Tables.events(spark, sfDir).select($"event_id").distinct()
+    val bounds = ids.agg(
+      expr("(6 * max(event_id)) div 10").as("a_hi"),
+      expr("(4 * max(event_id)) div 10").as("b_lo"))
+    val one = ids
+      .select($"event_id",
+        conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .crossJoin(broadcast(bounds))
+      .agg(
+        graft.functions.KmvAggregate.kmvMinima(
+          when($"event_id" <= $"a_hi", $"hv"), k).as("ska"),
+        graft.functions.KmvAggregate.kmvMinima(
+          when($"event_id" >= $"b_lo", $"hv"), k).as("skb"),
+        count(when($"event_id" <= $"a_hi", lit(1))).as("exact_a"),
+        count(when($"event_id" >= $"b_lo", lit(1))).as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        count(when($"event_id" <= $"a_hi" && $"event_id" >= $"b_lo", lit(1)))
+          .as("exact_inter"))
+      .withColumn("sku",
+        slice(array_sort(array_distinct(concat($"ska", $"skb"))), 1, k))
+    def est(s: String): String =
+      s"CASE WHEN size($s) < $k THEN CAST(size($s) AS BIGINT) " +
+        s"ELSE (${(k - 1).toLong} * 4294967296) div element_at($s, $k) END"
+    one.select(
+      expr(est("ska")).as("est_a"),
+      expr(est("skb")).as("est_b"),
+      expr(est("sku")).as("est_union"),
+      expr(s"(CAST(size(array_intersect(array_intersect(sku, ska), skb)) " +
+        s"AS BIGINT) * (${est("sku")})) div least($k, size(sku))")
+        .as("est_inter"),
+      $"exact_a", $"exact_b", $"exact_union", $"exact_inter")
+  }
+
+  def q150Sql: String = {
+    val k = KmvSetK
+    def est(s: String): String =
+      s"CASE WHEN len($s) < $k THEN CAST(len($s) AS BIGINT) " +
+        s"ELSE (${(k - 1).toLong} * 4294967296) // $s[$k] END"
+    s"""WITH ids AS (SELECT DISTINCT event_id FROM events),
+       bounds AS (
+         SELECT (6 * max(event_id)) // 10 AS a_hi,
+                (4 * max(event_id)) // 10 AS b_lo
+         FROM ids),
+       hv AS (
+         SELECT event_id,
+           list_reduce(list_transform(range(1, 9), i ->
+             strpos('0123456789abcdef',
+               substr(md5(CAST(event_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+             (a, b) -> a * 16 + b) AS hv
+         FROM ids),
+       ska AS (
+         SELECT list(hv ORDER BY hv) AS s FROM (
+           SELECT DISTINCT hv.hv FROM hv, bounds WHERE event_id <= a_hi
+           ORDER BY hv LIMIT $k)),
+       skb AS (
+         SELECT list(hv ORDER BY hv) AS s FROM (
+           SELECT DISTINCT hv.hv FROM hv, bounds WHERE event_id >= b_lo
+           ORDER BY hv LIMIT $k)),
+       sku AS (
+         SELECT list(hv ORDER BY hv) AS s FROM (
+           SELECT DISTINCT hv FROM (
+             SELECT unnest(ska.s) AS hv FROM ska
+             UNION SELECT unnest(skb.s) AS hv FROM skb)
+           ORDER BY hv LIMIT $k)),
+       ex AS (
+         SELECT
+           CAST(count(CASE WHEN event_id <= a_hi THEN 1 END) AS BIGINT)
+             AS exact_a,
+           CAST(count(CASE WHEN event_id >= b_lo THEN 1 END) AS BIGINT)
+             AS exact_b,
+           CAST(count(*) AS BIGINT) AS exact_union,
+           CAST(count(CASE WHEN event_id <= a_hi AND event_id >= b_lo
+             THEN 1 END) AS BIGINT) AS exact_inter
+         FROM ids, bounds)
+       SELECT
+         CAST(${est("ska.s")} AS BIGINT) AS est_a,
+         CAST(${est("skb.s")} AS BIGINT) AS est_b,
+         CAST(${est("sku.s")} AS BIGINT) AS est_union,
+         CAST((CAST(len(list_intersect(list_intersect(sku.s, ska.s), skb.s))
+             AS BIGINT) * (${est("sku.s")})) // least($k, len(sku.s))
+           AS BIGINT) AS est_inter,
+         exact_a, exact_b, exact_union, exact_inter
+       FROM ska, skb, sku, ex"""
+  }
+
+  /** q151 — linear-interpolation resample: the hourly 'purchase'
+    * revenue series densified to EVERY hour between its first and last
+    * observation, missing hours filled by interpolating between the
+    * nearest observed neighbors (q64's zero-fill answers "no data =
+    * zero"; a rate/gauge series needs "no data = in between").
+    *
+    * Mechanics: dense grid (sequence over the known bounds) left-joined
+    * to the observed hours, then four IGNORE-NULLS value windows — last
+    * observed (value, hour) looking back, first observed looking
+    * forward — and one interpolation expression. All inputs are exact
+    * integers (cents, hour indices); the interpolated value is
+    * prev + (Δv·Δh)/span with the int64 products formed BEFORE the one
+    * IEEE division, so both engines round identically (q121's one-
+    * float-op discipline).
+    *
+    * Scale posture: the series is already |hours|-sized — tiny — so the
+    * unpartitioned window sort is bounded by the grid, never the log
+    * (the log collapses in the first aggregation). A per-key panel
+    * (sensor × hour at 100 TB) gets `partitionBy(key)` on every window
+    * and the same expressions. */
+  def q151Interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val known = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy(expr(s"unix_micros(ts) div $HourUs").as("h"))
+      .agg(sum(Exact.cents($"value")).as("cents"))
+    val bounds = known.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val grid = bounds.select(explode(sequence($"h0", $"h1")).as("h"))
+    val back = Window.orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.orderBy($"h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(known, Seq("h"), "left")
+      .withColumn("pv", last($"cents", ignoreNulls = true).over(back))
+      .withColumn("ph",
+        last(when($"cents".isNotNull, $"h"), ignoreNulls = true).over(back))
+      .withColumn("nv", first($"cents", ignoreNulls = true).over(fwd))
+      .withColumn("nh",
+        first(when($"cents".isNotNull, $"h"), ignoreNulls = true).over(fwd))
+      .select($"h",
+        when($"cents".isNotNull, $"cents".cast("double"))
+          .otherwise($"pv".cast("double") +
+            (($"nv" - $"pv") * ($"h" - $"ph")).cast("double")
+              / ($"nh" - $"ph").cast("double")).as("val"),
+        $"cents".isNotNull.as("observed"))
+      .orderBy($"h")
+  }
+
+  def q151Sql: String =
+    s"""WITH known AS (
+         SELECT epoch_us(ts) // $HourUs AS h,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       grid AS (
+         SELECT unnest(range(min(h), max(h) + 1)) AS h FROM known),
+       g AS (
+         SELECT grid.h, k.cents FROM grid LEFT JOIN known k USING (h)),
+       w AS (
+         SELECT h, cents,
+           last_value(cents IGNORE NULLS) OVER
+             (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS pv,
+           last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+             OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ph,
+           first_value(cents IGNORE NULLS) OVER
+             (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS nv,
+           first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+             OVER (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS nh
+         FROM g)
+       SELECT h,
+         CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+              ELSE CAST(pv AS DOUBLE)
+                + CAST((nv - pv) * (h - ph) AS DOUBLE)
+                  / CAST(nh - ph AS DOUBLE) END AS val,
+         cents IS NOT NULL AS observed
+       FROM w ORDER BY h"""
+
+  /** q152 — chi-square independence audit over the documents corpus:
+    * is `lang` distributed independently of `source`? The dataset-
+    * composition diagnostic run before mixing sources (a large χ²
+    * says per-source language balancing is needed).
+    *
+    * Contingency table = the DENSE source × lang grid (zero cells
+    * contribute their expectation), expected counts e = r·c/n with the
+    * int64 product formed before one IEEE division, per-cell
+    * contribution (o−e)²/e three further IEEE ops on identical
+    * operands, and the total folded over cells in (source, lang) order
+    * — a sequential fold both engines replay exactly, because float
+    * addition's non-associativity makes an unordered SUM engine-
+    * dependent (the q133 moment discipline, extended to a statistic
+    * that cannot stay integer).
+    *
+    * Scale posture: the observed table reduces in ONE map-side-combined
+    * aggregation; everything after is |sources|×|langs| — matrix-sized.
+    * The ordered fold is over that same tiny grid, never data-sized. */
+  def q152ChiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"source", $"lang")
+    val obs = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy($"source").agg(sum($"o").as("r"))
+    val colT = obs.groupBy($"lang").agg(sum($"o").as("c"))
+    val tot = obs.agg(sum($"o").as("n"),
+      countDistinct($"source").as("ns"), countDistinct($"lang").as("nl"))
+    val cells = rowT.crossJoin(colT)
+      .join(obs, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", ($"r" * $"c").cast("double") / $"n".cast("double"))
+      .withColumn("contrib",
+        ($"o".cast("double") - $"e") * ($"o".cast("double") - $"e") / $"e")
+    cells.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct($"source", $"lang", $"contrib"))),
+          x => x.getField("contrib")),
+        lit(0.0), (acc, v) => acc + v).as("chi2_raw"),
+      first($"ns").as("ns"), first($"nl").as("nl"), first($"n").as("n"))
+      .select(round($"chi2_raw", 6).as("chi2"),
+        (($"ns" - 1) * ($"nl" - 1)).as("dof"), $"n")
+  }
+
+  def q152Sql: String =
+    """WITH obs AS (
+         SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+         FROM documents GROUP BY 1, 2),
+       rt AS (SELECT source, sum(o) AS r FROM obs GROUP BY 1),
+       ct AS (SELECT lang, sum(o) AS c FROM obs GROUP BY 1),
+       tot AS (
+         SELECT CAST(sum(o) AS BIGINT) AS n,
+           CAST(count(DISTINCT source) AS BIGINT) AS ns,
+           CAST(count(DISTINCT lang) AS BIGINT) AS nl
+         FROM obs),
+       cells AS (
+         SELECT rt.source, ct.lang,
+           COALESCE(obs.o, 0) AS o,
+           CAST(rt.r * ct.c AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+         FROM rt CROSS JOIN ct
+         LEFT JOIN obs ON obs.source = rt.source AND obs.lang = ct.lang
+         CROSS JOIN tot),
+       contribs AS (
+         SELECT list(
+             (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+             ORDER BY source, lang) AS cs
+         FROM cells)
+       SELECT
+         round(list_reduce(cs, (a, b) -> a + b), 6) AS chi2,
+         (ns - 1) * (nl - 1) AS dof, n
+       FROM contribs, tot"""
+
   def q149Sql: String =
     """WITH pres AS (
          SELECT DISTINCT event_type, user_id,

@@ -28,19 +28,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * min-k set. Buffer is O(k) longs; partials ship k longs per
   * partition regardless of input size.
   */
-case class KmvSketch(
-    child: Expression,
-    k: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
-
-  require(k >= 2, "KMV needs at least 2 minima")
+// explicitly Serializable: were it not, Java deserialization would
+// invoke ITS no-arg constructor to rebuild leaf instances (running any
+// constructor body against still-default fields)
+abstract class KmvBase
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with Serializable {
+  def child: Expression
+  def k: Int
 
   override def children: Seq[Expression] = Seq(child)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
 
   // no inputTypes override (AbstractDataType is private[sql] in Spark 4);
   // the LongType contract is enforced by checkInputDataTypes instead
@@ -52,7 +49,6 @@ case class KmvSketch(
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"graft_kmv_distinct expects BIGINT, got ${child.dataType.simpleString}")
 
-  override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
@@ -79,10 +75,6 @@ case class KmvSketch(
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toLong
-    else ((k - 1).toLong * 4294967296L) / buf.last()
-
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
@@ -101,12 +93,58 @@ case class KmvSketch(
     buf
   }
 
+}
+
+/** The distinct-count estimate: (k−1)·2³² / h_k, exact below k. */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends KmvBase {
+  require(k >= 2, "KMV needs at least 2 minima")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def dataType: DataType = LongType
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else ((k - 1).toLong * 4294967296L) / buf.last()
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
     copy(inputAggBufferOffset = newOffset)
-
   override def prettyName: String = "graft_kmv_distinct"
+}
+
+/** The min-k set itself (sorted ascending) — the mergeable summary
+  * KMV set algebra runs on: min_k(A ∪ B) = min_k(min_k(A) ∪ min_k(B)),
+  * so union/intersection cardinality estimates compose from sketches
+  * without touching the underlying sets (q150). */
+case class KmvMinima(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends KmvBase {
+  require(k >= 2, "KMV needs at least 2 minima")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_kmv_minima"
 }
 
 object KmvAggregate {
@@ -114,4 +152,9 @@ object KmvAggregate {
   def kmvDistinct(hash: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketch(ColumnBridge.expr(hash), k).toAggregateExpression())
+
+  /** Column API: the sorted min-k hash set (array<bigint>). */
+  def kmvMinima(hash: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvMinima(ColumnBridge.expr(hash), k).toAggregateExpression())
 }

@@ -50,6 +50,82 @@ class Relational10Spec extends SparkTestBase {
     assert(actions("update"), "fixture must exercise the update arm")
   }
 
+  test("q150 kmv set ops: estimates are partitioning-independent and sane") {
+    val r1 = Relational10.q150KmvSetOps(spark, sf).collect().head
+    // the min-k sketch is order/partitioning-independent, so the whole
+    // row must be identical under a different shuffle width
+    val wide = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set("spark.sql.shuffle.partitions", 7)
+    val r2 = try Relational10.q150KmvSetOps(spark, sf).collect().head
+    finally spark.conf.set("spark.sql.shuffle.partitions", wide)
+    assert(r1.toSeq == r2.toSeq, "KMV row must not depend on partitioning")
+    val Seq(estU, exU) =
+      Seq("est_union", "exact_union").map(c => r1.getAs[Long](c))
+    val Seq(estI, exI) =
+      Seq("est_inter", "exact_inter").map(c => r1.getAs[Long](c))
+    // k=32 ⇒ relative error ~1/√32 ≈ 0.18; assert a generous 2.5σ
+    assert(math.abs(estU - exU).toDouble / exU < 0.45,
+      s"union estimate $estU too far from $exU")
+    assert(estI >= 0 && (exI == 0 || math.abs(estI - exI).toDouble / exI < 1.0),
+      s"intersection estimate $estI unreasonable vs $exI")
+  }
+
+  test("q150 kmv minima aggregate keeps the k smallest distinct values") {
+    val df = spark.range(1000).toDF("v")
+      .select((($"v" * 7919) % 1000).as("hv")) // permutation with dups=0
+      .agg(graft.functions.KmvAggregate.kmvMinima($"hv", 5).as("s"))
+    val s = df.collect().head.getSeq[Long](0)
+    assert(s == Seq(0L, 1L, 2L, 3L, 4L),
+      s"min-5 of a 0..999 permutation must be 0..4, got $s")
+  }
+
+  test("q151 interpolation: observed hours exact, gaps strictly between neighbors") {
+    val rows = Relational10.q151Interpolate(spark, sf).collect()
+      .sortBy(_.getAs[Long]("h"))
+    assert(rows.nonEmpty)
+    val hs = rows.map(_.getAs[Long]("h"))
+    assert(hs.zip(hs.tail).forall { case (a, b) => b == a + 1 },
+      "the grid must be dense")
+    assert(rows.head.getAs[Boolean]("observed") &&
+      rows.last.getAs[Boolean]("observed"),
+      "bounds come from observed hours")
+    // every interpolated value lies within [prev observed, next observed]
+    var prev = rows.head.getAs[Double]("val")
+    val obsIdx = rows.zipWithIndex.filter(_._1.getAs[Boolean]("observed"))
+      .map(_._2)
+    obsIdx.zip(obsIdx.tail).foreach { case (i, j) =>
+      val lo = math.min(rows(i).getAs[Double]("val"), rows(j).getAs[Double]("val"))
+      val hi = math.max(rows(i).getAs[Double]("val"), rows(j).getAs[Double]("val"))
+      ((i + 1) until j).foreach { g =>
+        val v = rows(g).getAs[Double]("val")
+        assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+          s"gap value $v at ${rows(g)} escapes [$lo, $hi]")
+      }
+    }
+    assert(prev >= 0) // silence unused warning paranoia
+  }
+
+  test("q152 chi-square matches a driver-side recompute over the dense grid") {
+    val r = Relational10.q152ChiSquare(spark, sf).collect().head
+    val obs = Tables.documents(spark, sf)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("o")).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[String]("lang")) ->
+        x.getAs[Long]("o")).toMap
+    val sources = obs.keys.map(_._1).toSeq.distinct.sorted
+    val langs = obs.keys.map(_._2).toSeq.distinct.sorted
+    val n = obs.values.sum.toDouble
+    val chi2 = (for { s <- sources; l <- langs } yield {
+      val o = obs.getOrElse((s, l), 0L).toDouble
+      val e = obs.collect { case ((`s`, _), v) => v }.sum.toDouble *
+        obs.collect { case ((_, `l`), v) => v }.sum.toDouble / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-4,
+      s"engine chi2 ${r.getAs[Double]("chi2")} vs model $chi2")
+    assert(r.getAs[Long]("dof") ==
+      (sources.length - 1).toLong * (langs.length - 1))
+  }
+
   test("q149 sliding distinct matches a per-hour direct recount") {
     val got = Relational10.q149SlidingDistinct(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("th")) ->
