@@ -179,6 +179,7 @@ object SparkEntry {
     "q150_kmv_setops"      -> Relational10.q150KmvSetOps _,
     "q151_interpolate"     -> Relational10.q151Interpolate _,
     "q152_chi_square"      -> Relational10.q152ChiSquare _,
+    "q153_constraint_audit" -> Relational10.q153ConstraintAudit _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -553,5 +554,6 @@ object SparkEntry {
     "q150_kmv_setops"       -> Relational10.q150Sql,
     "q151_interpolate"      -> Relational10.q151Sql,
     "q152_chi_square"       -> Relational10.q152Sql,
+    "q153_constraint_audit" -> Relational10.q153Sql,
   )
 }

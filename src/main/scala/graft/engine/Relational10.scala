@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -445,6 +445,104 @@ object Relational10 {
          round(list_reduce(cs, (a, b) -> a + b), 6) AS chi2,
          (ns - 1) * (nl - 1) AS dof, n
        FROM contribs, tot"""
+
+  /** q153 — constraint audit: the nightly data-quality suite (PK
+    * uniqueness, FK orphan counts, NOT-NULL and domain checks) as ONE
+    * relational result — a row per constraint with checked/violation
+    * counts, so downstream gating is a filter on `ok`.
+    *
+    * Plan shapes per constraint class: PK uniqueness = count vs
+    * count(DISTINCT) in one aggregate (no join); FK orphans = LEFT ANTI
+    * join against the parent's key set (broadcast while the parent is
+    * dimension-sized, shuffle-joinable when not — never a collect);
+    * NOT-NULL/domain = conditional counts riding a single scan. Checks
+    * against the same table share its scan where the shape allows
+    * (lineitem's domain check rides the PK aggregate's scan).
+    *
+    * The acctbal domain check FAILS on TPC-H-shaped data (negative
+    * balances exist) — deliberately, so the audit demonstrably detects
+    * violations rather than vacuously passing. Scale: every branch
+    * reduces to one row before the union; total output = |constraints|. */
+  def q153ConstraintAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    def row(name: String, checked: Column, viol: Column, df: DataFrame) =
+      df.agg(checked.cast("long").as("checked"), viol.cast("long").as("violations"))
+        .select(lit(name).as("constraint"), $"checked", $"violations",
+          ($"violations" === 0).as("ok"))
+    val pkOrders = row("pk_orders_orderkey",
+      count(lit(1)), count(lit(1)) - countDistinct($"o_orderkey"), orders)
+    val pkLineitem = row("pk_lineitem_orderkey_linenumber",
+      count(lit(1)),
+      count(lit(1)) - countDistinct($"l_orderkey", $"l_linenumber"), lineitem)
+    val pkCustomer = row("pk_customer_custkey",
+      count(lit(1)), count(lit(1)) - countDistinct($"c_custkey"), customer)
+    def orphans(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String) =
+      row(name, max(lit(null).cast("long")), count(lit(1)),
+        child.select(col(key))
+          .join(broadcast(parent.select(col(pkey).as(key)).distinct()),
+            Seq(key), "left_anti"))
+    val fkOrders = orphans("fk_orders_custkey", orders, "o_custkey",
+      customer, "c_custkey")
+    val fkLineitem = orphans("fk_lineitem_orderkey", lineitem, "l_orderkey",
+      orders, "o_orderkey")
+    val nnProps = row("nn_events_props",
+      count(lit(1)), count(when($"props".isNull, 1)),
+      Tables.events(spark, sfDir))
+    val domQty = row("dom_lineitem_quantity_1_50",
+      count(lit(1)),
+      count(when($"l_quantity" < 1 || $"l_quantity" > 50, 1)), lineitem)
+    val domBal = row("dom_customer_acctbal_nonneg",
+      count(lit(1)), count(when($"c_acctbal" < 0, 1)), customer)
+    Seq(pkOrders, pkLineitem, pkCustomer, fkOrders, fkLineitem,
+      nnProps, domQty, domBal)
+      .reduce(_ unionByName _)
+      .orderBy($"constraint")
+  }
+
+  def q153Sql: String =
+    """WITH checks AS (
+         SELECT 'pk_orders_orderkey' AS cname,
+           CAST(count(*) AS BIGINT) AS checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+         FROM orders
+       UNION ALL
+         SELECT 'pk_lineitem_orderkey_linenumber',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+         FROM lineitem
+       UNION ALL
+         SELECT 'pk_customer_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+         FROM customer
+       UNION ALL
+         SELECT 'fk_orders_custkey', NULL,
+           CAST(count(*) AS BIGINT)
+         FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+       UNION ALL
+         SELECT 'fk_lineitem_orderkey', NULL,
+           CAST(count(*) AS BIGINT)
+         FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       UNION ALL
+         SELECT 'nn_events_props', CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN props IS NULL THEN 1 END) AS BIGINT)
+         FROM events
+       UNION ALL
+         SELECT 'dom_lineitem_quantity_1_50', CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+             AS BIGINT)
+         FROM lineitem
+       UNION ALL
+         SELECT 'dom_customer_acctbal_nonneg', CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT)
+         FROM customer)
+       SELECT cname AS "constraint", checked, violations,
+         violations = 0 AS ok
+       FROM checks ORDER BY cname"""
 
   def q149Sql: String =
     """WITH pres AS (

@@ -126,6 +126,28 @@ class Relational10Spec extends SparkTestBase {
       (sources.length - 1).toLong * (langs.length - 1))
   }
 
+  test("q153 constraint audit: counts recompute directly; both outcomes present") {
+    val rows = Relational10.q153ConstraintAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("constraint") -> r).toMap
+    assert(rows.size == 8)
+    val negBal = Tables.customer(spark, sf)
+      .filter($"c_acctbal" < 0).count()
+    assert(rows("dom_customer_acctbal_nonneg").getAs[Long]("violations")
+      == negBal)
+    assert(negBal > 0 &&
+      !rows("dom_customer_acctbal_nonneg").getAs[Boolean]("ok"),
+      "fixture must exercise the failing arm")
+    val li = Tables.lineitem(spark, sf)
+    assert(rows("pk_lineitem_orderkey_linenumber").getAs[Long]("violations")
+      == li.count() - li.select($"l_orderkey", $"l_linenumber")
+        .distinct().count())
+    assert(rows("fk_orders_custkey").getAs[Boolean]("ok"),
+      "orders→customer FK holds on the fixture")
+    assert(rows("fk_orders_custkey").isNullAt(
+      rows("fk_orders_custkey").fieldIndex("checked")),
+      "FK rows report no per-row checked count")
+  }
+
   test("q149 sliding distinct matches a per-hour direct recount") {
     val got = Relational10.q149SlidingDistinct(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("th")) ->
