@@ -180,6 +180,11 @@ object SparkEntry {
     "q151_interpolate"     -> Relational10.q151Interpolate _,
     "q152_chi_square"      -> Relational10.q152ChiSquare _,
     "q153_constraint_audit" -> Relational10.q153ConstraintAudit _,
+    "q154_skyline"         -> Relational11.q154Skyline _,
+    "q155_grid_join"       -> Relational11.q155GridJoin _,
+    "q156_weighted_sample" -> Relational11.q156WeightedSample _,
+    "q157_welch_ttest"     -> Relational11.q157WelchTtest _,
+    "q158_basket_lift"     -> Relational11.q158BasketLift _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -555,5 +560,10 @@ object SparkEntry {
     "q151_interpolate"      -> Relational10.q151Sql,
     "q152_chi_square"       -> Relational10.q152Sql,
     "q153_constraint_audit" -> Relational10.q153Sql,
+    "q154_skyline"          -> Relational11.q154Sql,
+    "q155_grid_join"        -> Relational11.q155Sql,
+    "q156_weighted_sample"  -> Relational11.q156Sql,
+    "q157_welch_ttest"      -> Relational11.q157Sql,
+    "q158_basket_lift"      -> Relational11.q158Sql,
   )
 }

@@ -61,4 +61,11 @@ class PlanAssertionsSpec extends SparkTestBase {
            !p.contains("BroadcastNestedLoopJoin"),
       "the bucket key must make the theta join hash/merge-joinable:\n" + p)
   }
+
+  test("q155 spatial join plans on the grid-cell equi key, never all-pairs") {
+    val p = plan(graft.engine.Relational11.q155GridJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "the cell key must make the distance join hash/merge-joinable:\n" + p)
+  }
 }
