@@ -185,6 +185,16 @@ object SparkEntry {
     "q156_weighted_sample" -> Relational11.q156WeightedSample _,
     "q157_welch_ttest"     -> Relational11.q157WelchTtest _,
     "q158_basket_lift"     -> Relational11.q158BasketLift _,
+    "q159_purged_split"    -> Relational12.q159PurgedSplit _,
+    "q160_group_norm"      -> Relational12.q160GroupNorm _,
+    "q161_curriculum"      -> Relational12.q161Curriculum _,
+    "q162_mixture_reweight" -> Relational12.q162MixtureReweight _,
+    "q163_ewma"            -> Relational12.q163Ewma _,
+    "q164_attribution"     -> Relational13.q164Attribution _,
+    "q165_pmi"             -> Relational13.q165Pmi _,
+    "q166_calibration"     -> Relational13.q166Calibration _,
+    "q167_zone_map"        -> Relational13.q167ZoneMap _,
+    "q168_ooo_audit"       -> Relational13.q168OooAudit _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -565,5 +575,15 @@ object SparkEntry {
     "q156_weighted_sample"  -> Relational11.q156Sql,
     "q157_welch_ttest"      -> Relational11.q157Sql,
     "q158_basket_lift"      -> Relational11.q158Sql,
+    "q159_purged_split"     -> Relational12.q159Sql,
+    "q160_group_norm"       -> Relational12.q160Sql,
+    "q161_curriculum"       -> Relational12.q161Sql,
+    "q162_mixture_reweight" -> Relational12.q162Sql,
+    "q163_ewma"             -> Relational12.q163Sql,
+    "q164_attribution"      -> Relational13.q164Sql,
+    "q165_pmi"              -> Relational13.q165Sql,
+    "q166_calibration"      -> Relational13.q166Sql,
+    "q167_zone_map"         -> Relational13.q167Sql,
+    "q168_ooo_audit"        -> Relational13.q168Sql,
   )
 }

@@ -23,13 +23,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private val Dim = 64
+  private[engine] val Dim = 64
 
   /** Left-to-right sequential dot product over double-cast elements —
     * the codegen'd native expression (see
     * [[graft.functions.VectorExpressions]]; bit-identical to the
     * higher-order-function formulation in [[dotHof]]). */
-  private def dot(a: Column, b: Column): Column =
+  private[engine] def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dot_product(a, b)
 
   /** HOF reference formulation of [[dot]] (interpreted, ~an order of
@@ -48,10 +48,10 @@ object Similarity {
 
   /** SQL mirror: same fold shape (list_reduce is a left fold seeded by the
     * first element; Spark's 0.0 seed is IEEE-neutral for the first add). */
-  private def dotSql(a: String, b: String): String =
+  private[engine] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def cosineSql(a: String, b: String): String =
+  private[engine] def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
 
   /** Brute-force cosine top-k: every 100th vector is a query; top 10
