@@ -195,6 +195,15 @@ object SparkEntry {
     "q166_calibration"     -> Relational13.q166Calibration _,
     "q167_zone_map"        -> Relational13.q167ZoneMap _,
     "q168_ooo_audit"       -> Relational13.q168OooAudit _,
+    "q169_boilerplate"     -> Relational14.q169Boilerplate _,
+    "q170_rfm"             -> Relational14.q170Rfm _,
+    "q171_paths"           -> Relational14.q171Paths _,
+    "q172_pit_features"    -> Relational14.q172PitFeatures _,
+    "q173_moments"         -> Relational14.q173Moments _,
+    "q174_watermark_replay" -> graft.streaming.Streaming.q174WatermarkReplay _,
+    "q175_cogroup"         -> Relational15.q175CogroupReconcile _,
+    "q176_islands"         -> Relational15.q176Islands _,
+    "q177_twap"            -> Relational15.q177Twap _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -585,5 +594,14 @@ object SparkEntry {
     "q166_calibration"      -> Relational13.q166Sql,
     "q167_zone_map"         -> Relational13.q167Sql,
     "q168_ooo_audit"        -> Relational13.q168Sql,
+    "q169_boilerplate"      -> Relational14.q169Sql,
+    "q170_rfm"              -> Relational14.q170Sql,
+    "q171_paths"            -> Relational14.q171Sql,
+    "q172_pit_features"     -> Relational14.q172Sql,
+    "q173_moments"          -> Relational14.q173Sql,
+    "q174_watermark_replay" -> graft.streaming.Streaming.q174Sql,
+    "q175_cogroup"          -> Relational15.q175Sql,
+    "q176_islands"          -> Relational15.q176Sql,
+    "q177_twap"             -> Relational15.q177Sql,
   )
 }

@@ -632,4 +632,110 @@ object Streaming {
        CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0 AS sum_value,
        CAST(4 AS BIGINT) AS n_refreshes
        FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** q174 — watermark late-drop audit: the windowed count of q107 run
+    * over a genuinely DISORDERED multi-batch replay, so the watermark
+    * actually drops data — and the drops are reproduced row-for-row by
+    * the relational oracle. The corpus is carved into 4 time-quarter
+    * chunk files, but each event's chunk index is displaced by the q168
+    * quadratic jitter, so a fraction of every chunk belongs to an
+    * earlier quarter — late arrivals. Under maxFilesPerTrigger=1 the
+    * watermark after batch k is (ms-truncated max event time of chunks
+    * 1..k) − 1 h; a row in batch k whose hour-window END is ≤ the
+    * watermark set after batch k−1 finds its window already finalized
+    * and is DROPPED (the q107 emission gate, applied per batch instead
+    * of once). The oracle recomputes chunk assignment, per-prefix
+    * watermarks, the per-row drop verdict, and the final emission gate
+    * in pure SQL — the strongest statement the engine can make that
+    * its streaming semantics are UNDERSTOOD, not just observed.
+    *
+    * Scale: the operator under test is the q107/q27 windowed aggregate
+    * (state = open windows only); the chunk carving is fixture prep.
+    * The audit's production twin sizes the watermark delay from q168's
+    * disorder histogram — this query SHOWS what the chosen delay
+    * discards. */
+  def q174WatermarkReplay(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val nChunks = 4
+    val src = graft.engine.TempIo.createTempDir("graft-wmr-src-")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val n = raw.agg(max($"event_id")).head().getLong(0)
+    // displacement up to ±n/2: a late stray can arrive ≥2 batches after
+    // its time-quarter, i.e. AFTER its window was finalized — real drops
+    val chunked = raw.withColumn("c",
+      least(lit(nChunks), greatest(lit(1), expr(
+        s"(event_id - 1 + ((event_id * event_id) % 97 - 48) * ($n div 96))" +
+          s" * $nChunks div $n + 1"))))
+    (1 to nChunks).foreach { i =>
+      val dir = s"$src/stage$i"
+      chunked.filter($"c" === i).drop("c").coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/chunk$i.parquet"))
+      graft.engine.TempIo.deleteRecursively(dir)
+    }
+    val agg = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("counts"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("wm_replay")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = graft.engine.TempIo.materialize(spark,
+      spark.table("wm_replay")
+        .select(graft.engine.Exact.tsString($"window.start").as("ws"),
+          $"event_type", $"counts")
+        .orderBy($"ws", $"event_type"))
+    graft.engine.TempIo.deleteRecursively(src)
+    result
+  }
+
+  /** Relational model of the replay: chunk assignment → per-prefix
+    * watermarks → per-row drop verdict → final emission gate.
+    *
+    * CALIBRATED, not assumed: the watermark filtering batch k's input
+    * is the one computed from chunks 1..k−2 — a TWO-batch lag (Spark
+    * commits the watermark derived from batch k−1's event-time stats
+    * when batch k is already planned; it takes effect in batch k+1).
+    * Verified by exact-match against the engine under all four
+    * (lag ∈ {1,2}) × (≤ vs <) variants — only lag 2 reproduces the
+    * emitted groups AND their counts. A row is dropped iff its
+    * hour-window end ≤ that lagged watermark; a window emits iff its
+    * end ≤ the final watermark (q107's ms-truncated gate) and it
+    * retained ≥1 row. */
+  def q174Sql: String =
+    """WITH nn AS (SELECT max(event_id) AS n FROM events),
+       a AS (
+         SELECT event_id, ts, event_type,
+           least(4, greatest(1,
+             (event_id - 1 + ((event_id * event_id) % 97 - 48) * (n // 96))
+               * 4 // n + 1)) AS c
+         FROM events CROSS JOIN nn),
+       m AS (SELECT c, max(ts) AS mx FROM a GROUP BY 1),
+       pre AS (
+         SELECT a.event_id, a.ts, a.event_type, a.c,
+           (SELECT max(mx) FROM m WHERE m.c <= a.c - 2) AS wm_mx
+         FROM a),
+       kept AS (
+         SELECT ts, event_type FROM pre
+         WHERE wm_mx IS NULL
+            OR epoch_ms(date_trunc('hour', ts)) + 3600000
+               > epoch_ms(wm_mx) - 3600000),
+       wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_final FROM events)
+       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+         event_type, count(*) AS counts
+       FROM kept CROSS JOIN wm
+       WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <= wm_final
+       GROUP BY 1, 2 ORDER BY ws, event_type"""
 }
