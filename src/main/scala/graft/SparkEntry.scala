@@ -204,6 +204,14 @@ object SparkEntry {
     "q175_cogroup"         -> Relational15.q175CogroupReconcile _,
     "q176_islands"         -> Relational15.q176Islands _,
     "q177_twap"            -> Relational15.q177Twap _,
+    "q178_dwell_times"     -> Relational16.q178DwellTimes _,
+    "q179_cusum"           -> Relational16.q179Cusum _,
+    "q180_shipping_priority" -> Relational16.q180ShippingPriority _,
+    "q181_conversion_deadline" -> Relational16.q181ConversionDeadline _,
+    "q182_seasonality"     -> Relational17.q182Seasonality _,
+    "q183_knn_eval"        -> Relational17.q183KnnEval _,
+    "q184_negative_sampling" -> Relational17.q184NegativeSampling _,
+    "q185_psi"             -> Relational17.q185Psi _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -603,5 +611,13 @@ object SparkEntry {
     "q175_cogroup"          -> Relational15.q175Sql,
     "q176_islands"          -> Relational15.q176Sql,
     "q177_twap"             -> Relational15.q177Sql,
+    "q178_dwell_times"      -> Relational16.q178Sql,
+    "q179_cusum"            -> Relational16.q179Sql,
+    "q180_shipping_priority" -> Relational16.q180Sql,
+    "q181_conversion_deadline" -> Relational16.q181Sql,
+    "q182_seasonality"      -> Relational17.q182Sql,
+    "q183_knn_eval"         -> Relational17.q183Sql,
+    "q184_negative_sampling" -> Relational17.q184Sql,
+    "q185_psi"              -> Relational17.q185Sql,
   )
 }
