@@ -212,6 +212,10 @@ object SparkEntry {
     "q183_knn_eval"        -> Relational17.q183KnnEval _,
     "q184_negative_sampling" -> Relational17.q184NegativeSampling _,
     "q185_psi"             -> Relational17.q185Psi _,
+    "q186_binary_source"   -> Formats.q186BinarySource _,
+    "q187_text_source"     -> Formats.q187TextSource _,
+    "q188_csv_expr"        -> Formats.q188CsvExpr _,
+    "q189_dynamic_overwrite" -> Formats.q189DynamicOverwrite _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -619,5 +623,9 @@ object SparkEntry {
     "q183_knn_eval"         -> Relational17.q183Sql,
     "q184_negative_sampling" -> Relational17.q184Sql,
     "q185_psi"              -> Relational17.q185Sql,
+    "q186_binary_source"    -> Formats.q186Sql,
+    "q187_text_source"      -> Formats.q187Sql,
+    "q188_csv_expr"         -> Formats.q188Sql,
+    "q189_dynamic_overwrite" -> Formats.q189Sql,
   )
 }

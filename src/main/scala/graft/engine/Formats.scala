@@ -99,4 +99,152 @@ object Formats {
        min(event_id) AS min_id, max(event_id) AS max_id,
        true AS nonzero_size
        FROM events GROUP BY 1 ORDER BY file_name"""
+
+  /** q186 — `binaryFile` ingestion: raw blob files (one per document
+    * here; images/audio/model shards in production) read through
+    * Spark's binary source, which carries (path, length, content) per
+    * file — the entry point of every multimodal pipeline before the
+    * q30/q85 decode plumbing. Each blob's identity is re-derived from
+    * the BYTES (md5 + length) and reconciled per source against the
+    * documents table — proving the filesystem round-trip preserved
+    * every payload bit. A deterministic 1-in-7 slice keeps the
+    * file-per-row fixture proportional; `pathGlobFilter` and
+    * per-partition writers are the production knobs (one row per FILE
+    * means small-file pressure is the scale risk — blobs ride
+    * manifests or tar shards at 100 TB, exactly why q81's packing
+    * exists). */
+  def q186BinarySource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Multimodal.withPayload(
+      Tables.documents(spark, sfDir).filter($"doc_id" % 7 === 0))
+      .select($"doc_id", $"source", $"payload")
+    val dir = Files.createTempDirectory("graft-blob-").toString
+    docs.collect().foreach { r =>
+      Files.write(java.nio.file.Paths.get(
+        s"$dir/${r.getAs[String]("source")}_${r.getAs[Long]("doc_id")}.bin"),
+        r.getAs[Array[Byte]]("payload"))
+    }
+    val result = spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(
+        element_at(split($"path", "/"), -1),
+        "^(.*)_\\d+\\.bin$", 1).as("source"),
+        $"length", md5($"content").as("digest"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_files"), sum($"length").as("total_bytes"),
+        countDistinct($"digest").as("n_digests"))
+      .orderBy($"source")
+    val out = TempIo.materialize(spark, result)
+    TempIo.deleteRecursively(dir)
+    out
+  }
+
+  def q186Sql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests
+       FROM documents WHERE doc_id % 7 = 0
+       GROUP BY 1 ORDER BY source"""
+
+  /** q187 — `text` source round-trip: documents written as one line per
+    * row (the interchange shape of every raw text corpus: WET files,
+    * one-doc-per-line dumps) and read back through the line-oriented
+    * reader, proving content survives byte-for-byte via per-source
+    * line counts and char sums. `wholetext` and `lineSep` are the
+    * production variants; compression (`codec`) rides the same writer. */
+  def q187TextSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-text-").toString
+    Tables.documents(spark, sfDir)
+      .select($"text").write.mode("overwrite").text(dir)
+    val lines = spark.read.text(dir)
+    val result = lines
+      .select(length($"value").as("n_chars"))
+      .agg(count(lit(1)).as("n_lines"), sum($"n_chars").as("n_chars"),
+        countDistinct($"n_chars").as("n_lengths"))
+    val out = TempIo.materialize(spark, result)
+    TempIo.deleteRecursively(dir)
+    out
+  }
+
+  def q187Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT length(text)) AS BIGINT) AS n_lengths
+       FROM documents"""
+
+  /** q188 — `from_csv`/`to_csv` expression surface: the STRING-level
+    * CSV codec (q48 is its JSON twin) — each event row serialized to
+    * one CSV line and parsed back with an explicit schema, proving the
+    * codec inverts including the quoting of free-text fields. This is
+    * the Kafka-value escape hatch when upstream emits CSV rather than
+    * JSON; schema-carrying parse (never inference) is the contract. */
+  def q188CsvExpr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("props", StringType)))
+    Tables.events(spark, sfDir)
+      .select(to_csv(struct($"event_id", $"event_type", $"props")).as("line"))
+      .select(from_csv($"line", schema,
+        Map.empty[String, String]).as("p"))
+      .select($"p.event_id".as("event_id"), $"p.event_type".as("event_type"),
+        $"p.props".as("props"))
+      .orderBy($"event_id")
+  }
+
+  def q188Sql: String =
+    """SELECT event_id, event_type, props FROM events ORDER BY event_id"""
+
+  /** q189 — dynamic partition overwrite: the lakehouse backfill verb.
+    * An events projection lands date-partitioned; ONE day is then
+    * re-written (here: its value column doubled — a recompute) with
+    * `partitionOverwriteMode=dynamic`, which replaces ONLY the
+    * partitions present in the incoming frame and leaves every other
+    * day's files untouched — the difference between "backfill Tuesday"
+    * and "rewrite the table" at 100 TB. STATIC mode (the default)
+    * would have truncated all 30 days first; the read-back aggregate
+    * proves exactly one day changed and all others survived. */
+  def q189DynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dyn-").toString
+    val base = Tables.events(spark, sfDir)
+      .select($"event_id", date_format($"ts", "yyyy-MM-dd").as("date"),
+        Exact.cents($"value").as("cents"))
+    base.write.mode("overwrite").partitionBy("date").parquet(dir)
+    val day = base.agg(min($"date")).head().getString(0)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try base.filter($"date" === day)
+      .withColumn("cents", $"cents" * 2L)
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // partition-column type inference reads `date=` back as DATE; pin
+    // the string form so the contract matches the writer's input
+    val result = spark.read.parquet(dir)
+      .withColumn("date", $"date".cast("string"))
+      .groupBy($"date")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      .withColumn("overwritten", $"date" === day)
+      .orderBy($"date")
+    val out = TempIo.materialize(spark, result)
+    TempIo.deleteRecursively(dir)
+    out
+  }
+
+  def q189Sql: String =
+    """WITH d AS (SELECT min(strftime(ts, '%Y-%m-%d')) AS day FROM events)
+       SELECT strftime(ts, '%Y-%m-%d') AS date,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           * (CASE WHEN strftime(ts, '%Y-%m-%d') = day THEN 2 ELSE 1 END)
+           AS BIGINT) AS cents,
+         strftime(ts, '%Y-%m-%d') = day AS overwritten
+       FROM events CROSS JOIN d
+       GROUP BY strftime(ts, '%Y-%m-%d'), day
+       ORDER BY date"""
 }
