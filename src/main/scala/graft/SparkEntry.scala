@@ -216,6 +216,8 @@ object SparkEntry {
     "q187_text_source"     -> Formats.q187TextSource _,
     "q188_csv_expr"        -> Formats.q188CsvExpr _,
     "q189_dynamic_overwrite" -> Formats.q189DynamicOverwrite _,
+    "q190_mapgroups_sessions" -> Relational18.q190MapGroupsSessions _,
+    "q191_range_layout"    -> Relational18.q191RangeLayout _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -627,5 +629,7 @@ object SparkEntry {
     "q187_text_source"      -> Formats.q187Sql,
     "q188_csv_expr"         -> Formats.q188Sql,
     "q189_dynamic_overwrite" -> Formats.q189Sql,
+    "q190_mapgroups_sessions" -> Relational18.q190Sql,
+    "q191_range_layout"     -> Relational18.q191Sql,
   )
 }
