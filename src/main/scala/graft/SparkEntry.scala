@@ -218,6 +218,8 @@ object SparkEntry {
     "q189_dynamic_overwrite" -> Formats.q189DynamicOverwrite _,
     "q190_mapgroups_sessions" -> Relational18.q190MapGroupsSessions _,
     "q191_range_layout"    -> Relational18.q191RangeLayout _,
+    "q192_large_volume"    -> Relational19.q192LargeVolume _,
+    "q193_supplier_count"  -> Relational19.q193SupplierCount _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -631,5 +633,7 @@ object SparkEntry {
     "q189_dynamic_overwrite" -> Formats.q189Sql,
     "q190_mapgroups_sessions" -> Relational18.q190Sql,
     "q191_range_layout"     -> Relational18.q191Sql,
+    "q192_large_volume"     -> Relational19.q192Sql,
+    "q193_supplier_count"   -> Relational19.q193Sql,
   )
 }
