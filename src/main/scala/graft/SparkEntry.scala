@@ -220,6 +220,7 @@ object SparkEntry {
     "q191_range_layout"    -> Relational18.q191RangeLayout _,
     "q192_large_volume"    -> Relational19.q192LargeVolume _,
     "q193_supplier_count"  -> Relational19.q193SupplierCount _,
+    "q194_stream_join_disorder" -> graft.streaming.Streaming.q194StreamJoinDisorder _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -635,5 +636,6 @@ object SparkEntry {
     "q191_range_layout"     -> Relational18.q191Sql,
     "q192_large_volume"     -> Relational19.q192Sql,
     "q193_supplier_count"   -> Relational19.q193Sql,
+    "q194_stream_join_disorder" -> graft.streaming.Streaming.q194Sql,
   )
 }

@@ -654,7 +654,12 @@ object Streaming {
     * The audit's production twin sizes the watermark delay from q168's
     * disorder histogram — this query SHOWS what the chosen delay
     * discards. */
-  def q174WatermarkReplay(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+  /** Carve the events table into 4 time-quarter chunk files whose
+    * assignment is displaced by the q168 quadratic jitter scaled to
+    * ±n/2 — a deterministically DISORDERED replay fixture (strays
+    * arrive ≥2 batches after their quarter, past state eviction).
+    * Shared by q174 (windowed agg) and q194 (stream-stream join). */
+  private def disorderedChunks(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val nChunks = 4
     val src = graft.engine.TempIo.createTempDir("graft-wmr-src-")
@@ -676,6 +681,12 @@ object Streaming {
         java.nio.file.Paths.get(s"$src/chunk$i.parquet"))
       graft.engine.TempIo.deleteRecursively(dir)
     }
+    src
+  }
+
+  def q174WatermarkReplay(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = disorderedChunks(spark, sfDir)
     val agg = spark.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "chunk*.parquet")
@@ -738,4 +749,109 @@ object Streaming {
        FROM kept CROSS JOIN wm
        WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <= wm_final
        GROUP BY 1, 2 ORDER BY ws, event_type"""
+
+  /** q194 — stream-stream join under disorder: q42's interval join
+    * (purchase ⋈ error within 12 h, per user) replayed over the q174
+    * disordered 4-batch fixture, so join STATE eviction actually bites:
+    * a pair whose two rows arrive far apart in batch order only forms
+    * if the earlier row was still in state when the later one landed.
+    * The oracle reproduces the surviving pair set relationally from the
+    * calibrated watermark model (q174's two-batch commit lag): a pair
+    * forms iff, at the later row's batch, the earlier row's eviction
+    * bound (p_ts + the 12 h range for the left side, e_ts for the right) has not
+    * fallen below the active watermark — late INPUT rows are also
+    * dropped against the same lagged watermark. Streaming join
+    * semantics derived and checked, not assumed. */
+  def q194StreamJoinDisorder(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = disorderedChunks(spark, sfDir)
+    def side(tag: String, et: String) = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter($"event_type" === et)
+      .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+        $"event_id".as(s"${tag}_id"))
+      .withWatermark(s"${tag}_ts", "1 hour")
+    val joined = side("p", "purchase").join(side("e", "error"),
+      expr("p_user = e_user AND e_ts >= p_ts" +
+        " AND e_ts <= p_ts + interval 12 hours"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_join_disorder")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = graft.engine.TempIo.materialize(spark,
+      spark.table("stream_join_disorder")
+        .select($"p_user".as("user_id"), $"p_id", $"e_id",
+          expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
+            .as("gap_s"))
+        .orderBy($"user_id", $"p_id", $"e_id"))
+    graft.engine.TempIo.deleteRecursively(src)
+    result
+  }
+
+  /** Relational model of the disordered join replay — CALIBRATED to
+    * exact pair-set equality at both test SFs over the full grid of
+    * per-side gate/eviction variants:
+    *  - the global watermark is the MIN of the two sides' event-time
+    *    maxima (each side watermarks its own filtered stream), with
+    *    q174's two-batch commit lag, ms-truncated, − 1 h delay;
+    *  - INPUT rows on both sides are dropped below that raw watermark;
+    *  - STATE retention honors the join-condition bound: an
+    *    earlier-arrived purchase survives while p_ts + 12 h ≥ wm (the
+    *    interval gives it 12 h of extra life), an earlier error only
+    *    while e_ts ≥ wm (a future purchase must have p_ts ≥ wm and the
+    *    condition needs e_ts ≥ p_ts).
+    * This is Spark's documented constraint-derived state-watermark
+    * behavior, here pinned bit-exactly by an independent engine. */
+  def q194Sql: String =
+    """WITH nn AS (SELECT max(event_id) AS n FROM events),
+       a AS (
+         SELECT event_id, ts, user_id, event_type,
+           least(4, greatest(1,
+             (event_id - 1 + ((event_id * event_id) % 97 - 48) * (n // 96))
+               * 4 // n + 1)) AS c
+         FROM events CROSS JOIN nn),
+       m AS (SELECT c,
+           max(CASE WHEN event_type = 'purchase' THEN ts END) AS mxp,
+           max(CASE WHEN event_type = 'error' THEN ts END) AS mxe
+         FROM a GROUP BY 1),
+       wmv AS (
+         SELECT c2.c,
+           least(
+             (SELECT epoch_ms(max(mxp)) FROM m WHERE m.c <= c2.c - 2),
+             (SELECT epoch_ms(max(mxe)) FROM m WHERE m.c <= c2.c - 2))
+             - 3600000 AS wm
+         FROM (SELECT DISTINCT c FROM a) c2),
+       p AS (
+         SELECT a.user_id, a.ts, a.event_id, a.c
+         FROM a JOIN wmv w USING (c)
+         WHERE event_type = 'purchase'
+           AND (w.wm IS NULL OR epoch_ms(a.ts) >= w.wm)),
+       e AS (
+         SELECT a.user_id, a.ts, a.event_id, a.c
+         FROM a JOIN wmv w USING (c)
+         WHERE event_type = 'error'
+           AND (w.wm IS NULL OR epoch_ms(a.ts) >= w.wm)),
+       pairs AS (
+         SELECT p.user_id, p.event_id AS p_id, e.event_id AS e_id,
+           (epoch_us(e.ts) - epoch_us(p.ts)) // 1000000 AS gap_s,
+           p.ts AS p_ts, e.ts AS e_ts, p.c AS cp, e.c AS ce
+         FROM p JOIN e
+           ON p.user_id = e.user_id
+          AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 12 HOUR),
+       alive AS (
+         SELECT user_id, p_id, e_id, gap_s FROM pairs
+         JOIN wmv wl ON wl.c = greatest(cp, ce)
+         WHERE cp = ce OR wl.wm IS NULL
+            OR (cp < ce AND epoch_ms(p_ts) >= wl.wm - 43200000)
+            OR (ce < cp AND epoch_ms(e_ts) >= wl.wm))
+       SELECT user_id, CAST(p_id AS BIGINT) AS p_id,
+         CAST(e_id AS BIGINT) AS e_id, CAST(gap_s AS BIGINT) AS gap_s
+       FROM alive ORDER BY user_id, p_id, e_id"""
 }

@@ -32,4 +32,22 @@ class Relational18Spec extends SparkTestBase {
     assert(r.getAs[Boolean]("no_overlap"), "file extents must be disjoint")
     assert(r.getAs[Boolean]("file_count_ok"))
   }
+
+  test("q194 the disordered join drops pairs the batch join would keep") {
+    val out = graft.streaming.Streaming.q194StreamJoinDisorder(spark, sf)
+      .collect()
+    val keys = out.map(r => (r.getLong(0), r.getAs[Long]("p_id"),
+      r.getAs[Long]("e_id")))
+    assert(keys.distinct.length == keys.length, "append must emit once")
+    // the full unconstrained interval join is a strict superset
+    val full = Tables.events(spark, sf).as("a")
+      .join(Tables.events(spark, sf).as("b"),
+        expr("a.user_id = b.user_id AND a.event_type = 'purchase'" +
+          " AND b.event_type = 'error' AND b.ts >= a.ts" +
+          " AND b.ts <= a.ts + interval 12 hours"))
+      .select($"a.user_id", $"a.event_id", $"b.event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(keys.forall(full), "every emitted pair must be a true match")
+    assert(keys.length < full.size, "state eviction must have dropped pairs")
+  }
 }
