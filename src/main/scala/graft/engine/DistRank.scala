@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global `row_number()` — the scale-safe replacement for
+  * `row_number().over(Window.orderBy(...))`, whose physical plan funnels
+  * EVERY row through one partition (Exchange SinglePartition + a
+  * single-threaded sort: the q92/q170 weakness flagged in round 5).
+  *
+  * Mechanism (the q141 approx-cut-point discipline applied to ranking):
+  *   1. One aggregate computes `percentile_approx` cut points of the
+  *      sort key; they ride a broadcast to every task.
+  *   2. Each row gets an order-preserving bucket index — the count of
+  *      cut points below its key (a pure projection).
+  *   3. `row_number()` over a window PARTITIONED by bucket ranks each
+  *      bucket in parallel (one shuffle by bucket, local sorts).
+  *   4. Each bucket's exclusive prefix count — from a |buckets|-sized
+  *      triangular broadcast join, NOT a global window — lifts local
+  *      ranks to global ones.
+  *
+  * The result is EXACT no matter where the cut points fall: bucketing
+  * by the leading key alone is order-preserving (equal keys share a
+  * bucket, so tie-breaks resolve inside the bucket's local sort), and
+  * global rank = bucket offset + local rank. `percentile_approx`
+  * nondeterminism can only unbalance buckets, never change a rank —
+  * which is what makes this form safe for hash-gated oracles.
+  *
+  * Scale: `nBuckets` is the parallelism knob — size it so |rows|/buckets
+  * fits one task's sort buffer (the same contract as
+  * `repartitionByRange`); skew is bounded by the key's value skew
+  * (heavily duplicated keys share a bucket — pre-salt the TIE column if
+  * one key dominates, as q45 does for joins).
+  */
+object DistRank {
+
+  /** Adds `rankName` = the global 1-based row_number of each row under
+    * (`key` desc-or-asc, `tie` asc). `key` and `tie` must be numeric /
+    * orderable columns; ties beyond (key, tie) must not exist if the
+    * rank feeds a hash-gated oracle (same contract as the window form).
+    */
+  def withRank(df: DataFrame, key: String, tie: String, rankName: String,
+      desc: Boolean, nBuckets: Int = 16): DataFrame = {
+    require(nBuckets > 1, "nBuckets must exceed 1")
+    val b = s"__b_$rankName"
+    val lrn = s"__lrn_$rankName"
+    val off = s"__off_$rankName"
+    val probs = typedlit((1 until nBuckets).map(_.toDouble / nBuckets))
+    val cuts = df.agg(
+      percentile_approx(col(key), probs, lit(10000)).as("__cuts"))
+    val bucketed = df.crossJoin(broadcast(cuts))
+      .withColumn(b,
+        expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
+      .drop("__cuts")
+    val order =
+      if (desc) Seq(col(key).desc, col(tie).asc) else Seq(col(key).asc, col(tie).asc)
+    val local = bucketed.withColumn(lrn,
+      row_number().over(Window.partitionBy(col(b)).orderBy(order: _*)).cast("long"))
+    val counts = bucketed.groupBy(col(b)).agg(count(lit(1)).as("__cnt"))
+    // Exclusive prefix counts over the |buckets|-row frame: a triangular
+    // broadcast join instead of a cumulative window, so the WHOLE plan
+    // is free of single-partition window stages (plan-asserted in
+    // PlanAssertionsSpec). desc ranks start after all HIGHER buckets.
+    val earlier = counts.select(col(b).as("__ob"), col("__cnt").as("__ocnt"))
+    val cond = if (desc) col("__ob") > col(b) else col("__ob") < col(b)
+    val offsets = counts.join(broadcast(earlier), cond, "left")
+      .groupBy(col(b))
+      .agg(coalesce(sum(col("__ocnt")), lit(0L)).as(off))
+    local.join(broadcast(offsets), b)
+      .withColumn(rankName, col(off) + col(lrn))
+      .drop(b, lrn, off)
+  }
+}

@@ -119,10 +119,15 @@ object Formats {
       Tables.documents(spark, sfDir).filter($"doc_id" % 7 === 0))
       .select($"doc_id", $"source", $"payload")
     val dir = Files.createTempDirectory("graft-blob-").toString
-    docs.collect().foreach { r =>
-      Files.write(java.nio.file.Paths.get(
-        s"$dir/${r.getAs[String]("source")}_${r.getAs[Long]("doc_id")}.bin"),
+    // Executor-side fixture write: payload bytes never cross the driver
+    // (local[*] shares the filesystem; on a cluster `dir` would be a
+    // shared store and this same foreachPartition writes per-executor).
+    docs.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.foreach { r =>
+        Files.write(java.nio.file.Paths.get(
+          s"$dir/${r.getAs[String]("source")}_${r.getAs[Long]("doc_id")}.bin"),
         r.getAs[Array[Byte]]("payload"))
+      }
     }
     val result = spark.read.format("binaryFile").load(dir)
       .select(regexp_extract(
@@ -138,9 +143,12 @@ object Formats {
     out
   }
 
+  // octet_length(encode(..)) keeps the contract byte-exact — binaryFile's
+  // `length` is UTF-8 octets, not characters, so a multibyte corpus would
+  // break a length(text)-based oracle without touching the engine.
   def q186Sql: String =
     """SELECT source, CAST(count(*) AS BIGINT) AS n_files,
-       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests
        FROM documents WHERE doc_id % 7 = 0
        GROUP BY 1 ORDER BY source"""
@@ -149,8 +157,12 @@ object Formats {
     * row (the interchange shape of every raw text corpus: WET files,
     * one-doc-per-line dumps) and read back through the line-oriented
     * reader, proving content survives byte-for-byte via per-source
-    * line counts and char sums. `wholetext` and `lineSep` are the
-    * production variants; compression (`codec`) rides the same writer. */
+    * line counts and byte sums. `wholetext` and `lineSep` are the
+    * production variants; compression (`codec`) rides the same writer.
+    * Both sides count OCTETS (octet_length / encode) so the contract is
+    * byte-exact, not ASCII-dependent; the one-line-per-doc layout (no
+    * embedded newlines in `text`) is a fixture contract asserted by
+    * FormatsWave25Spec. */
   def q187TextSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-text-").toString
@@ -158,9 +170,9 @@ object Formats {
       .select($"text").write.mode("overwrite").text(dir)
     val lines = spark.read.text(dir)
     val result = lines
-      .select(length($"value").as("n_chars"))
-      .agg(count(lit(1)).as("n_lines"), sum($"n_chars").as("n_chars"),
-        countDistinct($"n_chars").as("n_lengths"))
+      .select(octet_length($"value").as("n_bytes"))
+      .agg(count(lit(1)).as("n_lines"), sum($"n_bytes").as("n_bytes"),
+        countDistinct($"n_bytes").as("n_lengths"))
     val out = TempIo.materialize(spark, result)
     TempIo.deleteRecursively(dir)
     out
@@ -168,8 +180,8 @@ object Formats {
 
   def q187Sql: String =
     """SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(length(text)) AS BIGINT) AS n_chars,
-       CAST(count(DISTINCT length(text)) AS BIGINT) AS n_lengths
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+       CAST(count(DISTINCT octet_length(encode(text))) AS BIGINT) AS n_lengths
        FROM documents"""
 
   /** q188 — `from_csv`/`to_csv` expression surface: the STRING-level

@@ -95,27 +95,32 @@ object Relational14 {
     * come from exact ranks with a total-order tie-break (rank formula
     * `(rank−1)·5 div n`), so bucket edges are integer arithmetic, not
     * percentile floats. Scale: the log reduces to |users| metric rows
-    * in one combinable aggregate; the three ranking windows sort the
-    * REDUCED frame (and at extreme user counts each window swaps to
-    * q141's approx cut points with the same downstream contract). */
+    * in one combinable aggregate; each of the three rankings is a
+    * [[DistRank]] bucketed rank — approx cut points broadcast, local
+    * sorts per bucket — so NO metric ever funnels the users frame
+    * through a single-partition window (the round-5 weakness; the
+    * exact-rank equivalence and the window-free plan are both
+    * spec-asserted). */
   def q170Rfm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint the |users| frame (q67's discipline): the three
+    // rank pipelines each branch off it several times (cut points,
+    // bucket counts, the ranked spine) — without it the events
+    // aggregation re-runs per branch
     val metrics = Tables.events(spark, sfDir)
       .select($"user_id", unix_micros($"ts").as("us"),
         Exact.cents($"value").as("cents"))
       .groupBy($"user_id")
       .agg(max($"us").as("last_us"), count(lit(1)).as("freq"),
         sum($"cents").as("monetary"))
+      .localCheckpoint()
     val n = metrics.agg(count(lit(1)).as("n_users"))
-    val withN = metrics.crossJoin(broadcast(n))
-      // recency rank: most recent first ⇒ score 5 = most recent quintile
-      .withColumn("rk_r", row_number().over(
-        Window.orderBy($"last_us".desc, $"user_id")).cast("long"))
-      .withColumn("rk_f", row_number().over(
-        Window.orderBy($"freq".desc, $"user_id")).cast("long"))
-      .withColumn("rk_m", row_number().over(
-        Window.orderBy($"monetary".desc, $"user_id")).cast("long"))
-    withN
+    // recency rank: most recent first ⇒ score 5 = most recent quintile
+    val ranked = Seq(("last_us", "rk_r"), ("freq", "rk_f"), ("monetary", "rk_m"))
+      .foldLeft(metrics) { case (df, (key, rk)) =>
+        DistRank.withRank(df, key, "user_id", rk, desc = true)
+      }
+    ranked.crossJoin(broadcast(n))
       .withColumn("r", lit(5L) - expr("(rk_r - 1) * 5 div n_users"))
       .withColumn("f", lit(5L) - expr("(rk_f - 1) * 5 div n_users"))
       .withColumn("m", lit(5L) - expr("(rk_m - 1) * 5 div n_users"))

@@ -76,13 +76,16 @@ object Relational5 {
     * files, and report each file's bounding box over BOTH dimensions.
     * Tight per-file boxes are the point: a scan filtered on EITHER
     * dimension can skip most files on min/max stats alone, which a
-    * single-column sort only delivers for its leading column. This is
-    * the audit/planning query; the production write is
-    * `repartitionByRange(ZFiles, $"z").sortWithinPartitions($"z")` —
-    * the same layout, distributed, no global window. (The row_number
-    * formulation here is the oracle-exact twin; at 10^5 bench rows the
-    * single-partition sort is noise.) */
-  def q92ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    * single-column sort only delivers for its leading column.
+    *
+    * The carve is a [[DistRank]] bucketed rank over z (approx cut
+    * points + per-bucket local sorts — NO single-partition window, the
+    * round-5 weakness), and the layout is then physically WRITTEN,
+    * one file per z-run (`partitionBy(file_id)` after a file_id
+    * shuffle), and read back through `_metadata` — the bounding boxes
+    * are measured from the files themselves, q191's discipline, with
+    * the one-file-per-carve property checked in-query. */
+  private[graft] def q92Filed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dims = Tables.events(spark, sfDir)
       .select($"event_id",
@@ -91,14 +94,34 @@ object Relational5 {
     val keyed = dims.select($"event_id", $"d1", $"d2", zValue($"d1", $"d2").as("z"))
     val n = keyed.count()
     val perFile = (n + ZFiles - 1) / ZFiles
-    keyed
-      .withColumn("rn", row_number().over(Window.orderBy($"z", $"event_id")))
+    DistRank.withRank(keyed, "z", "event_id", "rn", desc = false, nBuckets = ZFiles)
       .withColumn("file_id", (($"rn" - 1) / perFile).cast("long"))
+  }
+
+  def q92ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = TempIo.createTempDir("graft-zorder-")
+    // every row of one file_id hashes to ONE task, so each `file_id=`
+    // directory receives exactly one parquet file — asserted below via
+    // countDistinct(_metadata.file_name)
+    q92Filed(spark, sfDir)
+      .repartition(ZFiles, $"file_id")
+      .sortWithinPartitions($"z")
+      .select($"file_id", $"z", $"d1", $"d2")
+      .write.mode("overwrite").partitionBy("file_id").parquet(dir)
+    val audit = spark.read.parquet(dir)
+      // partition-column inference reads `file_id=` back as INT
+      .select($"file_id".cast("long").as("file_id"), $"d1", $"d2",
+        col("_metadata.file_name").as("fn"))
       .groupBy($"file_id")
       .agg(count(lit(1)).as("n_rows"),
         min($"d1").as("d1_min"), max($"d1").as("d1_max"),
-        min($"d2").as("d2_min"), max($"d2").as("d2_max"))
+        min($"d2").as("d2_min"), max($"d2").as("d2_max"),
+        (countDistinct($"fn") === 1L).as("one_file"))
       .orderBy($"file_id")
+    val out = TempIo.materialize(spark, audit)
+    TempIo.deleteRecursively(dir)
+    out
   }
 
   def q92Sql: String = {
@@ -117,7 +140,8 @@ object Relational5 {
           FROM keyed)
         SELECT file_id, count(*) AS n_rows,
           min(d1) AS d1_min, max(d1) AS d1_max,
-          min(d2) AS d2_min, max(d2) AS d2_max
+          min(d2) AS d2_min, max(d2) AS d2_max,
+          true AS one_file
         FROM filed GROUP BY file_id ORDER BY file_id"""
   }
 

@@ -20,6 +20,17 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events.parquet stamps `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects without this flag. It is an
+    * INTENTIONAL session-wide invariant, not a per-query toggle: every
+    * events read (batch or streaming) requires it, it is idempotent,
+    * and it only affects TIMESTAMP(NANOS) footers — which no other
+    * table in this corpus carries. Every reader that touches
+    * events.parquet outside [[events]] calls this instead of setting
+    * the conf ad hoc, so there is exactly one owner of the flag. */
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
@@ -32,7 +43,7 @@ object Tables {
     * epoch_ns % 1000 == 0 at every SF), so read nanos as long and convert
     * losslessly to a TimestampType at μs precision. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     table(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -57,7 +57,7 @@ object Streaming {
     StructField("props", StringType)))
 
   private[streaming] def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.engine.Tables.ensureNanosAsLong(spark)
     // The file source requires a directory; pathGlobFilter pins it to
     // the events table within the sfDir.
     spark.readStream
@@ -504,7 +504,7 @@ object Streaming {
     import spark.implicits._
     val nChunks = 4
     val src = graft.engine.TempIo.createTempDir("graft-upd-src-")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.engine.Tables.ensureNanosAsLong(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     (1 to nChunks).foreach { i =>
       val dir = s"$src/stage$i"
@@ -575,7 +575,7 @@ object Streaming {
     val src = TempIo.createTempDir("graft-sivm-src-")
     val stateRoot = TempIo.createTempDir("graft-sivm-state-")
     val checkpoint = TempIo.createTempDir("graft-sivm-ckpt-")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.engine.Tables.ensureNanosAsLong(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     (1 to nChunks).foreach { i =>
       val dir = s"$src/stage$i"
@@ -663,7 +663,7 @@ object Streaming {
     import spark.implicits._
     val nChunks = 4
     val src = graft.engine.TempIo.createTempDir("graft-wmr-src-")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.engine.Tables.ensureNanosAsLong(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val n = raw.agg(max($"event_id")).head().getLong(0)
     // displacement up to ±n/2: a late stray can arrive ≥2 batches after

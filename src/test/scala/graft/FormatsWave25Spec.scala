@@ -27,9 +27,17 @@ class FormatsWave25Spec extends SparkTestBase {
   test("q187 text source reads exactly one line per document") {
     val r = Formats.q187TextSource(spark, sf).collect().head
     assert(r.getAs[Long]("n_lines") == Tables.documents(spark, sf).count())
-    val chars = Tables.documents(spark, sf)
-      .agg(sum(length($"text"))).as[Long].head()
-    assert(r.getAs[Long]("n_chars") == chars)
+    val bytes = Tables.documents(spark, sf)
+      .agg(sum(octet_length($"text"))).as[Long].head()
+    assert(r.getAs[Long]("n_bytes") == bytes)
+  }
+
+  test("documents fixture contract: no embedded newlines (one line per doc)") {
+    // q187's line-oriented round trip (and its oracle) assume the text
+    // source reads back exactly |documents| lines; an embedded \n or \r
+    // would silently split a doc. Asserted, not assumed.
+    assert(Tables.documents(spark, sf)
+      .filter($"text".contains("\n") || $"text".contains("\r")).count() == 0)
   }
 
   test("q188 csv codec inverts including quoted JSON props") {

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 import graft.engine.{Relational, Relational8, Similarity}
 
@@ -67,5 +68,42 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"),
       "the cell key must make the distance join hash/merge-joinable:\n" + p)
+  }
+
+  private def unpartitionedWindows(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+
+  test("q170 ranks with zero unpartitioned windows (DistRank, not a global sort)") {
+    val bad = unpartitionedWindows(graft.engine.Relational14.q170Rfm(spark, sf))
+    assert(bad.isEmpty,
+      s"q170 must never funnel the users frame through one partition: $bad")
+  }
+
+  test("q92 carve ranks with zero unpartitioned windows (DistRank, not a global sort)") {
+    val bad = unpartitionedWindows(graft.engine.Relational5.q92Filed(spark, sf))
+    assert(bad.isEmpty,
+      s"q92 must never funnel the events frame through one partition: $bad")
+  }
+
+  test("DistRank bucketed rank equals the exact global-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = graft.engine.Tables.events(spark, sf)
+      .groupBy($"user_id").agg(sum(graft.engine.Exact.cents($"value")).as("m"))
+    val got = graft.engine.DistRank.withRank(df, "m", "user_id", "rk", desc = true)
+      .select($"user_id", $"rk")
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy($"m".desc, $"user_id")).cast("long"))
+      .select($"user_id", $"rk")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val asc = graft.engine.DistRank.withRank(df, "m", "user_id", "rka", desc = false)
+      .select($"user_id", $"rka")
+    val wantAsc = df.withColumn("rka",
+        row_number().over(Window.orderBy($"m".asc, $"user_id")).cast("long"))
+      .select($"user_id", $"rka")
+    assert(asc.exceptAll(wantAsc).isEmpty && wantAsc.exceptAll(asc).isEmpty)
   }
 }

@@ -83,6 +83,8 @@ class Relational5Spec extends SparkTestBase {
       (0L until Relational5.ZFiles).toSeq)
     assert(rows.map(_.getAs[Long]("n_rows")).sum ==
       Tables.events(spark, sf).count())
+    assert(rows.forall(_.getAs[Boolean]("one_file")),
+      "each carve must land in exactly one physical parquet file")
     // z-order's promise: each file's bounding box covers a small
     // rectangle of the (d1, d2) domain, so min/max stats can prune on
     // EITHER dimension — check the mean box side is well under the
