@@ -221,6 +221,10 @@ object SparkEntry {
     "q192_large_volume"    -> Relational19.q192LargeVolume _,
     "q193_supplier_count"  -> Relational19.q193SupplierCount _,
     "q194_stream_join_disorder" -> graft.streaming.Streaming.q194StreamJoinDisorder _,
+    "q195_stream_outer_disorder" -> graft.streaming.Streaming.q195StreamOuterJoinDisorder _,
+    "q196_waiting_supplier" -> Relational19.q196WaitingSupplier _,
+    "q197_freq_sketch"     -> Relational20.q197FreqSketch _,
+    "q198_bitemporal"      -> Relational20.q198Bitemporal _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -637,5 +641,9 @@ object SparkEntry {
     "q192_large_volume"     -> Relational19.q192Sql,
     "q193_supplier_count"   -> Relational19.q193Sql,
     "q194_stream_join_disorder" -> graft.streaming.Streaming.q194Sql,
+    "q195_stream_outer_disorder" -> graft.streaming.Streaming.q195Sql,
+    "q196_waiting_supplier" -> Relational19.q196Sql,
+    "q197_freq_sketch"      -> Relational20.q197Sql,
+    "q198_bitemporal"       -> Relational20.q198Sql,
   )
 }

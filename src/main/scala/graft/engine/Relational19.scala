@@ -103,4 +103,61 @@ object Relational19 {
        GROUP BY 1, 2, 3
        ORDER BY supplier_cnt DESC, p_brand, type_prefix, p_size
        LIMIT 12"""
+
+  /** q196 — the TPC-H Q21 topology (suppliers who kept orders waiting):
+    * count, per supplier, the problem lineitems (this fixture has no
+    * receipt/commit dates, so `l_returnflag = 'R'` is the problem
+    * marker — the topology is unchanged) inside 'F'-status orders that
+    * involve ANOTHER supplier (correlated EXISTS self-join) where NO
+    * other supplier had a problem item (correlated NOT EXISTS
+    * self-join). The double-correlated pair is the shape nothing else
+    * in the q135/q138/q180/q192/q193 family exercises — and the
+    * engine-friendly plan answers BOTH arms with ONE orderkey
+    * aggregation instead of two lineitem self-joins:
+    * `n_supp > 1` ⇔ the EXISTS arm, and `n_marked_supp = 1` (the
+    * probe row itself being marked) ⇔ the NOT-EXISTS arm — so
+    * lineitem shuffles on orderkey once for the aggregate and once for
+    * the probe join (same key: the exchange is reusable), never
+    * quadratically. Supplier×nation is a broadcast dimension. The
+    * oracle keeps the textbook EXISTS/NOT-EXISTS form, proving the
+    * rewrite. */
+  def q196WaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", ($"l_returnflag" === "R").as("marked"))
+    val perOrder = li.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when($"marked", $"l_suppkey")).as("n_marked_supp"))
+      .filter($"n_supp" > 1 && $"n_marked_supp" === 1)
+      .select($"l_orderkey")
+    val fOrders = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F").select($"o_orderkey")
+    val sup = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    li.filter($"marked")
+      .join(perOrder, Seq("l_orderkey"))
+      .join(fOrders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  def q196Sql: String =
+    """SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM supplier s
+       JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                     WHERE l3.l_orderkey = l1.l_orderkey
+                       AND l3.l_suppkey <> l1.l_suppkey
+                       AND l3.l_returnflag = 'R')
+       GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"""
 }

@@ -795,6 +795,118 @@ object Streaming {
     result
   }
 
+  /** q195 — stream-stream LEFT OUTER join under disorder: the last open
+    * cell of the streaming-join matrix (q97 = outer on an ordered
+    * single-batch stream, q194 = inner under disorder). Same disordered
+    * 4-chunk replay and interval condition as q194, but unmatched
+    * purchases must ALSO flush null-padded once the watermark proves no
+    * error can still match — so the oracle has to reproduce BOTH
+    * deterministic sets at once: q194's surviving pair set (input drops
+    * + condition-derived state eviction under the two-batch-lag
+    * watermark) and q97's null-padding flush set (never-matched left
+    * rows whose 12 h match window closed below the final min-of-sides
+    * watermark). A purchase whose match was prevented by the DISORDER
+    * (its error dropped late or evicted early) correctly reappears here
+    * null-padded — exactly the rows a naive "outer = inner ∪ unmatched
+    * in the batch join" model would miss. */
+  def q195StreamOuterJoinDisorder(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = disorderedChunks(spark, sfDir)
+    def side(tag: String, et: String) = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter($"event_type" === et)
+      .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+        $"event_id".as(s"${tag}_id"))
+      .withWatermark(s"${tag}_ts", "1 hour")
+    val joined = side("p", "purchase").join(side("e", "error"),
+      expr("p_user = e_user AND e_ts >= p_ts" +
+        " AND e_ts <= p_ts + interval 12 hours"),
+      "left_outer")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_outer_join_disorder")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = graft.engine.TempIo.materialize(spark,
+      spark.table("stream_outer_join_disorder")
+        .select($"p_user".as("user_id"), $"p_id", $"e_id",
+          expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
+            .as("gap_s"))
+        .orderBy($"user_id", $"p_id", $"e_id".asc_nulls_last))
+    graft.engine.TempIo.deleteRecursively(src)
+    result
+  }
+
+  /** q195's oracle = q194's calibrated inner model + the null-pad flush:
+    * a non-late purchase with NO surviving pair is emitted null-padded
+    * iff its match window closed below the FINAL watermark (min of the
+    * two sides' full-corpus event-time maxima, ms-truncated, − 1 h —
+    * the AvailableNow drain commits the last batch's stats, so the
+    * flush gate carries no lag, same as q97/q107/q174's final gates;
+    * verified by exact match at both SFs against lagged variants). */
+  def q195Sql: String =
+    """WITH nn AS (SELECT max(event_id) AS n FROM events),
+       a AS (
+         SELECT event_id, ts, user_id, event_type,
+           least(4, greatest(1,
+             (event_id - 1 + ((event_id * event_id) % 97 - 48) * (n // 96))
+               * 4 // n + 1)) AS c
+         FROM events CROSS JOIN nn),
+       m AS (SELECT c,
+           max(CASE WHEN event_type = 'purchase' THEN ts END) AS mxp,
+           max(CASE WHEN event_type = 'error' THEN ts END) AS mxe
+         FROM a GROUP BY 1),
+       wmv AS (
+         SELECT c2.c,
+           least(
+             (SELECT epoch_ms(max(mxp)) FROM m WHERE m.c <= c2.c - 2),
+             (SELECT epoch_ms(max(mxe)) FROM m WHERE m.c <= c2.c - 2))
+             - 3600000 AS wm
+         FROM (SELECT DISTINCT c FROM a) c2),
+       p AS (
+         SELECT a.user_id, a.ts, a.event_id, a.c
+         FROM a JOIN wmv w USING (c)
+         WHERE event_type = 'purchase'
+           AND (w.wm IS NULL OR epoch_ms(a.ts) >= w.wm)),
+       e AS (
+         SELECT a.user_id, a.ts, a.event_id, a.c
+         FROM a JOIN wmv w USING (c)
+         WHERE event_type = 'error'
+           AND (w.wm IS NULL OR epoch_ms(a.ts) >= w.wm)),
+       pairs AS (
+         SELECT p.user_id, p.event_id AS p_id, e.event_id AS e_id,
+           (epoch_us(e.ts) - epoch_us(p.ts)) // 1000000 AS gap_s,
+           p.ts AS p_ts, e.ts AS e_ts, p.c AS cp, e.c AS ce
+         FROM p JOIN e
+           ON p.user_id = e.user_id
+          AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 12 HOUR),
+       alive AS (
+         SELECT user_id, p_id, e_id, gap_s FROM pairs
+         JOIN wmv wl ON wl.c = greatest(cp, ce)
+         WHERE cp = ce OR wl.wm IS NULL
+            OR (cp < ce AND epoch_ms(p_ts) >= wl.wm - 43200000)
+            OR (ce < cp AND epoch_ms(e_ts) >= wl.wm)),
+       wmf AS (
+         SELECT least(
+             (SELECT epoch_ms(max(mxp)) FROM m),
+             (SELECT epoch_ms(max(mxe)) FROM m)) - 3600000 AS wm),
+       npad AS (
+         SELECT p.user_id, p.event_id AS p_id,
+           CAST(NULL AS BIGINT) AS e_id, CAST(NULL AS BIGINT) AS gap_s
+         FROM p CROSS JOIN wmf
+         WHERE epoch_ms(p.ts) + 43200000 < wmf.wm
+           AND NOT EXISTS (SELECT 1 FROM alive WHERE alive.p_id = p.event_id))
+       SELECT user_id, CAST(p_id AS BIGINT) AS p_id,
+         CAST(e_id AS BIGINT) AS e_id, CAST(gap_s AS BIGINT) AS gap_s
+       FROM (SELECT * FROM alive UNION ALL SELECT * FROM npad)
+       ORDER BY user_id, p_id, e_id NULLS LAST"""
+
   /** Relational model of the disordered join replay — CALIBRATED to
     * exact pair-set equality at both test SFs over the full grid of
     * per-side gate/eviction variants:

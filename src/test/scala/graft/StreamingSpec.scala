@@ -66,6 +66,23 @@ class StreamingSpec extends SparkTestBase {
     assert(nulls.forall(_.isNullAt(3)), "gap is null wherever the error side is null")
   }
 
+  test("q195 outer-under-disorder: matched rows equal q194; null rows are unique closed-window purchases") {
+    val outer = graft.streaming.Streaming.q195StreamOuterJoinDisorder(spark, sf).collect()
+    val inner = graft.streaming.Streaming.q194StreamJoinDisorder(spark, sf).collect()
+    val matched = outer.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(matched ==
+      inner.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet,
+      "outer-under-disorder must contain exactly q194's surviving pairs")
+    val nulls = outer.filter(_.isNullAt(2))
+    assert(nulls.nonEmpty, "the drained stream must flush unmatched purchases")
+    assert(nulls.map(_.getLong(1)).distinct.length == nulls.length,
+      "each flushed purchase is emitted null-padded exactly once")
+    val matchedP = matched.map(_._2)
+    assert(nulls.forall(r => !matchedP.contains(r.getLong(1))),
+      "a purchase is either matched or null-padded, never both")
+  }
+
   test("q96 transformWithState sessionize equals q39 batch sessionize") {
     val batch = graft.streaming.Sessionize.q39Sessionize(spark, sf)
     val tws = graft.streaming.Sessionize.q96TransformWithState(spark, sf)
