@@ -225,6 +225,12 @@ object SparkEntry {
     "q196_waiting_supplier" -> Relational19.q196WaitingSupplier _,
     "q197_freq_sketch"     -> Relational20.q197FreqSketch _,
     "q198_bitemporal"      -> Relational20.q198Bitemporal _,
+    "q199_stream_full_outer_disorder" -> graft.streaming.Streaming.q199StreamFullOuterDisorder _,
+    "q200_dynamic_pruning" -> Relational20.q200DynamicPruning _,
+    "q201_runtime_filter"  -> Relational20.q201RuntimeFilter _,
+    "q202_corrupt_records" -> Relational21.q202CorruptRecords _,
+    "q203_codec_roundtrip" -> Relational21.q203CodecRoundtrip _,
+    "q204_nullsafe_join"   -> Relational21.q204NullSafeJoin _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -645,5 +651,11 @@ object SparkEntry {
     "q196_waiting_supplier" -> Relational19.q196Sql,
     "q197_freq_sketch"      -> Relational20.q197Sql,
     "q198_bitemporal"       -> Relational20.q198Sql,
+    "q199_stream_full_outer_disorder" -> graft.streaming.Streaming.q199Sql,
+    "q200_dynamic_pruning"  -> Relational20.q200Sql,
+    "q201_runtime_filter"   -> Relational20.q201Sql,
+    "q202_corrupt_records"  -> Relational21.q202Sql,
+    "q203_codec_roundtrip"  -> Relational21.q203Sql,
+    "q204_nullsafe_join"    -> Relational21.q204Sql,
   )
 }

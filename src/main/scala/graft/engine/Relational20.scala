@@ -159,4 +159,121 @@ object Relational20 {
          CAST(sum(CASE WHEN is_corr THEN 1 ELSE 0 END) AS BIGINT)
            AS n_restated
        FROM winners GROUP BY 1, 2 ORDER BY know_week, valid_day"""
+
+  /** Write the events stream date-partitioned (q140's layout) for the
+    * q200 fixture; caller owns deletion. */
+  private[graft] def writeDatePartitioned(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val dir = TempIo.createTempDir("graft-dpp-")
+    Tables.events(spark, sfDir)
+      .withColumn("date", date_format($"ts", "yyyy-MM-dd"))
+      .repartition($"date")
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    dir
+  }
+
+  /** The q200 join against an already-written fixture — separate so the
+    * spec can assert the physical plan BEFORE materialization. */
+  private[graft] def q200Join(spark: SparkSession, sfDir: String,
+      factDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = spark.read.parquet(factDir)
+    // the dim comes from the ORIGINAL table (a different scan), filtered
+    // to every-7th day — selective, broadcastable, and only knowable at
+    // runtime, which is precisely what DPP exists for
+    val dim = Tables.events(spark, sfDir)
+      .select(date_format($"ts", "yyyy-MM-dd").cast("date").as("d")).distinct()
+      .filter(dayofmonth($"d") % 7 === 1)
+    fact.join(broadcast(dim), fact("date") === dim("d"))
+      .groupBy($"date".cast("string").as("date"))
+      .agg(count(lit(1)).as("counts"), sum(Exact.cents($"value")).as("cents"))
+      .orderBy($"date")
+  }
+
+  /** q200 — DYNAMIC partition pruning: q140 proved static pruning (a
+    * literal date predicate reaches PartitionFilters); here the prune
+    * set is only known at RUNTIME — it is the output of the dimension
+    * subquery — and Catalyst still prunes the fact scan, by injecting
+    * the broadcast dim's build-side keys as a partition filter
+    * (`dynamicpruningexpression` on the scan, spec-asserted). At 100 TB
+    * this is THE star-schema mechanism: a selective dim filter means
+    * the date-partitioned fact reads 5 of 30 directories, zero bytes of
+    * the rest, without anyone hand-writing the date list. The oracle
+    * reproduces the join from the unpartitioned original — equality
+    * proves pruning lost no rows. */
+  def q200DynamicPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeDatePartitioned(spark, sfDir)
+    val out = TempIo.materialize(spark, q200Join(spark, sfDir, dir))
+    TempIo.deleteRecursively(dir)
+    out
+  }
+
+  def q200Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS date,
+       CAST(count(*) AS BIGINT) AS counts,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS cents
+       FROM events
+       WHERE CAST(strftime(ts, '%d') AS INT) % 7 = 1
+       GROUP BY 1 ORDER BY date"""
+
+  /** The q201 join with runtime-filter confs scoped (q189's
+    * save/restore discipline) — separate so the spec can assert the
+    * injected bloom filter in the optimized plan. The threshold
+    * overrides exist because the test corpus is tiny: at production
+    * scale the defaults (10 GB application side) trigger on their own.
+    * autoBroadcast is disabled so the join actually shuffles — the
+    * regime the bloom filter exists for (a broadcast join would prune
+    * via DPP/build-side keys instead). */
+  private[graft] def q201Join(spark: SparkSession, sfDir: String)
+      (f: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "0")
+    spark.conf.set(keys(2), "-1")
+    try {
+      val urgent = Tables.orders(spark, sfDir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderdate")
+      val joined = Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_returnflag")
+        .join(urgent, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.cents($"l_extendedprice")).as("cents"))
+        .orderBy($"l_returnflag")
+      f(joined)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** q201 — runtime (bloom) join filter: the shuffle-join complement of
+    * q200's DPP. When the fact side is too big to broadcast-join, Spark
+    * can still build a bloom filter from the SELECTIVE dim side
+    * (1-URGENT orders) and push `might_contain` into the fact scan —
+    * rows that cannot join are dropped BEFORE the shuffle, which at
+    * 100 TB is the difference between shuffling the whole lineitem and
+    * shuffling the ~20% that has an urgent order. Results are
+    * semantics-identical to the plain join (the filter only
+    * false-positives), which is exactly what the oracle checks; the
+    * spec asserts the bloom is actually in the plan, so a conf rename
+    * or regression cannot silently degrade to full shuffles. */
+  def q201RuntimeFilter(spark: SparkSession, sfDir: String): DataFrame =
+    q201Join(spark, sfDir)(df => TempIo.materialize(spark, df))
+
+  def q201Sql: String =
+    """SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         AS BIGINT) AS cents
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY 1 ORDER BY l_returnflag"""
 }

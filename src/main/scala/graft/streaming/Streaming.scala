@@ -907,6 +907,121 @@ object Streaming {
        FROM (SELECT * FROM alive UNION ALL SELECT * FROM npad)
        ORDER BY user_id, p_id, e_id NULLS LAST"""
 
+  /** q199 — stream-stream FULL OUTER join under disorder, completing
+    * the matrix (inner = q194, left = q195): BOTH sides now flush
+    * null-padded on state eviction, so the oracle adds the error-side
+    * flush set to q195's model — an error evicted unmatched (e_ts
+    * below the final watermark, its purchase dropped late or itself
+    * arrived too late to meet one) emits with null purchase columns.
+    * The symmetric retention asymmetry is the point: purchases live
+    * 12 h past their timestamp (the join range extends their useful
+    * life), errors only to the watermark itself — so the two flush
+    * gates differ exactly by the interval bound, and a model with a
+    * symmetric gate fails the hash at both SFs. */
+  def q199StreamFullOuterDisorder(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = disorderedChunks(spark, sfDir)
+    def side(tag: String, et: String) = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter($"event_type" === et)
+      .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+        $"event_id".as(s"${tag}_id"))
+      .withWatermark(s"${tag}_ts", "1 hour")
+    val joined = side("p", "purchase").join(side("e", "error"),
+      expr("p_user = e_user AND e_ts >= p_ts" +
+        " AND e_ts <= p_ts + interval 12 hours"),
+      "full_outer")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_full_outer_disorder")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = graft.engine.TempIo.materialize(spark,
+      spark.table("stream_full_outer_disorder")
+        .select(coalesce($"p_user", $"e_user").as("user_id"),
+          $"p_id", $"e_id",
+          expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
+            .as("gap_s"))
+        .orderBy($"user_id", $"p_id".asc_nulls_last, $"e_id".asc_nulls_last))
+    graft.engine.TempIo.deleteRecursively(src)
+    result
+  }
+
+  /** q195's model plus the error-side flush: an undropped error with no
+    * surviving pair emits null-padded iff it fell below the final
+    * watermark (no 12 h grace — the join range only extends PURCHASE
+    * retention, the condition's e_ts ≥ p_ts gives errors nothing). */
+  def q199Sql: String =
+    """WITH nn AS (SELECT max(event_id) AS n FROM events),
+       a AS (
+         SELECT event_id, ts, user_id, event_type,
+           least(4, greatest(1,
+             (event_id - 1 + ((event_id * event_id) % 97 - 48) * (n // 96))
+               * 4 // n + 1)) AS c
+         FROM events CROSS JOIN nn),
+       m AS (SELECT c,
+           max(CASE WHEN event_type = 'purchase' THEN ts END) AS mxp,
+           max(CASE WHEN event_type = 'error' THEN ts END) AS mxe
+         FROM a GROUP BY 1),
+       wmv AS (
+         SELECT c2.c,
+           least(
+             (SELECT epoch_ms(max(mxp)) FROM m WHERE m.c <= c2.c - 2),
+             (SELECT epoch_ms(max(mxe)) FROM m WHERE m.c <= c2.c - 2))
+             - 3600000 AS wm
+         FROM (SELECT DISTINCT c FROM a) c2),
+       p AS (
+         SELECT a.user_id, a.ts, a.event_id, a.c
+         FROM a JOIN wmv w USING (c)
+         WHERE event_type = 'purchase'
+           AND (w.wm IS NULL OR epoch_ms(a.ts) >= w.wm)),
+       e AS (
+         SELECT a.user_id, a.ts, a.event_id, a.c
+         FROM a JOIN wmv w USING (c)
+         WHERE event_type = 'error'
+           AND (w.wm IS NULL OR epoch_ms(a.ts) >= w.wm)),
+       pairs AS (
+         SELECT p.user_id, p.event_id AS p_id, e.event_id AS e_id,
+           (epoch_us(e.ts) - epoch_us(p.ts)) // 1000000 AS gap_s,
+           p.ts AS p_ts, e.ts AS e_ts, p.c AS cp, e.c AS ce
+         FROM p JOIN e
+           ON p.user_id = e.user_id
+          AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 12 HOUR),
+       alive AS (
+         SELECT user_id, p_id, e_id, gap_s FROM pairs
+         JOIN wmv wl ON wl.c = greatest(cp, ce)
+         WHERE cp = ce OR wl.wm IS NULL
+            OR (cp < ce AND epoch_ms(p_ts) >= wl.wm - 43200000)
+            OR (ce < cp AND epoch_ms(e_ts) >= wl.wm)),
+       wmf AS (
+         SELECT least(
+             (SELECT epoch_ms(max(mxp)) FROM m),
+             (SELECT epoch_ms(max(mxe)) FROM m)) - 3600000 AS wm),
+       npad AS (
+         SELECT p.user_id, p.event_id AS p_id,
+           CAST(NULL AS BIGINT) AS e_id, CAST(NULL AS BIGINT) AS gap_s
+         FROM p CROSS JOIN wmf
+         WHERE epoch_ms(p.ts) + 43200000 < wmf.wm
+           AND NOT EXISTS (SELECT 1 FROM alive WHERE alive.p_id = p.event_id)),
+       epad AS (
+         SELECT e.user_id, CAST(NULL AS BIGINT) AS p_id,
+           e.event_id AS e_id, CAST(NULL AS BIGINT) AS gap_s
+         FROM e CROSS JOIN wmf
+         WHERE epoch_ms(e.ts) < wmf.wm
+           AND NOT EXISTS (SELECT 1 FROM alive WHERE alive.e_id = e.event_id))
+       SELECT user_id, CAST(p_id AS BIGINT) AS p_id,
+         CAST(e_id AS BIGINT) AS e_id, CAST(gap_s AS BIGINT) AS gap_s
+       FROM (SELECT * FROM alive
+             UNION ALL SELECT * FROM npad
+             UNION ALL SELECT * FROM epad)
+       ORDER BY user_id, p_id NULLS LAST, e_id NULLS LAST"""
+
   /** Relational model of the disordered join replay — CALIBRATED to
     * exact pair-set equality at both test SFs over the full grid of
     * per-side gate/eviction variants:

@@ -63,6 +63,31 @@ class Relational20Spec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("q200 fact scan carries a dynamic partition pruning filter") {
+    val dir = Relational20.writeDatePartitioned(spark, sf)
+    try {
+      val df = Relational20.q200Join(spark, sf, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        "the dim subquery must prune the partitioned fact scan at runtime:\n" + p)
+      // and the prune actually restricts the partition count: 5 of 30 days
+      assert(df.collect().length == 5)
+    } finally graft.engine.TempIo.deleteRecursively(dir)
+  }
+
+  test("q201 injects a runtime bloom filter on the shuffle-join fact side") {
+    Relational20.q201Join(spark, sf) { df =>
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "the selective dim side must seed a bloom filter into the fact scan:\n" + p)
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "the fixture must exercise the SHUFFLE-join regime bloom filters exist for")
+      df
+    }
+    // conf scope must not leak: broadcast threshold restored afterwards
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+  }
+
   test("q198 restatements accumulate monotonically and converge to the corrected ledger") {
     val rows = Relational20.q198Bitemporal(spark, sf).collect()
     assert(rows.nonEmpty)

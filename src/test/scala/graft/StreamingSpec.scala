@@ -83,6 +83,23 @@ class StreamingSpec extends SparkTestBase {
       "a purchase is either matched or null-padded, never both")
   }
 
+  test("q199 full-outer-under-disorder adds only the error-side flush to q195") {
+    val full = graft.streaming.Streaming.q199StreamFullOuterDisorder(spark, sf).collect()
+    val left = graft.streaming.Streaming.q195StreamOuterJoinDisorder(spark, sf).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+    val fullSet = full.map(key).toSet
+    val leftSet = left.map(key).toSet
+    assert(leftSet.subsetOf(fullSet),
+      "full outer must contain every left-outer row")
+    val extra = full.filter(r => !leftSet.contains(key(r)))
+    assert(extra.nonEmpty, "the drained stream must flush unmatched errors")
+    assert(extra.forall(r => r.isNullAt(1) && !r.isNullAt(2) && r.isNullAt(3)),
+      "every added row is a null-padded error")
+  }
+
   test("q96 transformWithState sessionize equals q39 batch sessionize") {
     val batch = graft.streaming.Sessionize.q39Sessionize(spark, sf)
     val tws = graft.streaming.Sessionize.q96TransformWithState(spark, sf)
