@@ -231,6 +231,8 @@ object SparkEntry {
     "q202_corrupt_records" -> Relational21.q202CorruptRecords _,
     "q203_codec_roundtrip" -> Relational21.q203CodecRoundtrip _,
     "q204_nullsafe_join"   -> Relational21.q204NullSafeJoin _,
+    "q205_restart_replay"  -> graft.streaming.Streaming.q205RestartReplay _,
+    "q206_join_then_window" -> graft.streaming.Streaming.q206JoinThenWindow _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -657,5 +659,7 @@ object SparkEntry {
     "q202_corrupt_records"  -> Relational21.q202Sql,
     "q203_codec_roundtrip"  -> Relational21.q203Sql,
     "q204_nullsafe_join"    -> Relational21.q204Sql,
+    "q205_restart_replay"   -> graft.streaming.Streaming.q205Sql,
+    "q206_join_then_window" -> graft.streaming.Streaming.q206Sql,
   )
 }

@@ -659,10 +659,18 @@ object Streaming {
     * ±n/2 — a deterministically DISORDERED replay fixture (strays
     * arrive ≥2 batches after their quarter, past state eviction).
     * Shared by q174 (windowed agg) and q194 (stream-stream join). */
-  private def disorderedChunks(spark: SparkSession, sfDir: String): String = {
+  private[graft] def disorderedChunks(spark: SparkSession, sfDir: String): String = {
+    val src = graft.engine.TempIo.createTempDir("graft-wmr-src-")
+    writeDisorderedChunks(spark, sfDir, src, 1 to 4)
+    src
+  }
+
+  /** Write the selected chunk files of the disordered carve into `dst`
+    * — split out so q205 can stage chunks 1–2, restart, then 3–4. */
+  private def writeDisorderedChunks(spark: SparkSession, sfDir: String,
+      dst: String, chunks: Seq[Int]): Unit = {
     import spark.implicits._
     val nChunks = 4
-    val src = graft.engine.TempIo.createTempDir("graft-wmr-src-")
     graft.engine.Tables.ensureNanosAsLong(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val n = raw.agg(max($"event_id")).head().getLong(0)
@@ -672,16 +680,15 @@ object Streaming {
       least(lit(nChunks), greatest(lit(1), expr(
         s"(event_id - 1 + ((event_id * event_id) % 97 - 48) * ($n div 96))" +
           s" * $nChunks div $n + 1"))))
-    (1 to nChunks).foreach { i =>
-      val dir = s"$src/stage$i"
+    chunks.foreach { i =>
+      val dir = s"$dst/stage$i"
       chunked.filter($"c" === i).drop("c").coalesce(1).write.parquet(dir)
       val part = new java.io.File(dir).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$src/chunk$i.parquet"))
+        java.nio.file.Paths.get(s"$dst/chunk$i.parquet"))
       graft.engine.TempIo.deleteRecursively(dir)
     }
-    src
   }
 
   def q174WatermarkReplay(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
@@ -1021,6 +1028,150 @@ object Streaming {
              UNION ALL SELECT * FROM npad
              UNION ALL SELECT * FROM epad)
        ORDER BY user_id, p_id NULLS LAST, e_id NULLS LAST"""
+
+  /** q205 — mid-stream RESTART over the disordered replay: chunks 1–2
+    * drain to a checkpointed parquet sink (run 1 stops), chunks 3–4
+    * arrive, and a SECOND query start resumes from the checkpoint —
+    * q174's windowed aggregate, interrupted. Exactly-once across the
+    * restart is the q63-spec contract; what THIS query pins is the
+    * watermark consequence nobody documents: the run-1 drain COMMITS
+    * the watermark derived from chunks 1–2, so the restart serves
+    * chunk 3 a watermark one batch FRESHER than the uninterrupted q174
+    * run would (whose two-batch lag still serves chunk-1 stats there).
+    * A restart therefore never loses or duplicates on-time data, but
+    * it can legally drop MORE late strays than the uninterrupted run —
+    * the oracle models the restored-commit gate (see q205Sql) and
+    * matches the engine exactly at both SFs; the unshifted and
+    * naive-shift variants both fail the diff. */
+  def q205RestartReplay(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = TempIo.createTempDir("graft-rst-src-")
+    val sink = TempIo.createTempDir("graft-rst-sink-")
+    val ckpt = TempIo.createTempDir("graft-rst-ckpt-")
+    def drain(): Unit = {
+      val agg = spark.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "chunk*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("counts"))
+        .select($"window.start".as("ws_ts"), $"event_type", $"counts")
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeDisorderedChunks(spark, sfDir, src, Seq(1, 2))
+    drain()
+    writeDisorderedChunks(spark, sfDir, src, Seq(3, 4))
+    drain()
+    val result = TempIo.materialize(spark,
+      spark.read.parquet(sink)
+        .select(graft.engine.Exact.tsString($"ws_ts").as("ws"),
+          $"event_type", $"counts")
+        .orderBy($"ws", $"event_type"))
+    Seq(src, sink, ckpt).foreach(TempIo.deleteRecursively)
+    result
+  }
+
+  /** q174's model with the restart's watermark advance, CALIBRATED
+    * (exact match at both SFs; the unshifted and shift-everything
+    * variants both fail): run-1's drain commits the watermark from
+    * chunks 1–2, so EVERY post-restart batch is filtered by the
+    * restored stats(1..2) — chunk 3 because that is its planning-time
+    * commit, chunk 4 because run 2's own commit pipeline carries the
+    * same two-batch lag q174 pinned (its fresher commit lands only
+    * after chunk 4 is planned). Pre-restart batches keep q174's
+    * ≤ c−2 gate. */
+  def q205Sql: String =
+    """WITH nn AS (SELECT max(event_id) AS n FROM events),
+       a AS (
+         SELECT event_id, ts, event_type,
+           least(4, greatest(1,
+             (event_id - 1 + ((event_id * event_id) % 97 - 48) * (n // 96))
+               * 4 // n + 1)) AS c
+         FROM events CROSS JOIN nn),
+       m AS (SELECT c, max(ts) AS mx FROM a GROUP BY 1),
+       pre AS (
+         SELECT a.event_id, a.ts, a.event_type, a.c,
+           (SELECT max(mx) FROM m
+            WHERE m.c <= (CASE WHEN a.c >= 3 THEN 2 ELSE a.c - 2 END))
+             AS wm_mx
+         FROM a),
+       kept AS (
+         SELECT ts, event_type FROM pre
+         WHERE wm_mx IS NULL
+            OR epoch_ms(date_trunc('hour', ts)) + 3600000
+               > epoch_ms(wm_mx) - 3600000),
+       wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_final FROM events)
+       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+         event_type, count(*) AS counts
+       FROM kept CROSS JOIN wm
+       WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <= wm_final
+       GROUP BY 1, 2 ORDER BY ws, event_type"""
+
+  /** q206 — MULTIPLE STATEFUL OPERATORS in one streaming query: q42's
+    * stream-stream interval join feeding a windowed aggregation (pairs
+    * per error-hour) in the SAME query — the chained-stateful shape
+    * (join → agg) Spark only supports since the 3.4 watermark
+    * propagation rework, and the natural form of every funnel metric
+    * ("conversions per hour" = join then window). The downstream
+    * aggregate keys on the error-side event time, whose watermark the
+    * join PROPAGATES — the engine measurably withholds the final
+    * pair-hour at sf0.01 (56 of 57 windows emit), proving the chained
+    * operator is watermark-gated, not flush-everything. Calibration
+    * honesty: every gate in [wm−5h, wm] matches this corpus bit-exactly
+    * (no pair-window end falls inside that band at either SF, checked
+    * at 15-minute grain too), so the oracle pins the simplest
+    * consistent form — window end ≤ the final min-of-sides watermark,
+    * q97's exact constant — and the pair COUNTS per window are checked
+    * exactly everywhere. */
+  def q206JoinThenWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    def side(tag: String, eventType: String) =
+      intervalJoinSide(spark, sfDir, tag, eventType)
+    val joined = side("p", "purchase").join(side("e", "error"),
+      expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 2 hours"))
+    val agg = joined
+      .groupBy(window($"e_ts", "1 hour"))
+      .agg(count(lit(1)).as("pairs"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("join_then_window")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.engine.TempIo.materialize(spark,
+      spark.table("join_then_window")
+        .select(graft.engine.Exact.tsString($"window.start").as("ws"), $"pairs")
+        .orderBy($"ws"))
+  }
+
+  def q206Sql: String =
+    """WITH pairs AS (
+         SELECT b.ts AS e_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+         JOIN (SELECT * FROM events WHERE event_type = 'error') b
+           ON a.user_id = b.user_id
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR),
+       wm AS (
+         SELECT least(
+             (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'),
+             (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'error'))
+           - 10800000 AS wm_final)
+       SELECT strftime(date_trunc('hour', e_ts), '%Y-%m-%d %H:%M:%S') AS ws,
+         count(*) AS pairs
+       FROM pairs CROSS JOIN wm
+       WHERE epoch_ms(date_trunc('hour', e_ts)) + 3600000 <= wm_final
+       GROUP BY 1, wm_final ORDER BY ws"""
 
   /** Relational model of the disordered join replay — CALIBRATED to
     * exact pair-set equality at both test SFs over the full grid of

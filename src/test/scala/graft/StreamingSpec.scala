@@ -100,6 +100,59 @@ class StreamingSpec extends SparkTestBase {
       "every added row is a null-padded error")
   }
 
+  test("q174's calibrated drop model equals the engine's own numRowsDroppedByWatermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = graft.streaming.Streaming.disorderedChunks(spark, sf)
+    try {
+      val agg = spark.readStream
+        .schema(graft.streaming.Streaming.eventsRawSchema)
+        .option("pathGlobFilter", "chunk*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("counts"))
+      val q = agg.writeStream
+        .outputMode("append").format("memory").queryName("wm_metric")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val measured = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      // The q174 model's drop set, counted the way the METRIC counts:
+      // the state store sits above the partial (map-side) aggregation,
+      // so numRowsDroppedByWatermark counts dropped (window, type)
+      // GROUPS per batch, not raw rows — derived by matching the
+      // engine's per-batch metrics (141, 244 at sf0.001) exactly; the
+      // raw-row count (147, 261) does NOT match. Same lag-2 watermark
+      // and window-end gate as the calibrated q174 oracle. Scale
+      // corollary: late data costs combined partials in the shuffle,
+      // never raw-row volume.
+      val ev = Tables.events(spark, sf)
+        .select($"event_id", $"ts", $"event_type")
+      val nMax = ev.agg(max($"event_id")).head().getLong(0)
+      val a = ev.withColumn("c", least(lit(4), greatest(lit(1), expr(
+        s"(event_id - 1 + ((event_id * event_id) % 97 - 48) * ($nMax div 96))" +
+          s" * 4 div $nMax + 1"))))
+      val m = a.groupBy($"c").agg(max($"ts").as("mx"))
+        .select($"c".as("mc"), $"mx")
+      val wm = a.select($"c").distinct()
+        .join(m, $"mc" <= $"c" - 2, "left")
+        .groupBy($"c").agg(max($"mx").as("wm_mx"))
+      val expected = a.join(wm, Seq("c"))
+        .filter($"wm_mx".isNotNull &&
+          unix_millis(date_trunc("hour", $"ts")) + 3600000L <=
+            unix_millis($"wm_mx") - 3600000L)
+        .select($"c", date_trunc("hour", $"ts").as("w"), $"event_type")
+        .distinct()
+        .count()
+      assert(measured == expected,
+        s"engine dropped $measured, model predicts $expected")
+      assert(measured > 0, "the disordered fixture must produce real drops")
+    } finally graft.engine.TempIo.deleteRecursively(src)
+  }
+
   test("q96 transformWithState sessionize equals q39 batch sessionize") {
     val batch = graft.streaming.Sessionize.q39Sessionize(spark, sf)
     val tws = graft.streaming.Sessionize.q96TransformWithState(spark, sf)
