@@ -155,4 +155,57 @@ object Relational21 {
            (SELECT count(*) FROM l JOIN r ON k = rk) +
            (SELECT count(*) FROM l WHERE k IS NULL) *
            (SELECT count(*) FROM r WHERE rk IS NULL) AS identity_holds"""
+
+  /** q209 — CDC apply WITH DELETES: q90's latest-wins upsert extended
+    * by the tombstone verb every real change stream carries. The
+    * change log (synthesized: every 10th event is a DELETE of its key,
+    * the rest are UPSERTs of the cents value, sequenced by event_id —
+    * the LSN stand-in, verified unique at every SF) reduces per key to
+    * the HIGHEST-sequence operation: a final D means the key is gone
+    * (tombstone), a final U carries the current value — and a delete
+    * followed by a later upsert correctly RESURRECTS the key, the case
+    * naive "filter deletes first" pipelines get wrong. One combinable
+    * max_by aggregate per key; the audit reports live/deleted key
+    * counts, live value total, and the resurrection count, all
+    * hash-exact. Scale: one shuffle on the key — the same posture as
+    * q90, with tombstone retention being a compaction-policy knob, not
+    * a plan change. */
+  def q209CdcDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val log = Tables.events(spark, sfDir)
+      .select(($"user_id" % 100).as("key"), $"event_id".as("lsn"),
+        when($"event_id" % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        Exact.cents($"value").as("cents"))
+    val latest = log.groupBy($"key")
+      .agg(max_by(struct($"op", $"cents"), $"lsn").as("last"),
+        max(when($"op" === "D", $"lsn")).as("last_del"),
+        max(when($"op" === "U", $"lsn")).as("last_ups"))
+    latest.agg(
+      count(when($"last.op" === "U", 1)).as("n_live"),
+      count(when($"last.op" === "D", 1)).as("n_tombstoned"),
+      sum(when($"last.op" === "U", $"last.cents")).as("live_cents"),
+      count(when($"last_del".isNotNull && $"last_ups" > $"last_del", 1))
+        .as("n_resurrected"))
+  }
+
+  def q209Sql: String =
+    """WITH log AS (
+         SELECT user_id % 100 AS key, event_id AS lsn,
+           CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       latest AS (
+         SELECT key,
+           arg_max(op, lsn) AS last_op,
+           arg_max(cents, lsn) AS last_cents,
+           max(CASE WHEN op = 'D' THEN lsn END) AS last_del,
+           max(CASE WHEN op = 'U' THEN lsn END) AS last_ups
+         FROM log GROUP BY 1)
+       SELECT
+         CAST(count(*) FILTER (last_op = 'U') AS BIGINT) AS n_live,
+         CAST(count(*) FILTER (last_op = 'D') AS BIGINT) AS n_tombstoned,
+         CAST(sum(last_cents) FILTER (last_op = 'U') AS BIGINT) AS live_cents,
+         CAST(count(*) FILTER (last_del IS NOT NULL AND last_ups > last_del)
+           AS BIGINT) AS n_resurrected
+       FROM latest"""
 }

@@ -272,4 +272,58 @@ object Sessionize {
             AS end_ts_gap
         FROM numbered GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx"""
+
+  /** q207 — DYNAMIC-gap session windows: the inactivity gap is an
+    * EXPRESSION of the row (15 min after a click, 45 min after a
+    * purchase, 30 min otherwise), the session_window(col, gapExpr)
+    * form Spark grew in 3.2 — fixed-gap sessionization (q39/q120)
+    * can't express "a purchase keeps the visit alive longer". The
+    * semantics are interval UNION (each event extends the session to
+    * ts + its own gap; overlapping extents merge), which is order-free
+    * — so the oracle reproduces sessions with a running max of
+    * interval ends per user (a break exactly where the next event
+    * clears every preceding extent), and the output histogram
+    * (sessions per user distribution + global session/event totals) is
+    * hash-exact. Scale: one shuffle by user, per-key local sort —
+    * identical posture to every sessionizer in this family. */
+  def q207DynamicGap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gap = when($"event_type" === "click", lit("15 minutes"))
+      .when($"event_type" === "purchase", lit("45 minutes"))
+      .otherwise(lit("30 minutes"))
+    val sess = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_type")
+      .groupBy($"user_id", session_window($"ts", gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    val perUser = sess.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+    perUser.groupBy($"n_sessions")
+      .agg(count(lit(1)).as("n_users"), sum($"n_events").as("n_events"))
+      .orderBy($"n_sessions")
+  }
+
+  def q207Sql: String =
+    """WITH e AS (
+         SELECT user_id, ts, event_id,
+           CASE event_type WHEN 'click' THEN 900000000
+                WHEN 'purchase' THEN 2700000000 ELSE 1800000000 END AS gap_us
+         FROM events),
+       x AS (
+         SELECT user_id, ts,
+           CASE WHEN max(epoch_us(ts) + gap_us) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL THEN 1
+                WHEN epoch_us(ts) >= max(epoch_us(ts) + gap_us) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+         FROM e),
+       pu AS (
+         SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM x GROUP BY 1)
+       SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_events) AS BIGINT) AS n_events
+       FROM pu GROUP BY 1 ORDER BY n_sessions"""
 }

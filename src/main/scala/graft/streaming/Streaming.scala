@@ -1173,6 +1173,67 @@ object Streaming {
        WHERE epoch_ms(date_trunc('hour', e_ts)) + 3600000 <= wm_final
        GROUP BY 1, wm_final ORDER BY ws"""
 
+  /** q208 — stream-static AS-OF enrichment: the streaming fact joined
+    * against a VERSIONED (SCD2-interval) dimension on equi-key PLUS
+    * interval containment (`ts ∈ [valid_from, valid_to)`), the
+    * production enrichment shape q89's plain equi join can't express —
+    * "which tier was this user in WHEN the purchase happened", not
+    * "which tier is the user in now". The dim (user × week tiers,
+    * deterministically synthesized) broadcasts; the stream side never
+    * shuffles; the join is stateless (static side re-resolved per
+    * batch), so no watermark is involved — the contract is pure as-of
+    * correctness, which the oracle reproduces with the same interval
+    * predicate. */
+  def q208StreamAsofEnrich(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val wk0 = graft.engine.Tables.events(spark, sfDir)
+      .agg(min(date_trunc("week", $"ts"))).head().getTimestamp(0)
+    val weeks = (0 until 5).map { i =>
+      (i.toLong, new java.sql.Timestamp(wk0.getTime + i * 7L * 86400000L),
+        new java.sql.Timestamp(wk0.getTime + (i + 1) * 7L * 86400000L))
+    }.toDF("w", "valid_from", "valid_to")
+    val dim = graft.engine.Tables.events(spark, sfDir)
+      .select($"user_id".as("d_user")).distinct()
+      .crossJoin(weeks)
+      .withColumn("tier", ($"d_user" * 7 + $"w") % 3)
+    val enriched = projectIngest(readEventsStream(spark, sfDir))
+      .filter($"event_type" === "purchase")
+      .join(broadcast(dim),
+        $"user_id" === $"d_user" &&
+          $"ts" >= $"valid_from" && $"ts" < $"valid_to")
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.engine.Exact.cents($"value")).as("cents"))
+    val q = enriched.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("asof_enrich")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.engine.TempIo.materialize(spark,
+      spark.table("asof_enrich").orderBy($"tier"))
+  }
+
+  def q208Sql: String =
+    """WITH wk AS (SELECT date_trunc('week', min(ts)) AS w0 FROM events),
+       weeks AS (
+         SELECT i AS w, w0 + i * INTERVAL 7 DAY AS valid_from,
+           w0 + (i + 1) * INTERVAL 7 DAY AS valid_to
+         FROM range(0, 5) r(i) CROSS JOIN wk),
+       dim AS (
+         SELECT u.user_id AS d_user, w, valid_from, valid_to,
+           (u.user_id * 7 + w) % 3 AS tier
+         FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN weeks)
+       SELECT tier, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS cents
+       FROM events e JOIN dim d
+         ON e.user_id = d.d_user
+        AND e.ts >= d.valid_from AND e.ts < d.valid_to
+       WHERE e.event_type = 'purchase'
+       GROUP BY 1 ORDER BY tier"""
+
   /** Relational model of the disordered join replay — CALIBRATED to
     * exact pair-set equality at both test SFs over the full grid of
     * per-side gate/eviction variants:
