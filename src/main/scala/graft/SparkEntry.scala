@@ -236,6 +236,7 @@ object SparkEntry {
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
+    "q210_range_join_rule" -> Relational22.q210RangeJoinRule _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -667,5 +668,6 @@ object SparkEntry {
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,
+    "q210_range_join_rule"  -> Relational22.q210Sql,
   )
 }

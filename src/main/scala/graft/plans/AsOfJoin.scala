@@ -122,8 +122,10 @@ case class AsOfJoinExec(
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => RangeJoinRule)
+  }
 }
 
 /** User-facing API: `AsOf.join(purchases, signups, Seq("user_id"),
