@@ -237,6 +237,14 @@ object SparkEntry {
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
     "q210_range_join_rule" -> Relational22.q210RangeJoinRule _,
+    "q211_mincost_supplier" -> Relational23.q211MinCostSupplier _,
+    "q212_important_parts" -> Relational23.q212ImportantParts _,
+    "q213_custdist"        -> Relational23.q213CustDist _,
+    "q214_smallqty_revenue" -> Relational23.q214SmallQtyRevenue _,
+    "q215_qualified_suppliers" -> Relational23.q215QualifiedSuppliers _,
+    "q216_rich_inactive"   -> Relational23.q216RichInactive _,
+    "q217_volume_shipping" -> Relational23.q217VolumeShipping _,
+    "q218_disjunctive_rev" -> Relational23.q218DisjunctiveRevenue _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -669,5 +677,13 @@ object SparkEntry {
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,
     "q210_range_join_rule"  -> Relational22.q210Sql,
+    "q211_mincost_supplier" -> Relational23.q211Sql,
+    "q212_important_parts"  -> Relational23.q212Sql,
+    "q213_custdist"         -> Relational23.q213Sql,
+    "q214_smallqty_revenue" -> Relational23.q214Sql,
+    "q215_qualified_suppliers" -> Relational23.q215Sql,
+    "q216_rich_inactive"    -> Relational23.q216Sql,
+    "q217_volume_shipping"  -> Relational23.q217Sql,
+    "q218_disjunctive_rev"  -> Relational23.q218Sql,
   )
 }
