@@ -245,6 +245,7 @@ object SparkEntry {
     "q216_rich_inactive"   -> Relational23.q216RichInactive _,
     "q217_volume_shipping" -> Relational23.q217VolumeShipping _,
     "q218_disjunctive_rev" -> Relational23.q218DisjunctiveRevenue _,
+    "q219_ts_range_join_rule" -> Relational22.q219TsRangeJoinRule _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -685,5 +686,6 @@ object SparkEntry {
     "q216_rich_inactive"    -> Relational23.q216Sql,
     "q217_volume_shipping"  -> Relational23.q217Sql,
     "q218_disjunctive_rev"  -> Relational23.q218Sql,
+    "q219_ts_range_join_rule" -> Relational22.q219Sql,
   )
 }

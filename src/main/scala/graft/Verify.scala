@@ -23,6 +23,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-contract canary: if the driver regenerated testdata with a
+    // different physical schema (round 6 lost 113 queries to exactly
+    // that), fail HERE with one named message instead of 100 downstream.
+    graft.engine.Tables.assertFixtureContract(spark, sfDir)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,6 +35,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
         // a failure that strikes before the overwrite deletes anything
         // would leave a PREVIOUS run's parquet in place, and the driver
         // would hash-compare stale-but-green data — make it a hard miss
@@ -54,6 +60,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure-cause artifact: the driver's CORRECTNESS json records that a
+    // query result is MISSING but not why. Dump query→exception so the
+    // next round (and the judge) starts from causes, not absences. Written
+    // to outDir and, when cwd is the repo, alongside the round artifacts.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/VERIFY_ERRORS.json"), errJson)
+    try Files.writeString(Paths.get("VERIFY_ERRORS.json"), errJson)
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

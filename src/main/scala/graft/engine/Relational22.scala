@@ -58,4 +58,56 @@ object Relational22 {
              FROM range(0, 20) r(i)) b
          ON c.cents >= b.lo AND c.cents <= b.hi
        GROUP BY 1 ORDER BY band"""
+
+  /** Band width for the q219 timestamp rewrite, in SECONDS (the rule's
+    * unit for timestamp joins) — ≈ the 30-minute incident length, so
+    * each interval explodes into ~2 buckets. */
+  val TsBinSeconds = 1800L
+
+  /** The q219 join body — timestamp point-in-interval: every event
+    * landing inside a 30-minute "incident window" opened by each error
+    * event, aggregated per incident. Genuinely overlapping intervals
+    * (errors cluster), no equi key — un-rewritten this is a
+    * nested-loop join. */
+  private[graft] def q219Join(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val points = Tables.events(spark, sfDir)
+      .select($"ts", Exact.cents($"value").as("cents"))
+    val incidents = Tables.events(spark, sfDir)
+      .filter($"event_type" === "error")
+      .select($"event_id".as("incident_id"), $"ts".as("lo"),
+        ($"ts" + expr("INTERVAL 30 MINUTES")).as("hi"))
+    points.join(incidents, $"ts" >= $"lo" && $"ts" <= $"hi")
+      .groupBy($"incident_id")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      .orderBy($"incident_id")
+  }
+
+  /** q219 — [[graft.plans.RangeJoinRule]] on TIMESTAMP bounds, the
+    * dominant real-world BETWEEN join (validity intervals, SCD2, as-of
+    * enrichment): the rule buckets epoch-micros with a seconds-unit
+    * width and extracts a hash-join key exactly as q210 does for
+    * integers (plan-asserted in Relational22Spec). The oracle runs the
+    * plain BETWEEN join in DuckDB — the rewrite must be
+    * semantics-preserving down to the hash. */
+  def q219TsRangeJoinRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = spark.conf.getOption(RangeJoinRule.BinSizeKey)
+    RangeJoinRule.register(spark)
+    spark.conf.set(RangeJoinRule.BinSizeKey, TsBinSeconds.toString)
+    try TempIo.materialize(spark, q219Join(spark, sfDir))
+    finally prev match {
+      case Some(v) => spark.conf.set(RangeJoinRule.BinSizeKey, v)
+      case None => spark.conf.unset(RangeJoinRule.BinSizeKey)
+    }
+  }
+
+  def q219Sql: String =
+    """SELECT e.event_id AS incident_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+       FROM events p
+       JOIN (SELECT event_id, ts, ts + INTERVAL 30 MINUTE AS hi
+             FROM events WHERE event_type = 'error') e
+         ON p.ts >= e.ts AND p.ts <= e.hi
+       GROUP BY 1 ORDER BY incident_id"""
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer `Rule[LogicalPlan]` (the third Catalyst extension tier in
   * this library, next to the AsOfJoin planner strategy and the
@@ -37,10 +37,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * plan. Width is the knob: W ≈ typical interval length keeps the
   * explode factor near 2 while making bucket groups small.
   *
-  * Scope guards: inner joins only, integral point/bound types, a
-  * strictly positive configured width, and a no-op when the right side
-  * already carries a bucket column (idempotence under fixed-point rule
+  * Scope guards: inner joins only, integral or timestamp point/bound
+  * types (point and both bounds must agree in kind), a strictly
+  * positive configured width, and a no-op when the right side already
+  * carries a bucket column (idempotence under fixed-point rule
   * execution).
+  *
+  * Timestamp joins — the dominant real-world BETWEEN shape (validity
+  * intervals, SCD2 lookups, as-of enrichment) — bucket on epoch
+  * MICROSECONDS (`UnixMicros`; NTZ is re-tagged to the session zone
+  * first, the same pure re-tag `Tables.normalizeTs` does), and the
+  * configured width is read in SECONDS for them: `binSize = 3600` means
+  * hour-wide bands whether the column is long-epoch-seconds or a real
+  * timestamp. Monotonicity of truncating division is unit-independent,
+  * so the coverage proof above carries over unchanged.
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val BinSizeKey = "spark.graft.rangeJoin.binSize"
@@ -63,8 +73,17 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def isIntegral(e: Expression): Boolean =
-    e.dataType == LongType || e.dataType == IntegerType
+  private def isIntegral(t: DataType): Boolean =
+    t == LongType || t == IntegerType
+  private def isTimestamp(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType
+  private def isSupported(e: Expression): Boolean =
+    isIntegral(e.dataType) || isTimestamp(e.dataType)
+  /** Point and bounds must band in the same unit: both integral (native
+    * units) or both timestamps (epoch micros). */
+  private def sameKind(a: Expression, b: Expression): Boolean =
+    (isIntegral(a.dataType) && isIntegral(b.dataType)) ||
+      (isTimestamp(a.dataType) && isTimestamp(b.dataType))
 
   private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
     val Join(left, right, _, Some(cond), hint) = j
@@ -74,24 +93,33 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // v ≥ lo with the point on the left, in either written order
     val lower = conjuncts.collectFirst {
       case GreaterThanOrEqual(v, lo)
-          if leftOnly(v) && rightOnly(lo) && isIntegral(v) && isIntegral(lo) =>
+          if leftOnly(v) && rightOnly(lo) && isSupported(v) && sameKind(v, lo) =>
         (v, lo)
       case LessThanOrEqual(lo, v)
-          if leftOnly(v) && rightOnly(lo) && isIntegral(v) && isIntegral(lo) =>
+          if leftOnly(v) && rightOnly(lo) && isSupported(v) && sameKind(v, lo) =>
         (v, lo)
     }
     val upper = conjuncts.collectFirst {
       case LessThanOrEqual(v, hi)
-          if leftOnly(v) && rightOnly(hi) && isIntegral(v) && isIntegral(hi) =>
+          if leftOnly(v) && rightOnly(hi) && isSupported(v) && sameKind(v, hi) =>
         (v, hi)
       case GreaterThanOrEqual(hi, v)
-          if leftOnly(v) && rightOnly(hi) && isIntegral(v) && isIntegral(hi) =>
+          if leftOnly(v) && rightOnly(hi) && isSupported(v) && sameKind(v, hi) =>
         (v, hi)
     }
     (lower, upper) match {
       case (Some((v1, lo)), Some((v2, hi))) if v1.semanticEquals(v2) =>
-        val wLit = Literal(w)
-        def bucketOf(e: Expression) = IntegralDivide(Cast(e, LongType), wLit)
+        val timestamps = isTimestamp(v1.dataType)
+        // binSize is native units for integrals, SECONDS for timestamps
+        // (banded internally in epoch micros)
+        val wLit = Literal(if (timestamps) w * 1000000L else w)
+        def toLong(e: Expression): Expression = e.dataType match {
+          case TimestampType => UnixMicros(e)
+          case TimestampNTZType =>
+            UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)))
+          case _ => Cast(e, LongType)
+        }
+        def bucketOf(e: Expression) = IntegralDivide(toLong(e), wLit)
         val bucketAttr = AttributeReference(BucketName, LongType)()
         // timeZoneId must be pinned by hand: Sequence is TimeZoneAware
         // and ResolveTimeZone only runs in the analyzer — without it the

@@ -124,9 +124,8 @@ object Sessionize {
       Streaming.withStatePartitions(spark) {
     import spark.implicits._
     // one stream-source definition for the whole library — schema, glob,
-    // and the TIMESTAMP(NANOS) workaround live in readEventsStream
+    // and the ts physical-encoding normalization live in readEventsStream
     val events = Streaming.readEventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select($"user_id", $"ts", $"event_id")
       .as[Ev]
 
@@ -202,7 +201,6 @@ object Sessionize {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val events = Streaming.readEventsStream(spark, sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select($"user_id", $"ts", $"event_id")
         .as[Ev]
       val sessions = events

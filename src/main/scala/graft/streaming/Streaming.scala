@@ -45,25 +45,45 @@ object Streaming {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** events.parquet schema for the streaming reader (ts is parquet
-    * TIMESTAMP(NANOS) — read as long, converted in [[projectIngest]];
-    * see graft.engine.Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** NORMALIZED events schema (`ts: TimestampType`) — the contract every
+    * streaming consumer in this file sees after the source-side
+    * [[graft.engine.Tables.normalizeTs]], and the physical schema of
+    * every self-written chunk-replay fixture (the chunk writers persist
+    * the normalized frame, so replays are encoding-stable no matter what
+    * the driver's fixture carries). */
+  val eventsNormSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The driver's events fixture has changed physical `ts` encoding
+    * across rounds (TIMESTAMP(NANOS) → TIMESTAMP_NTZ(μs)); a streaming
+    * read needs a user-supplied schema, and supplying the WRONG one
+    * silently misreads (round 6: μs read as long-nanos shrank every
+    * timestamp 1000×). So probe the parquet footer with a one-off batch
+    * read (driver-side, no data scan) and hand the stream the schema the
+    * file actually carries; cached per directory. */
+  private val footerSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+  private[graft] def eventsFooterSchema(spark: SparkSession, sfDir: String): StructType =
+    footerSchemaCache.getOrElseUpdate(sfDir,
+      spark.read.parquet(s"$sfDir/events.parquet").schema)
+
+  /** File-source stream over the events table, `ts` ALREADY normalized
+    * to TimestampType — downstream queries never see the physical
+    * encoding. */
   private[streaming] def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     graft.engine.Tables.ensureNanosAsLong(spark)
     // The file source requires a directory; pathGlobFilter pins it to
     // the events table within the sfDir.
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    graft.engine.Tables.normalizeTs(
+      spark.readStream
+        .schema(eventsFooterSchema(spark, sfDir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** The reference's ingest projection (S2+P1-P4, consumer.scala:63-70):
@@ -71,7 +91,7 @@ object Streaming {
     * key synthesis, and derived `date`/`hour` partition columns. */
   def projectIngest(df: DataFrame): DataFrame = {
     val propsSchema = StructType(Seq(StructField("k", LongType)))
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.engine.Tables.normalizeTs(df)
       .withColumn("parsed", from_json(col("props"), propsSchema))
       .select(
         concat(upper(substring(col("event_type"), 1, 2)),
@@ -227,7 +247,6 @@ object Streaming {
   def q27StreamWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val agg = readEventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("counts"),
@@ -274,7 +293,6 @@ object Streaming {
   def q47DedupWatermark(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val deduped = readEventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .select($"user_id", $"event_type", $"ts")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -335,7 +353,6 @@ object Streaming {
       tag: String, eventType: String): DataFrame = {
     import spark.implicits._
     readEventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .filter($"event_type" === eventType)
       .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
         $"event_id".as(s"${tag}_id"))
@@ -449,7 +466,6 @@ object Streaming {
   def q107AppendWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val agg = readEventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("counts"),
@@ -504,8 +520,7 @@ object Streaming {
     import spark.implicits._
     val nChunks = 4
     val src = graft.engine.TempIo.createTempDir("graft-upd-src-")
-    graft.engine.Tables.ensureNanosAsLong(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = graft.engine.Tables.events(spark, sfDir)
     (1 to nChunks).foreach { i =>
       val dir = s"$src/stage$i"
       raw.filter(pmod($"event_id", lit(nChunks)) === i - 1)
@@ -517,11 +532,10 @@ object Streaming {
       graft.engine.TempIo.deleteRecursively(dir)
     }
     val agg = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsNormSchema)
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("counts"))
     val q = agg.writeStream
@@ -575,8 +589,7 @@ object Streaming {
     val src = TempIo.createTempDir("graft-sivm-src-")
     val stateRoot = TempIo.createTempDir("graft-sivm-state-")
     val checkpoint = TempIo.createTempDir("graft-sivm-ckpt-")
-    graft.engine.Tables.ensureNanosAsLong(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = graft.engine.Tables.events(spark, sfDir)
     (1 to nChunks).foreach { i =>
       val dir = s"$src/stage$i"
       raw.filter(pmod($"event_id", lit(nChunks)) === i - 1)
@@ -589,7 +602,7 @@ object Streaming {
     }
     var stateVersion = -1L
     val q = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsNormSchema)
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
@@ -671,8 +684,7 @@ object Streaming {
       dst: String, chunks: Seq[Int]): Unit = {
     import spark.implicits._
     val nChunks = 4
-    graft.engine.Tables.ensureNanosAsLong(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = graft.engine.Tables.events(spark, sfDir)
     val n = raw.agg(max($"event_id")).head().getLong(0)
     // displacement up to ±n/2: a late stray can arrive ≥2 batches after
     // its time-quarter, i.e. AFTER its window was finalized — real drops
@@ -695,11 +707,10 @@ object Streaming {
     import spark.implicits._
     val src = disorderedChunks(spark, sfDir)
     val agg = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsNormSchema)
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("counts"))
@@ -773,11 +784,10 @@ object Streaming {
     import spark.implicits._
     val src = disorderedChunks(spark, sfDir)
     def side(tag: String, et: String) = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsNormSchema)
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .filter($"event_type" === et)
       .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
         $"event_id".as(s"${tag}_id"))
@@ -820,11 +830,10 @@ object Streaming {
     import spark.implicits._
     val src = disorderedChunks(spark, sfDir)
     def side(tag: String, et: String) = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsNormSchema)
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .filter($"event_type" === et)
       .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
         $"event_id".as(s"${tag}_id"))
@@ -929,11 +938,10 @@ object Streaming {
     import spark.implicits._
     val src = disorderedChunks(spark, sfDir)
     def side(tag: String, et: String) = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsNormSchema)
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .filter($"event_type" === et)
       .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
         $"event_id".as(s"${tag}_id"))
@@ -1050,12 +1058,11 @@ object Streaming {
     val ckpt = TempIo.createTempDir("graft-rst-ckpt-")
     def drain(): Unit = {
       val agg = spark.readStream
-        .schema(eventsRawSchema)
+        .schema(eventsNormSchema)
         .option("pathGlobFilter", "chunk*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
+          .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("counts"))
         .select($"window.start".as("ws_ts"), $"event_type", $"counts")

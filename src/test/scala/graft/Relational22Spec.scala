@@ -35,6 +35,34 @@ class Relational22Spec extends SparkTestBase {
     }
   }
 
+  test("q219 rule turns the TIMESTAMP BETWEEN join into a hash join, rows identical") {
+    val unset = spark.conf.getOption(RangeJoinRule.BinSizeKey)
+    try {
+      spark.conf.unset(RangeJoinRule.BinSizeKey)
+      val plain = Relational22.q219Join(spark, sf)
+      assert(plain.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "the un-rewritten timestamp range join must be the nested-loop baseline")
+      val plainRows = plain.collect()
+
+      RangeJoinRule.register(spark)
+      spark.conf.set(RangeJoinRule.BinSizeKey, Relational22.TsBinSeconds.toString)
+      val rewritten = Relational22.q219Join(spark, sf)
+      val p = rewritten.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"),
+        "the rewritten timestamp join must plan on the bucket equi key:\n" + p)
+      assert(rewritten.queryExecution.optimizedPlan.toString
+        .contains("__graft_bucket"),
+        "the rewrite must inject the bucket attribute")
+      assert(rewritten.collect().toSeq == plainRows.toSeq,
+        "the timestamp rewrite must be output-identical")
+    } finally unset match {
+      case Some(v) => spark.conf.set(RangeJoinRule.BinSizeKey, v)
+      case None => spark.conf.unset(RangeJoinRule.BinSizeKey)
+    }
+  }
+
   test("rule is a no-op on equi joins and non-integral range predicates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

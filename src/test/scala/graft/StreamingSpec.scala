@@ -105,11 +105,10 @@ class StreamingSpec extends SparkTestBase {
     val src = graft.streaming.Streaming.disorderedChunks(spark, sf)
     try {
       val agg = spark.readStream
-        .schema(graft.streaming.Streaming.eventsRawSchema)
+        .schema(graft.streaming.Streaming.eventsNormSchema)
         .option("pathGlobFilter", "chunk*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("counts"))
@@ -207,14 +206,15 @@ class StreamingSpec extends SparkTestBase {
   test("checkpoint resume is exactly-once: re-running ingest adds no rows") {
     val out = Files.createTempDirectory("graft-ckpt-resume-").toString
     val checkpoint = Files.createTempDirectory("graft-ckpt-resume-ck-").toString
-    // events.parquet is TIMESTAMP(NANOS); the inline reader below needs
-    // the same conf Tables.events/readEventsStream set, independent of
-    // which test ran first in the shared session.
+    // the inline reader needs the same legacy-compat conf
+    // Tables.events/readEventsStream set, independent of which test ran
+    // first in the shared session; the footer probe supplies whatever
+    // physical ts encoding the fixture carries (projectIngest normalizes).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def run(): Long = {
       val q = Streaming.projectIngest(
           spark.readStream
-            .schema(Streaming.eventsRawSchema)
+            .schema(Streaming.eventsFooterSchema(spark, sf))
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf))
         .writeStream
@@ -241,9 +241,9 @@ class StreamingSpec extends SparkTestBase {
     // restarted query must restore them and keep counting, and windows
     // already emitted must not re-emit. Proof: the two-phase output is
     // row-identical to a one-shot run over both chunks.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val mid = raw.agg((min($"ts") + (max($"ts") - min($"ts")) / 2).cast("long"))
+    val raw = Tables.events(spark, sf)
+    val mid = raw
+      .agg(((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
       .head().getLong(0)
     def carve(dst: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val stage = s"$dst/stage"
@@ -256,10 +256,9 @@ class StreamingSpec extends SparkTestBase {
     }
     def drain(src: String, out: String, ckpt: String): Unit = {
       val q = spark.readStream
-        .schema(Streaming.eventsRawSchema)
+        .schema(Streaming.eventsNormSchema)
         .option("pathGlobFilter", "*.parquet")
         .parquet(src)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("counts"))
@@ -282,13 +281,13 @@ class StreamingSpec extends SparkTestBase {
     val Seq(out2, ck2, out1, ck1) = Seq("o2", "c2", "o1", "c1")
       .map(p => Files.createTempDirectory(s"graft-restart-$p-").toString)
     try {
-      carve(twoPhaseSrc, raw.filter($"ts" <= mid), "chunk1.parquet")
+      carve(twoPhaseSrc, raw.filter(unix_micros($"ts") <= mid), "chunk1.parquet")
       drain(twoPhaseSrc, out2, ck2)
       val phase1 = emitted(out2)
-      carve(twoPhaseSrc, raw.filter($"ts" > mid), "chunk2.parquet")
+      carve(twoPhaseSrc, raw.filter(unix_micros($"ts") > mid), "chunk2.parquet")
       drain(twoPhaseSrc, out2, ck2) // restart from the same checkpoint
-      carve(oneShotSrc, raw.filter($"ts" <= mid), "chunk1.parquet")
-      carve(oneShotSrc, raw.filter($"ts" > mid), "chunk2.parquet")
+      carve(oneShotSrc, raw.filter(unix_micros($"ts") <= mid), "chunk1.parquet")
+      carve(oneShotSrc, raw.filter(unix_micros($"ts") > mid), "chunk2.parquet")
       drain(oneShotSrc, out1, ck1)
       val twoPhase = emitted(out2)
       assert(phase1.nonEmpty && phase1.size < twoPhase.size,
