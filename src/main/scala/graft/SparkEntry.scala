@@ -246,6 +246,11 @@ object SparkEntry {
     "q217_volume_shipping" -> Relational23.q217VolumeShipping _,
     "q218_disjunctive_rev" -> Relational23.q218DisjunctiveRevenue _,
     "q219_ts_range_join_rule" -> Relational22.q219TsRangeJoinRule _,
+    "q220_product_profit"  -> Relational24.q220ProductProfit _,
+    "q221_returned_items"  -> Relational24.q221ReturnedItems _,
+    "q222_promo_share"     -> Relational24.q222PromoShare _,
+    "q223_top_supplier"    -> Relational24.q223TopSupplier _,
+    "q224_sketch_rollup"   -> Relational24.q224SketchRollup _,
   )
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
@@ -687,5 +692,10 @@ object SparkEntry {
     "q217_volume_shipping"  -> Relational23.q217Sql,
     "q218_disjunctive_rev"  -> Relational23.q218Sql,
     "q219_ts_range_join_rule" -> Relational22.q219Sql,
+    "q220_product_profit"   -> Relational24.q220Sql,
+    "q221_returned_items"   -> Relational24.q221Sql,
+    "q222_promo_share"      -> Relational24.q222Sql,
+    "q223_top_supplier"     -> Relational24.q223Sql,
+    "q224_sketch_rollup"    -> Relational24.q224Sql,
   )
 }

