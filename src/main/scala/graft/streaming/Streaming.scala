@@ -1184,6 +1184,66 @@ object Streaming {
        WHERE epoch_ms(date_trunc('hour', e_ts)) + 3600000 <= wm_final
        GROUP BY 1, wm_final ORDER BY ws"""
 
+  /** q225 — CHAINED WINDOWED AGGREGATIONS (agg → agg): tumbling hourly
+    * counts rolled up to daily totals in the SAME streaming query via
+    * `window_time` — the other chained-stateful shape next to q206's
+    * join → agg (both only legal since the watermark-propagation
+    * rework), and the natural form of every multi-grain dashboard
+    * (hour panel + day panel from one pass, no intermediate sink). The
+    * daily operator keys on the hourly windows' event-time
+    * (`window_time` = window end − 1 μs), whose watermark the first
+    * aggregate propagates. Emitted days are provably COMPLETE: a day
+    * emits only when its end clears the downstream gate, which never
+    * leads the upstream gate, so every hour of that day has already
+    * been finalized and delivered — partial daily totals are
+    * impossible by construction (asserted in StreamingSpec against the
+    * batch recomputation). Calibration: the downstream gate is the
+    * upstream watermark itself (ms-truncated max ts − 1 h delay) — a
+    * day emits iff day-end ≤ wm, bit-exact at sf0.001/0.01/0.1; no
+    * extra propagation hour appears because the no-data flush batch
+    * re-evaluates BOTH operators with the final watermark (unlike
+    * q206, whose join holds its output back one hour).
+    *
+    * Scale: state is O(types × open hours) + O(types × open days) —
+    * the rollup never re-keys raw events (the first shuffle reduces
+    * |events| → |type×hour| before the second), exactly how a 100 TB
+    * multi-grain pipeline must cascade. */
+  def q225WindowRollup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val hourly = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("hourly_n"))
+    val daily = hourly
+      .groupBy(window(window_time($"window"), "1 day"), $"event_type")
+      .agg(sum($"hourly_n").as("counts"), count(lit(1)).as("n_hours"))
+    val q = daily.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("window_rollup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.engine.TempIo.materialize(spark,
+      spark.table("window_rollup")
+        .select(graft.engine.Exact.tsString($"window.start").as("ds"),
+          $"event_type", $"counts", $"n_hours")
+        .orderBy($"ds", $"event_type"))
+  }
+
+  /** Oracle mirror: a day [d, d+1d) emits iff d + 1 d ≤ wm
+    * (ms-truncated max ts − 1 h); its counts are ALL events of the day
+    * (completeness: every hour of an emitted day is final), n_hours the
+    * day's distinct non-empty hours. */
+  def q225Sql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ds,
+       event_type, count(*) AS counts,
+       count(DISTINCT date_trunc('hour', ts)) AS n_hours
+       FROM events
+       WHERE epoch_ms(date_trunc('day', ts)) + 86400000 <=
+         (SELECT epoch_ms(max(ts)) FROM events) - 3600000
+       GROUP BY 1, 2 ORDER BY ds, event_type"""
+
   /** q208 — stream-static AS-OF enrichment: the streaming fact joined
     * against a VERSIONED (SCD2-interval) dimension on equi-key PLUS
     * interval containment (`ts ∈ [valid_from, valid_to)`), the

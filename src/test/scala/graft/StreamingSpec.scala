@@ -367,4 +367,30 @@ class StreamingSpec extends SparkTestBase {
         -> ((r.getAs[Long]("n"), r.getAs[Double]("s")))).toMap
     assert(got == direct, "maintained view must equal the from-scratch aggregate")
   }
+
+  test("q225 chained agg emits only COMPLETE days, each equal to the batch recomputation") {
+    val rolled = graft.streaming.Streaming.q225WindowRollup(spark, sf).collect()
+    assert(rolled.nonEmpty)
+    val batchMap = graft.engine.Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd HH:mm:ss").as("ds"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(date_trunc("hour", $"ts")).as("h"))
+      .collect()
+      .map(r => (r.getAs[String]("ds"), r.getAs[String]("event_type"))
+        -> ((r.getAs[Long]("n"), r.getAs[Long]("h")))).toMap
+    // every emitted day carries the FULL day's totals — a partial daily
+    // rollup (late hours still in upstream state) must be impossible
+    rolled.foreach { r =>
+      val key = (r.getAs[String]("ds"), r.getAs[String]("event_type"))
+      assert(batchMap(key) ==
+        ((r.getAs[Long]("counts"), r.getAs[Long]("n_hours"))),
+        s"emitted day $key differs from the batch recomputation — partial rollup")
+    }
+    // and the watermark gate is real: the corpus's final day is withheld
+    val emittedDays = rolled.map(_.getAs[String]("ds")).toSet
+    val allDays = batchMap.keySet.map(_._1)
+    assert(emittedDays.size < allDays.size,
+      "the trailing (non-final) day must be withheld by the chained watermark")
+  }
 }
