@@ -149,7 +149,7 @@ class StreamingSpec extends SparkTestBase {
       assert(measured == expected,
         s"engine dropped $measured, model predicts $expected")
       assert(measured > 0, "the disordered fixture must produce real drops")
-    } finally graft.engine.TempIo.deleteRecursively(src)
+    } finally () // src is the memoized shared fixture — the cache owns it
   }
 
   test("q96 transformWithState sessionize equals q39 batch sessionize") {
