@@ -1254,6 +1254,56 @@ object Streaming {
          (SELECT epoch_ms(max(ts)) FROM events) - 3600000
        GROUP BY 1, 2 ORDER BY ds, event_type"""
 
+  /** q226 — OFFLINE STATE-STORE INTROSPECTION (Spark 4 state data
+    * source): after draining q107's append-mode hourly aggregation into
+    * a real checkpoint, read the checkpoint's state files back as a
+    * DataFrame (`spark.read.format("statestore")`) — the windows still
+    * OPEN at drain, i.e. exactly the complement of what append mode
+    * emitted. Emitted ∪ state = the complete batch group-by
+    * (spec-asserted partition proof), so the oracle is q107's gate
+    * NEGATED: hours whose end exceeds the final watermark.
+    *
+    * This is the production debugging/auditing surface every streaming
+    * platform needs — "what is my query holding, and why hasn't window
+    * X emitted" answered from checkpoint files alone, no query restart,
+    * no sink. Scale: the read is partition-parallel (one task per state
+    * partition) and touches only state files — never the source topic —
+    * so inspecting a 10⁹-key production checkpoint is a state-sized
+    * scan, independent of corpus size. */
+  def q226StateIntrospect(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val ckpt = graft.engine.TempIo.createTempDir("graft-q226-ckpt-")
+    try {
+      val agg = readEventsStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("counts"))
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // agg-buffer field for count(...) is named `count` in state v2
+      graft.engine.TempIo.materialize(spark,
+        spark.read.format("statestore").option("path", ckpt).load()
+          .select(graft.engine.Exact.tsString($"key.window.start").as("ws"),
+            $"key.event_type".as("event_type"),
+            $"value.count".as("counts"))
+          .orderBy($"ws", $"event_type"))
+    } finally graft.engine.TempIo.deleteRecursively(ckpt)
+  }
+
+  /** Oracle = q107's emission gate negated: in state ⇔ not emitted. */
+  def q226Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type, count(*) AS counts
+       FROM events
+       WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 >
+         (SELECT epoch_ms(max(ts)) FROM events) - 3600000
+       GROUP BY 1, 2 ORDER BY ws, event_type"""
+
   /** q208 — stream-static AS-OF enrichment: the streaming fact joined
     * against a VERSIONED (SCD2-interval) dimension on equi-key PLUS
     * interval containment (`ts ∈ [valid_from, valid_to)`), the

@@ -393,4 +393,23 @@ class StreamingSpec extends SparkTestBase {
     assert(emittedDays.size < allDays.size,
       "the trailing (non-final) day must be withheld by the chained watermark")
   }
+
+  test("q226 checkpoint state is exactly the complement of q107's emitted windows") {
+    val emitted = graft.streaming.Streaming.q107AppendWindow(spark, sf)
+      .select($"ws", $"event_type", $"counts").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("counts")).toMap
+    val inState = graft.streaming.Streaming.q226StateIntrospect(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("counts")).toMap
+    assert(inState.nonEmpty, "the final open windows must be present in state")
+    assert(emitted.keySet.intersect(inState.keySet).isEmpty,
+      "a window cannot be both emitted and still in state")
+    val batch = graft.engine.Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        $"event_type")
+      .agg(count(lit(1)).as("counts")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("counts")).toMap
+    assert(emitted ++ inState == batch,
+      "emitted ∪ state must partition the complete batch group-by")
+  }
 }
