@@ -235,6 +235,7 @@ object SparkEntry {
     "q206_join_then_window" -> graft.streaming.Streaming.q206JoinThenWindow _,
     "q225_window_rollup"    -> graft.streaming.Streaming.q225WindowRollup _,
     "q226_state_introspect" -> graft.streaming.Streaming.q226StateIntrospect _,
+    "q227_stream_sketch"    -> graft.streaming.Streaming.q227StreamSketch _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -683,6 +684,7 @@ object SparkEntry {
     "q206_join_then_window" -> graft.streaming.Streaming.q206Sql,
     "q225_window_rollup"    -> graft.streaming.Streaming.q225Sql,
     "q226_state_introspect" -> graft.streaming.Streaming.q226Sql,
+    "q227_stream_sketch"    -> graft.streaming.Streaming.q227Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

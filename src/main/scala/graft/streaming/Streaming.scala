@@ -1304,6 +1304,72 @@ object Streaming {
          (SELECT epoch_ms(max(ts)) FROM events) - 3600000
        GROUP BY 1, 2 ORDER BY ws, event_type"""
 
+  /** q227 — CUSTOM TypedImperativeAggregate UNDER STREAMING STATE: the
+    * library's KMV distinct-count sketch (functions/KmvAggregate, a
+    * binary-buffered TypedImperativeAggregate) maintained across a
+    * 4-chunk disordered replay — each micro-batch deserializes the
+    * sketch buffer from the state store, merges the batch's partials,
+    * and re-serializes. This is the combination none of q127 (batch
+    * KMV) or q144 (streaming IVM over BUILTIN aggs) exercises: a
+    * user-defined aggregation state surviving checkpointed micro-batch
+    * boundaries. Because KMV merge is exact and order-free
+    * (min_k(A∪B) = min_k(min_k(A)∪min_k(B))), the drained complete-mode
+    * estimate equals the batch single-pass estimate no matter how the
+    * disordered chunks sliced the stream — which is precisely what the
+    * q127-recipe oracle checks.
+    *
+    * Scale: streaming state per (type) is k longs — the sketch IS the
+    * state, so a 10⁹-user distinct-count dashboard holds k·|types|
+    * longs of state instead of |users| dedup keys. */
+  def q227StreamSketch(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = disorderedChunks(spark, sfDir)
+    val agg = spark.readStream
+      .schema(eventsNormSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy($"event_type")
+      .agg(graft.functions.KmvAggregate.kmvDistinct($"hv", 32).as("kmv_est"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_sketch")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.engine.TempIo.materialize(spark,
+      spark.table("stream_sketch")
+        .select($"event_type", $"kmv_est")
+        .orderBy($"event_type"))
+  }
+
+  /** q127's oracle recipe (identical md5-hash KMV arithmetic), minus
+    * the exact column — stream == batch because the merge is exact. */
+  def q227Sql: String =
+    """WITH h AS (
+         SELECT DISTINCT event_type,
+           list_reduce(list_transform(range(1, 9), i ->
+             strpos('0123456789abcdef',
+               substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+             (a, b) -> a * 16 + b) AS hv
+         FROM events),
+       kth AS (
+         SELECT event_type, hv FROM (
+           SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+           FROM h)
+         WHERE rn = 32),
+       cnt AS (SELECT event_type, count(*) AS nh FROM h GROUP BY 1)
+       SELECT cnt.event_type,
+         CAST(COALESCE((31 * 4294967296) // kth.hv, cnt.nh) AS BIGINT)
+           AS kmv_est
+       FROM cnt LEFT JOIN kth USING (event_type)
+       ORDER BY event_type"""
+
   /** q208 — stream-static AS-OF enrichment: the streaming fact joined
     * against a VERSIONED (SCD2-interval) dimension on equi-key PLUS
     * interval containment (`ts ∈ [valid_from, valid_to)`), the

@@ -412,4 +412,40 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted ++ inState == batch,
       "emitted ∪ state must partition the complete batch group-by")
   }
+
+  test("q227 KMV sketch state survives micro-batch boundaries: stream == batch estimate") {
+    import org.apache.spark.sql.streaming.Trigger
+    // run the q227 topology by hand to capture progress: the claim is
+    // that the CUSTOM agg buffer round-trips the state store across
+    // MULTIPLE batches — a single-batch run would prove nothing
+    val src = graft.streaming.Streaming.disorderedChunks(spark, sf)
+    val agg = spark.readStream
+      .schema(graft.streaming.Streaming.eventsNormSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy($"event_type")
+      .agg(graft.functions.KmvAggregate.kmvDistinct($"hv", 32).as("kmv_est"))
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName("sketch_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4,
+      s"the chunked source must drive >=4 data batches, saw $dataBatches")
+    val streamed = spark.table("sketch_spec").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("kmv_est")).toMap
+    val batch = graft.engine.Tables.events(spark, sf)
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy($"event_type")
+      .agg(graft.functions.KmvAggregate.kmvDistinct($"hv", 32).as("kmv_est"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("kmv_est")).toMap
+    assert(streamed == batch,
+      "the sketch maintained across batches must equal the single-pass sketch")
+  }
 }
