@@ -102,6 +102,27 @@ object Streaming {
         date_format(col("ts"), "HH").as("hour"))
   }
 
+  /** S4 (consumer.scala:105-123): the reference's retry-on-missing-path
+    * fallback, re-expressed without the 1-hour sleep — its batch stage
+    * computes the previous-hour partition path and, when that path does
+    * not exist yet (ingest lag), sleeps and retries before giving up
+    * with None. Sleeping a driver for an hour is not a 100 TB posture;
+    * the same "graceful absence" contract is an existence CHECK against
+    * the partition directory (driver-side FS metadata only — no scan,
+    * no exception-driven control flow): read the requested (date, hour)
+    * partition if present, else fall back to the hour before, else
+    * None. Returns the resolved path alongside the frame so callers can
+    * log which hour actually served. */
+  def readHourPartitionOrFallback(spark: SparkSession, root: String,
+      date: String, hour: Int): Option[(String, DataFrame)] = {
+    def attempt(h: Int): Option[(String, DataFrame)] = {
+      val p = s"$root/date=$date/hour=${"%02d".format(h)}"
+      if (new java.io.File(p).isDirectory) Some((p, spark.read.parquet(p)))
+      else None
+    }
+    attempt(hour).orElse(if (hour > 0) attempt(hour - 1) else None)
+  }
+
   /** S5 (consumer.scala:73-82): checkpointed append-mode parquet sink,
     * partitioned. Runs to completion with AvailableNow; returns the sink
     * path it wrote. Partition grain is a knob: the directory count is

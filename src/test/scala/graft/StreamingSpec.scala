@@ -448,4 +448,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch,
       "the sketch maintained across batches must equal the single-pass sketch")
   }
+
+  test("S4 graceful absence: present hour reads, missing hour falls back, neither is None") {
+    import graft.streaming.Streaming
+    val out = Files.createTempDirectory("graft-s4-").toString
+    Streaming.runIngest(spark, sf, out)
+    // pick a (date, hour) that actually exists in the ingested layout
+    val parts = new java.io.File(out).listFiles().filter(_.getName.startsWith("date="))
+      .flatMap(d => d.listFiles().filter(_.getName.startsWith("hour="))
+        .map(h => (d.getName.stripPrefix("date="), h.getName.stripPrefix("hour=").toInt)))
+      .sorted
+    assert(parts.nonEmpty)
+    val (date, hour) = parts.head
+    // 1. requested hour present → served directly, rows match the partition
+    val direct = Streaming.readHourPartitionOrFallback(spark, out, date, hour)
+    assert(direct.exists(_._1.endsWith(f"hour=$hour%02d")))
+    assert(direct.get._2.count() > 0)
+    // 2. requested hour absent but previous present → falls back one hour
+    // (carve the hole deterministically: the fixture ingests all 24 hours)
+    val (hDate, hHour) = parts.find { case (d, h) =>
+      h >= 1 && parts.contains((d, h - 1)) }.get
+    graft.engine.TempIo.deleteRecursively(f"$out/date=$hDate/hour=$hHour%02d")
+    val fb = Streaming.readHourPartitionOrFallback(spark, out, hDate, hHour)
+    assert(fb.exists(_._1.endsWith(f"hour=${hHour - 1}%02d")),
+      s"hour $hHour deleted with $hDate hour ${hHour - 1} present must fall back")
+    // 3. neither requested nor previous exists → graceful None
+    assert(Streaming.readHourPartitionOrFallback(spark, out, "1900-01-01", 12).isEmpty)
+    graft.engine.TempIo.deleteRecursively(out)
+  }
 }
