@@ -236,6 +236,7 @@ object SparkEntry {
     "q225_window_rollup"    -> graft.streaming.Streaming.q225WindowRollup _,
     "q226_state_introspect" -> graft.streaming.Streaming.q226StateIntrospect _,
     "q227_stream_sketch"    -> graft.streaming.Streaming.q227StreamSketch _,
+    "q228_stream_dead_letter" -> graft.streaming.Streaming.q228StreamDeadLetter _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -685,6 +686,7 @@ object SparkEntry {
     "q225_window_rollup"    -> graft.streaming.Streaming.q225Sql,
     "q226_state_introspect" -> graft.streaming.Streaming.q226Sql,
     "q227_stream_sketch"    -> graft.streaming.Streaming.q227Sql,
+    "q228_stream_dead_letter" -> graft.streaming.Streaming.q228Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

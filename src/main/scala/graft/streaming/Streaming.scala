@@ -220,6 +220,86 @@ object Streaming {
     result
   }
 
+  /** q228 — STREAMING DEAD-LETTER SPLIT: one stream fanned out to a
+    * clean sink and a quarantine sink inside a single foreachBatch —
+    * the production hygiene pattern q202 demonstrates for batch, under
+    * streaming delivery semantics. Every 13th event's `props` payload
+    * is corrupted deterministically at the staged source; `from_json`
+    * (PERMISSIVE by construction — unparseable → null struct) is the
+    * classifier, so the split is a filter pair on ONE parsed frame, not
+    * two parses. Both writes key on the epoch id (q86's idempotence
+    * contract), so a replayed batch lands on its own directories
+    * instead of duplicating either sink. The output reconciles the two
+    * sinks against the source: clean + dead = total, the dead set is
+    * exactly the corrupted ids (sum-checked), and the quarantine rows
+    * carry the RAW payload for replay.
+    *
+    * Scale: the split costs one parse + two partition-pruned writes per
+    * batch; quarantine volume is the error rate, not the corpus — the
+    * dead-letter sink stays small while the clean path carries the
+    * firehose. */
+  def q228StreamDeadLetter(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = graft.engine.TempIo.createTempDir("graft-dlq-src-")
+    val cleanOut = graft.engine.TempIo.createTempDir("graft-dlq-clean-")
+    val deadOut = graft.engine.TempIo.createTempDir("graft-dlq-dead-")
+    val ckpt = graft.engine.TempIo.createTempDir("graft-dlq-ckpt-")
+    try {
+      val stage = s"$src/stage"
+      graft.engine.Tables.events(spark, sfDir)
+        .withColumn("props",
+          when($"event_id" % 13 === 0, concat(lit("corrupt:"), $"props"))
+            .otherwise($"props"))
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/chunk1.parquet"))
+      graft.engine.TempIo.deleteRecursively(stage)
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
+      val q = spark.readStream
+        .schema(eventsNormSchema)
+        .option("pathGlobFilter", "chunk*.parquet")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val parsed = batch.withColumn("k",
+            from_json(col("props"), propsSchema).getField("k"))
+          parsed.filter(col("k").isNull)
+            .select(col("event_id"), col("props")) // raw payload for replay
+            .write.mode("overwrite").parquet(s"$deadOut/epoch=$epochId")
+          parsed.filter(col("k").isNotNull)
+            .select(col("event_id"), col("k"))
+            .write.mode("overwrite").parquet(s"$cleanOut/epoch=$epochId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val clean = spark.read.parquet(cleanOut)
+      val dead = spark.read.parquet(deadOut)
+      graft.engine.TempIo.materialize(spark,
+        clean.agg(count(lit(1)).as("n_clean"), sum($"k").as("clean_k_sum"))
+          .crossJoin(dead.agg(count(lit(1)).as("n_dead"),
+            sum($"event_id").as("dead_id_sum"),
+            count(when($"props".startsWith("corrupt:"), 1))
+              .as("n_replayable"))))
+    } finally Seq(src, cleanOut, deadOut, ckpt)
+      .foreach(graft.engine.TempIo.deleteRecursively)
+  }
+
+  /** Oracle: the corrupted set is exactly event_id % 13 = 0; clean rows
+    * parse their original {"k":N} payload. */
+  def q228Sql: String =
+    """SELECT
+       CAST(count(*) FILTER (event_id % 13 <> 0) AS BIGINT) AS n_clean,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+         FILTER (event_id % 13 <> 0) AS BIGINT) AS clean_k_sum,
+       CAST(count(*) FILTER (event_id % 13 = 0) AS BIGINT) AS n_dead,
+       CAST(sum(event_id) FILTER (event_id % 13 = 0) AS BIGINT) AS dead_id_sum,
+       CAST(count(*) FILTER (event_id % 13 = 0) AS BIGINT) AS n_replayable
+       FROM events"""
+
   /** Stream-static enrichment join — the reference's enrichment shape
     * (consumer.scala:125-148 joins each micro-batch against driver-
     * resident NLP models; the relational analogue is a static dimension
