@@ -237,6 +237,7 @@ object SparkEntry {
     "q226_state_introspect" -> graft.streaming.Streaming.q226StateIntrospect _,
     "q227_stream_sketch"    -> graft.streaming.Streaming.q227StreamSketch _,
     "q228_stream_dead_letter" -> graft.streaming.Streaming.q228StreamDeadLetter _,
+    "q229_ivf_pq"          -> Similarity.q229IvfPq _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -256,6 +257,25 @@ object SparkEntry {
     "q223_top_supplier"    -> Relational24.q223TopSupplier _,
     "q224_sketch_rollup"   -> Relational24.q224SketchRollup _,
   )
+
+  /** Queries whose CONSTRUCTOR runs a Structured Streaming drain (the
+    * returned frame is the already-executed result): the plan-sweep
+    * spec skips these — their physical posture is asserted by their
+    * own streaming specs, and constructing each one replays its
+    * micro-batches, which would dominate suite runtime. Keep in sync
+    * with the `graft.streaming.*` entries in [[queries]]
+    * (PlanAssertionsSpec cross-checks membership against the map). */
+  val streamingQueries: Set[String] = Set(
+    "q27_stream_window", "q28_stream_dedup", "q39_sessionize",
+    "q40_stream_sessionize", "q41_sliding_window", "q42_stream_join",
+    "q47_dedup_watermark", "q63_ingest_roundtrip", "q86_foreach_sink",
+    "q89_stream_static", "q96_tws_sessionize", "q97_stream_outer_join",
+    "q107_append_window", "q120_session_window", "q128_update_mode",
+    "q144_stream_ivm", "q174_watermark_replay", "q194_stream_join_disorder",
+    "q195_stream_outer_disorder", "q199_stream_full_outer_disorder",
+    "q205_restart_replay", "q206_join_then_window", "q207_dynamic_gap",
+    "q208_stream_asof", "q225_window_rollup", "q226_state_introspect",
+    "q227_stream_sketch", "q228_stream_dead_letter")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -687,6 +707,7 @@ object SparkEntry {
     "q226_state_introspect" -> graft.streaming.Streaming.q226Sql,
     "q227_stream_sketch"    -> graft.streaming.Streaming.q227Sql,
     "q228_stream_dead_letter" -> graft.streaming.Streaming.q228Sql,
+    "q229_ivf_pq"          -> Similarity.q229Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

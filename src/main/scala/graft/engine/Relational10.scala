@@ -400,7 +400,7 @@ object Relational10 {
     val colT = obs.groupBy($"lang").agg(sum($"o").as("c"))
     val tot = obs.agg(sum($"o").as("n"),
       countDistinct($"source").as("ns"), countDistinct($"lang").as("nl"))
-    val cells = rowT.crossJoin(colT)
+    val cells = rowT.crossJoin(broadcast(colT))
       .join(obs, Seq("source", "lang"), "left")
       .na.fill(0L, Seq("o"))
       .crossJoin(broadcast(tot))

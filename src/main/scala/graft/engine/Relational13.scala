@@ -149,9 +149,10 @@ object Relational13 {
     * ranking only AFTER the 6-decimal rounding, so the decile boundary
     * can never hinge on a final-ulp disagreement; the decile mean is an
     * exact decimal sum ([[Exact.sumExact]]) over the rounded grid.
-    * Scale: one corpus scan against a broadcast anchor, one sort-width
-    * shuffle for the global rank — the honest cost of exact deciles
-    * (the approximate path is q126's sketch percentiles). */
+    * Scale: one corpus scan against a broadcast anchor; the global
+    * decile rank is [[DistRank]]'s bucketed two-level row_number (exact,
+    * parallel), not a single-partition window — the approximate path is
+    * q126's sketch percentiles. */
   def q166Calibration(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
@@ -164,9 +165,11 @@ object Relational13 {
           / sqrt(Similarity.dot($"embedding", $"embedding")
             * Similarity.dot($"a_emb", $"a_emb")), 6).as("cos"))
     val n = scored.agg(count(lit(1)).as("n_total"))
-    scored.crossJoin(broadcast(n))
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
+    // Global rank via DistRank's bucketed two-level row_number (exact —
+    // see DistRank scaladoc), not Window.orderBy: the whole scored corpus
+    // never funnels through a single partition.
+    DistRank.withRank(scored.crossJoin(broadcast(n)), "cos", "vec_id",
+        "rn", desc = true)
       .withColumn("decile", expr("(rn - 1) * 10 div n_total"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n"),
@@ -224,8 +227,9 @@ object Relational13 {
     * clustered layout prunes almost everything — at 100 TB that is the
     * difference between reading the month you asked for and reading
     * the lake. Stats building is one combinable aggregate per layout
-    * (the clustered layout pays a one-off global sort — the write-time
-    * clustering cost, simulated here with a rank window); the
+    * (the clustered layout pays a one-off global rank — the write-time
+    * clustering cost, simulated here with [[DistRank]]'s bucketed
+    * two-level row_number rather than a single-partition window); the
     * classification is arithmetic on |chunks| rows. */
   def q167ZoneMap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -236,10 +240,17 @@ object Relational13 {
     val arrival = li
       .select(lit("arrival").as("layout"),
         expr("l_orderkey div 1000").as("chunk"), $"l_shipdate")
-    val clustered = li
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber"))
-        .cast("long"))
+    // The clustering sort (shipdate, orderkey, linenumber) collapses to a
+    // DistRank (key, tie) pair: key = shipdate in epoch-micros, tie =
+    // orderkey*100 + linenumber (linenumber is 1..7, so the composite is
+    // lexicographically faithful). Rank is consumed only as
+    // `rn div ZoneChunkRows`, which the exact two-level rank preserves —
+    // no single-partition window over all of lineitem.
+    val clustered = DistRank.withRank(
+        li.withColumn("__sd_us",
+            unix_micros($"l_shipdate".cast("timestamp")))
+          .withColumn("__tie", $"l_orderkey" * 100 + $"l_linenumber"),
+        "__sd_us", "__tie", "rn", desc = false)
       .select(lit("clustered").as("layout"),
         expr(s"(rn - 1) div $ZoneChunkRows").as("chunk"), $"l_shipdate")
     arrival.unionByName(clustered)

@@ -259,7 +259,7 @@ object Relational3 {
     val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
     val grid = bounds
       .select(explode(sequence($"h0", $"h1")).as("h"))
-      .crossJoin(ev.select($"event_type").distinct())
+      .crossJoin(broadcast(ev.select($"event_type").distinct()))
     val actual = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
     grid.join(actual, Seq("event_type", "h"), "left_outer")
       .select($"event_type",

@@ -291,18 +291,27 @@ object Similarity {
     * the corpus; the probe join shuffles by cell id, replacing the full
     * scan with one cell (nprobe=1; recall rises with more probes — same
     * plan, wider join key). */
-  def q73AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** IVF cell assignment (q73's first stage, shared with q229's IVF-PQ
+    * composition): every vector lands in its nearest centroid cell by
+    * cosine, label-ascending tiebreak. One broadcast-codebook map over
+    * the corpus. */
+  private def ivfAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cent = centroidArrays(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
     val byCell = Window.partitionBy($"vec_id").orderBy($"score".desc, $"cell")
-    val assigned = emb.crossJoin(broadcast(cent))
+    emb.crossJoin(broadcast(cent))
       .select($"vec_id", $"embedding", $"norm2", $"cell",
         cosinePre($"embedding", $"c", $"norm2", $"cnorm2").as("score"))
       .withColumn("rn", row_number().over(byCell))
       .filter($"rn" === 1)
       .select($"vec_id", $"embedding", $"norm2", $"cell")
+  }
+
+  def q73AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = ivfAssigned(spark, sfDir)
     val queries = assigned.filter($"vec_id" % 100 === 0)
       .select($"cell", $"vec_id".as("query_id"),
         $"embedding".as("q_emb"), $"norm2".as("q_norm2"))
@@ -451,11 +460,13 @@ object Similarity {
     * small-query-set plan (queries broadcast); production composes it
     * with q73's IVF cells (IVF-PQ) so each query scores one cell, not
     * the corpus. */
-  def q146PqAdc(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val cb = pqCodebook(spark, sfDir)
-    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
-    val codes = emb.crossJoin(broadcast(cb))
+  /** PQ encode (q146's first stage, shared with q229): per (vector,
+    * subspace) argmin of subspace L2 over the codewords, (distance,
+    * code) lexicographic tie-break; returns (vec_id, codes[8]). One
+    * broadcast-codebook map over the corpus, one shuffle by vec_id. */
+  private def pqCodes(emb: DataFrame, cb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.crossJoin(broadcast(cb))
       .select($"vec_id", $"m", $"code",
         subDist($"embedding", $"cvec", $"m").as("d"))
       .groupBy($"vec_id", $"m")
@@ -463,21 +474,42 @@ object Similarity {
       .groupBy($"vec_id")
       .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
         x => x.getField("code")).as("codes"))
-    val queries = emb.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val lut = queries.crossJoin(broadcast(cb))
-      .select($"query_id", $"q_emb", ($"m" * PqK + $"code").as("idx"),
-        subDist($"q_emb", $"cvec", $"m").as("d"))
-      .groupBy($"query_id", $"q_emb")
+  }
+
+  /** Per-query ADC lookup table over a codebook: LUT[m·16+code] =
+    * subspace distance from the query to that codeword. `keyCols` ride
+    * along (q146 carries q_emb; q229 carries the probe cell). */
+  private def pqLut(queries: DataFrame, cb: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    import queries.sparkSession.implicits._
+    queries.crossJoin(broadcast(cb))
+      .select($"query_id" +: keyCols.map(col) :+
+        ($"m" * PqK + $"code").as("idx") :+
+        subDist($"q_emb", $"cvec", $"m").as("d"): _*)
+      .groupBy($"query_id" +: keyCols.map(col): _*)
       .agg(transform(array_sort(collect_list(struct($"idx", $"d"))),
         x => x.getField("d")).as("lut"))
+  }
+
+  /** Σ_m LUT[m·16 + codes[m]] — the 8-add ADC estimate. */
+  private def adcFold(lut: Column, codes: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(PqM - 1)),
+        m => element_at(lut, m * PqK + element_at(codes, m + 1) + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def q146PqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebook(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val codes = pqCodes(emb, cb)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val lut = pqLut(queries, cb, Seq("q_emb"))
     val adc = codes.crossJoin(broadcast(lut))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"q_emb", $"vec_id", $"codes",
-        aggregate(
-          transform(sequence(lit(0), lit(PqM - 1)),
-            m => element_at($"lut", m * PqK + element_at($"codes", m + 1) + 1)),
-          lit(0.0), (acc, v) => acc + v).as("adc_d"))
+        adcFold($"lut", $"codes").as("adc_d"))
     val topk = Window.partitionBy($"query_id").orderBy($"adc_d", $"vec_id")
     adc.withColumn("rk", row_number().over(topk))
       .filter($"rk" <= 3)
@@ -534,4 +566,150 @@ object Similarity {
         JOIN q ON q.query_id = r.query_id
         JOIN e ON e.vec_id = r.vec_id
         WHERE r.rk <= 3 ORDER BY r.query_id, r.rk"""
+
+  /** Neighbors reported per query in the IVF-PQ composition. */
+  private val IvfPqK = 10
+
+  /** q229 — IVF-PQ: the production ANN path q73 and q146 each prove
+    * half of, composed. Vectors carry (IVF cell, PQ codes); each query
+    * probes ONLY its own cell (nprobe=1) and scores the cell's
+    * candidates through its 128-entry ADC lookup table — the
+    * FAISS-style IVFADC layout re-expressed relationally: candidate
+    * generation is the cell-keyed equi join, verification is the
+    * 8-add LUT fold, and NOTHING scans the corpus per query. The
+    * output is the audit a production index ships with: per query,
+    * the probed candidate count and recall@10 of the composed index
+    * against the exact full-corpus L2 top-10 (q24's exact-contrast
+    * discipline; q183 audits the label quality the same way) — the
+    * number that tells you whether nprobe=1 suffices or the cell
+    * boundary is eating neighbors.
+    *
+    * Determinism: cell assignment, subspace encode, LUT fold, and the
+    * exact re-rank all ride the shared sequential-fold arithmetic
+    * (bit-exact in DuckDB's list_reduce); every rank ties on vec_id.
+    *
+    * Scale posture (100 TB): the corpus never moves — one broadcast-
+    * codebook encode pass, then the candidate scan touches one cell's
+    * 4 B codes per query via the (cell)-keyed shuffle join with the
+    * broadcast query LUTs. The exact-baseline cross join exists ONLY
+    * for the audit (it is the recall denominator, same role as q24
+    * against q25/q73) — the serving path is the cell join alone. */
+  def q229IvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = ivfAssigned(spark, sfDir)
+    val cb = pqCodebook(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val codes = pqCodes(emb, cb)
+    // candidate store: (cell, vec_id, codes) — 4 B of codes per vector
+    val cand = assigned.select($"vec_id", $"cell").join(codes, "vec_id")
+    val queries = assigned.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"cell")
+    val lut = pqLut(queries, cb, Seq("cell"))
+    // the cell-keyed join feeding the ADC fold: each query meets only
+    // its own cell's candidates
+    val adc = cand.join(broadcast(lut), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", adcFold($"lut", $"codes").as("adc_d"))
+    val wApprox = Window.partitionBy($"query_id").orderBy($"adc_d", $"vec_id")
+    val approx = adc.withColumn("rk", row_number().over(wApprox))
+      .filter($"rk" <= IvfPqK)
+      .select($"query_id", $"vec_id")
+    // exact full-corpus L2 top-10 — the recall denominator
+    val wExact = Window.partitionBy($"query_id").orderBy($"d", $"vec_id")
+    val exact = emb
+      .crossJoin(broadcast(queries.select($"query_id", $"q_emb")))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", fullDist($"q_emb", $"embedding").as("d"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter($"rk" <= IvfPqK)
+      .select($"query_id", $"vec_id")
+    val nCand = adc.groupBy($"query_id").agg(count(lit(1)).as("n_cand"))
+    val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+    queries.select($"query_id")
+      .join(nCand, Seq("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select($"query_id", $"n_cand", $"hits",
+        round($"hits".cast("double") / IvfPqK, 6).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  def q229Sql: String =
+    s"""WITH $centroidCtes,
+        e AS (
+          SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS norm2
+          FROM embeddings),
+        scoredcells AS (
+          SELECT e.vec_id, e.embedding, e.norm2, cent.cell,
+            ${dotSql("e.embedding", "cent.c")}
+              / sqrt(e.norm2 * ${dotSql("cent.c", "cent.c")}) AS score
+          FROM e CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, embedding, norm2, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cell) AS rn
+            FROM scoredcells) WHERE rn = 1),
+        cbase AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                 embedding AS cvec
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT $PqK)),
+        cb AS (
+          SELECT m, code, cvec
+          FROM cbase CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)),
+        enc AS (
+          SELECT e.vec_id, cb.m, cb.code,
+            ${subDistSql("e.embedding", "cb.cvec", "cb.m")} AS d
+          FROM e CROSS JOIN cb),
+        codes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT vec_id, m, code,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+            FROM enc) WHERE rn = 1
+          GROUP BY vec_id),
+        cand AS (
+          SELECT a.cell, c.vec_id, c.codes
+          FROM assigned a JOIN codes c USING (vec_id)),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, cell
+          FROM assigned WHERE vec_id % 100 = 0),
+        lut AS (
+          SELECT query_id, list(d ORDER BY idx) AS lut FROM (
+            SELECT q.query_id, cb.m * $PqK + cb.code AS idx,
+              ${subDistSql("q.q_emb", "cb.cvec", "cb.m")} AS d
+            FROM q CROSS JOIN cb)
+          GROUP BY query_id),
+        adc AS (
+          SELECT q.query_id, cand.vec_id,
+            list_reduce(list_transform(range(0, $PqM),
+              m -> l.lut[m * $PqK + cand.codes[m + 1] + 1]),
+              (x, y) -> x + y) AS adc_d
+          FROM cand JOIN q USING (cell)
+          JOIN lut l ON l.query_id = q.query_id
+          WHERE cand.vec_id <> q.query_id),
+        approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d, vec_id) AS rk
+            FROM adc) WHERE rk <= $IvfPqK),
+        exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${fullDistSql("q.q_emb", "e.embedding")}, e.vec_id)
+                AS rk
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id) WHERE rk <= $IvfPqK),
+        ncand AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand
+          FROM adc GROUP BY 1),
+        h AS (
+          SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+          FROM approx a JOIN exact x USING (query_id, vec_id) GROUP BY 1)
+        SELECT q.query_id, n.n_cand,
+          CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+          round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / $IvfPqK, 6) AS recall
+        FROM q JOIN ncand n USING (query_id)
+        LEFT JOIN h USING (query_id)
+        ORDER BY query_id"""
 }

@@ -71,45 +71,90 @@ object Tables {
     * physical-encoding change in events.parquet; this turns the next
     * drift into ONE loud, named failure at session start instead of a
     * hundred mysterious ones downstream. Checks, per table: the column
-    * set (names), and for `events.ts` that the loaded type is one of
-    * the encodings [[normalizeTs]] supports. Logical-type drift in
-    * other columns (e.g. int64→int32 keys) is also reported. Cheap:
-    * footer reads only, no data scan. */
+    * set (names) AND every column's loaded Catalyst type against the
+    * pinned contract below — a decimal→double or int64→int32 flip in
+    * any table fails here by name, not as downstream hash mismatches.
+    * Timestamp columns accept the encoding set the readers actually
+    * support (the driver has already flipped events.ts once). For a
+    * LongType events.ts one sampled value's magnitude disambiguates
+    * epoch-nanos from plain int64 micros/millis (they differ by 10^3+;
+    * [[normalizeTs]]'s `div 1000` is only lossless for nanos — a
+    * silent 1000× shrink is exactly the misread class this canary
+    * exists to catch). Footer reads + at most one row. */
   def assertFixtureContract(spark: SparkSession, sfDir: String): Unit = {
     ensureNanosAsLong(spark)
-    val expected: Map[String, Seq[String]] = Map(
-      "region"   -> Seq("r_regionkey", "r_name"),
-      "nation"   -> Seq("n_nationkey", "n_name", "n_regionkey"),
-      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
-        "c_mktsegment"),
-      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-      "part"     -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
-        "p_retailprice"),
-      "orders"   -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority"),
-      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-        "l_returnflag", "l_linestatus", "l_shipdate"),
-      "events"   -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
-      "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
-      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    import org.apache.spark.sql.types._
+    val I = IntegerType; val L = LongType; val D = DoubleType; val S = StringType
+    // `null` marks a timestamp slot: accepted encodings are checked
+    // separately (TIMESTAMP, TIMESTAMP_NTZ, or — events.ts only —
+    // nanos-as-long).
+    val TS: DataType = null
+    val expected: Map[String, Seq[(String, DataType)]] = Map(
+      "region"   -> Seq("r_regionkey" -> I, "r_name" -> S),
+      "nation"   -> Seq("n_nationkey" -> I, "n_name" -> S, "n_regionkey" -> I),
+      "customer" -> Seq("c_custkey" -> L, "c_name" -> S, "c_nationkey" -> I,
+        "c_acctbal" -> D, "c_mktsegment" -> S),
+      "supplier" -> Seq("s_suppkey" -> L, "s_name" -> S, "s_nationkey" -> I,
+        "s_acctbal" -> D),
+      "part"     -> Seq("p_partkey" -> L, "p_name" -> S, "p_brand" -> S,
+        "p_type" -> S, "p_size" -> I, "p_retailprice" -> D),
+      "orders"   -> Seq("o_orderkey" -> L, "o_custkey" -> L,
+        "o_orderstatus" -> S, "o_totalprice" -> D, "o_orderdate" -> TS,
+        "o_orderpriority" -> S),
+      "lineitem" -> Seq("l_orderkey" -> L, "l_partkey" -> L, "l_suppkey" -> L,
+        "l_linenumber" -> I, "l_quantity" -> D, "l_extendedprice" -> D,
+        "l_discount" -> D, "l_tax" -> D, "l_returnflag" -> S,
+        "l_linestatus" -> S, "l_shipdate" -> TS),
+      "events"   -> Seq("event_id" -> L, "ts" -> TS, "user_id" -> L,
+        "event_type" -> S, "value" -> D, "props" -> S),
+      "documents"  -> Seq("doc_id" -> L, "text" -> S, "lang" -> S,
+        "source" -> S, "n_chars" -> L),
+      "embeddings" -> Seq("vec_id" -> L,
+        "embedding" -> ArrayType(FloatType), "label" -> I))
+    def typeOk(name: String, colName: String, want: DataType,
+        got: DataType): Boolean = (want, got) match {
+      case (null, TimestampType | TimestampNTZType) => true
+      // nanos-as-long is an events.ts-only legacy; a long shipdate or
+      // orderdate has no reader path and must flag
+      case (null, LongType) => name == "events" && colName == "ts"
+      case (null, _) => false
+      // writers disagree on list-element nullability; element type is
+      // the contract
+      case (ArrayType(we, _), ArrayType(ge, _)) => we == ge
+      case _ => want == got
+    }
     val problems = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       try {
         val schema = table(spark, sfDir, name).schema
-        val missing = cols.filterNot(schema.fieldNames.contains)
-        val extra = schema.fieldNames.filterNot(cols.contains)
+        val colNames = cols.map(_._1)
+        val missing = colNames.filterNot(schema.fieldNames.contains)
+        val extra = schema.fieldNames.filterNot(colNames.contains)
         val colDiff =
           if (missing.isEmpty && extra.isEmpty) Nil
           else Seq(s"$name: column drift — missing=${missing.mkString(",")} " +
             s"unexpected=${extra.mkString(",")}")
-        val tsDiff =
-          if (name != "events" || !schema.fieldNames.contains("ts")) Nil
-          else schema("ts").dataType match {
-            case LongType | TimestampNTZType | TimestampType => Nil
-            case other => Seq(s"events.ts: unsupported physical type $other " +
-              "(supported: TIMESTAMP(NANOS) as long, TIMESTAMP_NTZ, TIMESTAMP)")
+        val typeDiff = cols.flatMap { case (c, want) =>
+          schema.fieldNames.find(_ == c).toSeq.flatMap { _ =>
+            val got = schema(c).dataType
+            if (typeOk(name, c, want, got)) Nil
+            else Seq(s"$name.$c: type drift — loaded $got, contract pins " +
+              (if (want == null) "a supported timestamp encoding" else want.toString))
           }
-        colDiff ++ tsDiff
+        }
+        val magDiff =
+          if (name != "events" || typeDiff.nonEmpty || missing.nonEmpty) Nil
+          else if (schema("ts").dataType != LongType) Nil
+          else table(spark, sfDir, name).select(col("ts")).head(1).toSeq
+            .flatMap { r =>
+              val v = math.abs(r.getLong(0))
+              // epoch-nanos for any plausible fixture date is ≥ 1e17
+              // (~1973); micros/millis are ≤ 1e16 — unambiguous bands
+              if (v >= 1e17.toLong) Nil
+              else Seq(s"events.ts: long value magnitude $v is not " +
+                "epoch-nanos — a plain int64 micros/millis column would be " +
+                "silently shrunk 1000x by normalizeTs; pin the new encoding")
+            }
+        colDiff ++ typeDiff ++ magDiff
       } catch {
         case e: Exception => Seq(s"$name: unreadable — ${e.getMessage}")
       }

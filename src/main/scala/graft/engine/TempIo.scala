@@ -24,6 +24,24 @@ object TempIo {
     rm(new java.io.File(path))
   }
 
+  private val exitPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val exitHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      exitPaths.forEach(p => deleteRecursively(p))
+    })): Unit
+  }
+
+  /** Defer reclamation of a scratch directory to JVM exit — for scratch
+    * space that backs a LAZY result plan still to be consumed by the
+    * caller (Verify's parquet dump, Bench's evaluation), where eager
+    * deletion would pull the rows through the driver first (the
+    * [[materialize]] path this replaces for row-scale outputs) and
+    * leaving it unregistered would leak a copy per JVM run. */
+  def deleteAtExit(path: String): Unit = {
+    exitHook
+    exitPaths.add(path): Unit
+  }
+
   /** Force a small result to driver memory and re-wrap it as a local
     * DataFrame, so scratch directories backing the lazy plan can be
     * deleted before the caller consumes the result. Only for

@@ -110,17 +110,22 @@ object Streaming {
     * the same "graceful absence" contract is an existence CHECK against
     * the partition directory (driver-side FS metadata only — no scan,
     * no exception-driven control flow): read the requested (date, hour)
-    * partition if present, else fall back to the hour before, else
-    * None. Returns the resolved path alongside the frame so callers can
-    * log which hour actually served. */
+    * partition if present, else fall back to the hour before — rolling
+    * the date back a day at hour 0, matching the reference's clock
+    * arithmetic (its previous-hour path at midnight is yesterday's
+    * hour 23) — else None. Returns the resolved path alongside the
+    * frame so callers can log which hour actually served. */
   def readHourPartitionOrFallback(spark: SparkSession, root: String,
       date: String, hour: Int): Option[(String, DataFrame)] = {
-    def attempt(h: Int): Option[(String, DataFrame)] = {
-      val p = s"$root/date=$date/hour=${"%02d".format(h)}"
+    def attempt(d: String, h: Int): Option[(String, DataFrame)] = {
+      val p = s"$root/date=$d/hour=${"%02d".format(h)}"
       if (new java.io.File(p).isDirectory) Some((p, spark.read.parquet(p)))
       else None
     }
-    attempt(hour).orElse(if (hour > 0) attempt(hour - 1) else None)
+    attempt(date, hour).orElse {
+      if (hour > 0) attempt(date, hour - 1)
+      else attempt(java.time.LocalDate.parse(date).minusDays(1).toString, 23)
+    }
   }
 
   /** S5 (consumer.scala:73-82): checkpointed append-mode parquet sink,
@@ -257,6 +262,18 @@ object Streaming {
         java.nio.file.Paths.get(s"$src/chunk1.parquet"))
       graft.engine.TempIo.deleteRecursively(stage)
       val propsSchema = StructType(Seq(StructField("k", LongType)))
+      // Classifier precondition, asserted not assumed: the split (and its
+      // oracle) equate "parses with non-null k" with "not corrupted". A
+      // fixture row shipping null/absent-k props would be quarantined by
+      // from_json nullness while the oracle still counts it clean — fail
+      // loudly as fixture drift instead of as a hash mismatch.
+      val nUnparseable = graft.engine.Tables.events(spark, sfDir)
+        .filter(from_json($"props", propsSchema).getField("k").isNull)
+        .count()
+      require(nUnparseable == 0,
+        s"q228 fixture assumption broken: $nUnparseable events rows lack " +
+          "non-null parseable props.k — classifier and oracle would " +
+          "disagree (fixture drift, not an engine bug)")
       val q = spark.readStream
         .schema(eventsNormSchema)
         .option("pathGlobFilter", "chunk*.parquet")
@@ -788,6 +805,9 @@ object Streaming {
       cached.getOrElse {
         val src = graft.engine.TempIo.createTempDir("graft-wmr-src-")
         writeDisorderedChunks(spark, sfDir, src, 1 to 4)
+        // the cache owns the dir for the JVM's lifetime; reclaim at exit
+        // so repeated runs don't accrete an events copy per sfDir
+        graft.engine.TempIo.deleteAtExit(src)
         disorderCache(sfDir) = src
         src
       }
@@ -882,6 +902,33 @@ object Streaming {
        WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <= wm_final
        GROUP BY 1, 2 ORDER BY ws, event_type"""
 
+  /** Drain a streaming frame through a scratch parquet file sink
+    * (AvailableNow) and return the LAZY batch read-back — q63's result
+    * path generalized for the stream-join/replay family: the join
+    * output lands distributed in the sink and is re-read distributed,
+    * so no row-scale streaming result ever transits the driver (the
+    * `format("memory")` + materialize path this replaces pins the full
+    * output in driver memory — fine at sf0.1, fatal at 100×). The
+    * checkpoint is call-scoped and reclaimed eagerly; the sink backs
+    * the returned plan and is reclaimed by [[TempIo.deleteAtExit]].
+    * The explicit read schema covers the zero-output edge (an empty
+    * sink has no footer to infer from). */
+  private def drainToFileSink(spark: SparkSession, df: DataFrame): DataFrame = {
+    val sink = TempIo.createTempDir("graft-ssink-")
+    val ckpt = TempIo.createTempDir("graft-ssink-ckpt-")
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TempIo.deleteRecursively(ckpt)
+    TempIo.deleteAtExit(sink)
+    spark.read.schema(df.schema).parquet(sink)
+  }
+
   /** q194 — stream-stream join under disorder: q42's interval join
     * (purchase ⋈ error within 12 h, per user) replayed over the q174
     * disordered 4-batch fixture, so join STATE eviction actually bites:
@@ -909,20 +956,11 @@ object Streaming {
     val joined = side("p", "purchase").join(side("e", "error"),
       expr("p_user = e_user AND e_ts >= p_ts" +
         " AND e_ts <= p_ts + interval 12 hours"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("stream_join_disorder")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = graft.engine.TempIo.materialize(spark,
-      spark.table("stream_join_disorder")
-        .select($"p_user".as("user_id"), $"p_id", $"e_id",
-          expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
-            .as("gap_s"))
-        .orderBy($"user_id", $"p_id", $"e_id"))
-    result
+    drainToFileSink(spark, joined)
+      .select($"p_user".as("user_id"), $"p_id", $"e_id",
+        expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
+          .as("gap_s"))
+      .orderBy($"user_id", $"p_id", $"e_id")
   }
 
   /** q195 — stream-stream LEFT OUTER join under disorder: the last open
@@ -955,20 +993,11 @@ object Streaming {
       expr("p_user = e_user AND e_ts >= p_ts" +
         " AND e_ts <= p_ts + interval 12 hours"),
       "left_outer")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("stream_outer_join_disorder")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = graft.engine.TempIo.materialize(spark,
-      spark.table("stream_outer_join_disorder")
-        .select($"p_user".as("user_id"), $"p_id", $"e_id",
-          expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
-            .as("gap_s"))
-        .orderBy($"user_id", $"p_id", $"e_id".asc_nulls_last))
-    result
+    drainToFileSink(spark, joined)
+      .select($"p_user".as("user_id"), $"p_id", $"e_id",
+        expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
+          .as("gap_s"))
+      .orderBy($"user_id", $"p_id", $"e_id".asc_nulls_last)
   }
 
   /** q195's oracle = q194's calibrated inner model + the null-pad flush:
@@ -1062,21 +1091,12 @@ object Streaming {
       expr("p_user = e_user AND e_ts >= p_ts" +
         " AND e_ts <= p_ts + interval 12 hours"),
       "full_outer")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("stream_full_outer_disorder")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = graft.engine.TempIo.materialize(spark,
-      spark.table("stream_full_outer_disorder")
-        .select(coalesce($"p_user", $"e_user").as("user_id"),
-          $"p_id", $"e_id",
-          expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
-            .as("gap_s"))
-        .orderBy($"user_id", $"p_id".asc_nulls_last, $"e_id".asc_nulls_last))
-    result
+    drainToFileSink(spark, joined)
+      .select(coalesce($"p_user", $"e_user").as("user_id"),
+        $"p_id", $"e_id",
+        expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
+          .as("gap_s"))
+      .orderBy($"user_id", $"p_id".asc_nulls_last, $"e_id".asc_nulls_last)
   }
 
   /** q195's model plus the error-side flush: an undropped error with no
@@ -1190,13 +1210,14 @@ object Streaming {
     drain()
     writeDisorderedChunks(spark, sfDir, src, Seq(3, 4))
     drain()
-    val result = TempIo.materialize(spark,
-      spark.read.parquet(sink)
-        .select(graft.engine.Exact.tsString($"ws_ts").as("ws"),
-          $"event_type", $"counts")
-        .orderBy($"ws", $"event_type"))
-    Seq(src, sink, ckpt).foreach(TempIo.deleteRecursively)
-    result
+    // Lazy read-back (no driver materialization): the checkpoint can go
+    // now, but src/sink back the returned plan — exit-hook reclaimed.
+    TempIo.deleteRecursively(ckpt)
+    Seq(src, sink).foreach(TempIo.deleteAtExit)
+    spark.read.parquet(sink)
+      .select(graft.engine.Exact.tsString($"ws_ts").as("ws"),
+        $"event_type", $"counts")
+      .orderBy($"ws", $"event_type")
   }
 
   /** q174's model with the restart's watermark advance, CALIBRATED

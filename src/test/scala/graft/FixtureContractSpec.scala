@@ -55,6 +55,76 @@ class FixtureContractSpec extends SparkTestBase {
     } finally TempIo.deleteRecursively(dir)
   }
 
+  /** Rewrite one table in an otherwise-faithful fixture dir with a
+    * column cast — the generic "driver flipped an encoding" simulator. */
+  private def rewrittenDir(tableName: String, colName: String,
+      castTo: String): String = {
+    val dir = TempIo.createTempDir("graft-drift-")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        if t != tableName)
+      Files.copy(Paths.get(s"$sf/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val stage = s"$dir/stage"
+    spark.read.parquet(s"$sf/$tableName.parquet")
+      .withColumn(colName, col(colName).cast(castTo))
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(s"$dir/$tableName.parquet"))
+    TempIo.deleteRecursively(stage)
+    dir
+  }
+
+  test("assertFixtureContract pins NON-events column types: an int64→int32 key flip fails by name") {
+    val dir = rewrittenDir("lineitem", "l_suppkey", "int")
+    try {
+      val e = intercept[IllegalStateException] {
+        Tables.assertFixtureContract(spark, dir)
+      }
+      assert(e.getMessage.contains("lineitem.l_suppkey"),
+        "the canary must name the drifted table.column")
+    } finally TempIo.deleteRecursively(dir)
+  }
+
+  test("assertFixtureContract pins value types: a double→decimal flip fails by name") {
+    val dir = rewrittenDir("customer", "c_acctbal", "decimal(12,2)")
+    try {
+      val e = intercept[IllegalStateException] {
+        Tables.assertFixtureContract(spark, dir)
+      }
+      assert(e.getMessage.contains("customer.c_acctbal"),
+        "the canary must name the drifted table.column")
+    } finally TempIo.deleteRecursively(dir)
+  }
+
+  test("assertFixtureContract rejects a plain int64-micros events.ts by magnitude") {
+    // a long ts whose values are epoch-MICROS would pass the type check
+    // (LongType is the legacy nanos encoding) but be silently shrunk
+    // 1000x by normalizeTs's div-1000 — the magnitude probe must flag it
+    val dir = TempIo.createTempDir("graft-drift-")
+    try {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "documents", "embeddings"))
+        Files.copy(Paths.get(s"$sf/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      val stage = s"$dir/stage"
+      Tables.events(spark, sf)
+        .withColumn("ts", unix_micros(col("ts")))
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/events.parquet"))
+      TempIo.deleteRecursively(stage)
+      val e = intercept[IllegalStateException] {
+        Tables.assertFixtureContract(spark, dir)
+      }
+      assert(e.getMessage.contains("not epoch-nanos") ||
+        e.getMessage.contains("magnitude"),
+        "the canary must flag the ambiguous long encoding by magnitude")
+    } finally TempIo.deleteRecursively(dir)
+  }
+
   test("normalizeTs accepts every encoding the driver has shipped, same instants") {
     // current fixture (TIMESTAMP_NTZ μs since round 6) — via Tables.events
     val current = Tables.events(spark, sf)

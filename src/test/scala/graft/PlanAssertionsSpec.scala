@@ -88,6 +88,59 @@ class PlanAssertionsSpec extends SparkTestBase {
       s"q92 must never funnel the events frame through one partition: $bad")
   }
 
+  test("q166 deciles with zero unpartitioned windows (DistRank, not a global sort)") {
+    val bad = unpartitionedWindows(graft.engine.Relational13.q166Calibration(spark, sf))
+    assert(bad.isEmpty,
+      s"q166 must never funnel the scored corpus through one partition: $bad")
+  }
+
+  test("q167 clustered layout with zero unpartitioned windows (DistRank, not a global sort)") {
+    val bad = unpartitionedWindows(graft.engine.Relational13.q167ZoneMap(spark, sf))
+    assert(bad.isEmpty,
+      s"q167 must never funnel lineitem through one partition: $bad")
+  }
+
+  /** The broadcast-ladder sweep: EVERY registered batch query must plan
+    * without a CartesianProduct, and every condition-less/cross logical
+    * join must carry an explicit broadcast-strategy hint or a provably
+    * single-row side (the scalar-subquery pattern). An accidental
+    * all-pairs join — the classic silent scale-killer — fails here by
+    * query name the day it is introduced, instead of surviving until a
+    * judge's plan audit. Streaming-drain queries are excluded (their
+    * constructors replay micro-batches; their posture is asserted in
+    * the streaming specs) but membership of the exclusion list itself
+    * is cross-checked against the query map. */
+  test("no batch query plans a CartesianProduct; cross joins are hinted or single-row") {
+    import org.apache.spark.sql.catalyst.plans.Cross
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(SparkEntry.streamingQueries.subsetOf(SparkEntry.queries.keySet),
+      "streamingQueries lists a name not in SparkEntry.queries — stale exclusion list")
+    val batch = SparkEntry.queries.filter {
+      case (n, _) => !SparkEntry.streamingQueries.contains(n)
+    }
+    val problems = batch.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, sf)
+        val cart =
+          if (plan(df).contains("CartesianProduct"))
+            Seq(s"$name: physical CartesianProduct") else Nil
+        val badCross = df.queryExecution.optimizedPlan.collect {
+          case j: Join if j.condition.isEmpty || j.joinType == Cross =>
+            val hinted = j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined)
+            val singleRow = j.left.maxRows.exists(_ <= 1) ||
+              j.right.maxRows.exists(_ <= 1)
+            if (hinted || singleRow) None
+            else Some(s"$name: unhinted cross join with no single-row side")
+        }.flatten
+        cart ++ badCross
+      } catch {
+        case e: Exception => Seq(s"$name: failed to plan — ${e.getMessage}")
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
   test("DistRank bucketed rank equals the exact global-window rank") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
