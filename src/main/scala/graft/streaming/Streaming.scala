@@ -86,6 +86,63 @@ object Streaming {
         .parquet(sfDir))
   }
 
+  /** Session conf flag selecting the ingest source: `file` (default —
+    * the offline stand-in over the events parquet) or `kafka` (the
+    * reference's real source, consumer.scala:56-62; needs the
+    * spark-sql-kafka connector and a broker, neither of which exists in
+    * this sandbox). Both sources feed the IDENTICAL downstream plan. */
+  val IngestSourceConf = "graft.ingest.source"
+
+  /** S2 + P1 as one source-agnostic projection: Kafka delivers the
+    * payload as a binary `value` column; cast to string (S2) and parse
+    * against the declared events schema (P1) to land on exactly
+    * [[eventsNormSchema]] — the same contract [[readEventsStream]]
+    * produces from parquet. Factored out of the Kafka reader so the
+    * spec can drive it OFFLINE (the projection is source-agnostic: a
+    * batch frame with a binary `value` column exercises the identical
+    * expressions) and assert schema parity with the file stand-in. */
+  /** Wire format for `ts` in the Kafka JSON payload: microsecond
+    * precision (the fixture's native grain — the default JSON
+    * timestamp format truncates to millis and would silently shear
+    * sub-ms instants). */
+  private[graft] val KafkaTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private[graft] def parseKafkaValue(raw: DataFrame): DataFrame =
+    raw.select(
+      from_json(col("value").cast("string"), eventsNormSchema,
+        Map("timestampFormat" -> KafkaTsFormat)).as("e"))
+      .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
+        col("e.event_type"), col("e.value"), col("e.props"))
+
+  /** The real-Kafka twin of [[readEventsStream]] (consumer.scala:56-62):
+    * subscribe → binary value → [[parseKafkaValue]]. Compiles and
+    * type-checks against the public DataFrame API; `load()` resolves
+    * the `kafka` source at runtime, so OFFLINE this throws the
+    * source-not-found error (spec-asserted) rather than silently
+    * degrading — with the connector jar on the classpath and a broker
+    * at `bootstrap` it runs unchanged. */
+  def readEventsKafka(spark: SparkSession,
+      bootstrap: String = "localhost:9092",
+      topic: String = "events"): DataFrame =
+    parseKafkaValue(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
+
+  /** Source dispatch for the ingest pipeline: the [[IngestSourceConf]]
+    * flag swaps the physical source; every transform downstream of it
+    * (projection, sink, partitioning) is shared — the daylight between
+    * the stand-in and the reference's consumer is exactly this one
+    * builder. */
+  def readEventsStreamConfigured(spark: SparkSession, sfDir: String): DataFrame =
+    spark.conf.getOption(IngestSourceConf).getOrElse("file") match {
+      case "kafka" => readEventsKafka(spark)
+      case _       => readEventsStream(spark, sfDir)
+    }
+
   /** The reference's ingest projection (S2+P1-P4, consumer.scala:63-70):
     * payload parse (`from_json` on props — the nested-schema path),
     * key synthesis, and derived `date`/`hour` partition columns. */
@@ -138,7 +195,7 @@ object Streaming {
   def runIngest(spark: SparkSession, sfDir: String, outDir: String,
       partitionCols: Seq[String] = Seq("date", "hour")): String = {
     val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
-    val q = projectIngest(readEventsStream(spark, sfDir))
+    val q = projectIngest(readEventsStreamConfigured(spark, sfDir))
       .writeStream
       .format("parquet")
       .option("path", outDir)
