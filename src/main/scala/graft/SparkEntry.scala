@@ -238,6 +238,9 @@ object SparkEntry {
     "q227_stream_sketch"    -> graft.streaming.Streaming.q227StreamSketch _,
     "q228_stream_dead_letter" -> graft.streaming.Streaming.q228StreamDeadLetter _,
     "q229_ivf_pq"          -> Similarity.q229IvfPq _,
+    "q230_kcenter_coreset" -> Similarity.q230KCenterCoreset _,
+    "q231_incremental_assign" -> Dedup.q231IncrementalAssign _,
+    "q232_truncation_recall" -> Similarity.q232TruncationRecall _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -708,6 +711,9 @@ object SparkEntry {
     "q227_stream_sketch"    -> graft.streaming.Streaming.q227Sql,
     "q228_stream_dead_letter" -> graft.streaming.Streaming.q228Sql,
     "q229_ivf_pq"          -> Similarity.q229Sql,
+    "q230_kcenter_coreset" -> Similarity.q230Sql,
+    "q231_incremental_assign" -> Dedup.q231Sql,
+    "q232_truncation_recall" -> Similarity.q232Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

@@ -52,9 +52,12 @@ object Dedup {
     * substrings, min taken lexicographically), banded 2×2; candidate
     * pairs are docs sharing ≥1 band bucket, reported with the number of
     * shared bands. */
-  def q21MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sh = Tables.documents(spark, sfDir)
+  /** (doc_id, band_idx, band_val) LSH band frame for any document
+    * subset — the shared index structure of q21's pair listing and
+    * q231's incremental probe. */
+  private def bandsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = docs
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
       .select($"doc_id", md5($"sh").as("h"))
@@ -63,9 +66,14 @@ object Dedup {
       min(substring($"h", 9, 8)).as("m1"),
       min(substring($"h", 17, 8)).as("m2"),
       min(substring($"h", 25, 8)).as("m3"))
-    val bands = sig.select($"doc_id",
+    sig.select($"doc_id",
       explode(map(lit(0), concat($"m0", $"m1"), lit(1), concat($"m2", $"m3")))
         .as(Seq("band_idx", "band_val")))
+  }
+
+  def q21MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = bandsOf(Tables.documents(spark, sfDir))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -815,4 +823,122 @@ object Dedup {
         LEFT JOIN labels l ON f.doc_id = l.doc
         LEFT JOIN xf ON f.fold = xf.fold
         GROUP BY f.fold ORDER BY f.fold"""
+
+  /** Batch-arrival predicate for the incremental-assignment split:
+    * every 10th document (mod-class 7) "arrives later" and must be
+    * assigned against the index built from the rest. */
+  private val NewDocPred = "doc_id % 10 = 7"
+
+  /** q231 — INCREMENTAL near-dup cluster assignment: the production
+    * form of dedup, where the corpus is already indexed and clustered
+    * (q21's bands + q67's canonical labels over the 90% "index" split)
+    * and a NEW batch (the held-out 10%) must be folded in without
+    * reclustering the world. Each new doc probes the index's band
+    * buckets; ≥1 hit assigns it the MINIMUM canonical among matched
+    * index docs (deterministic merge policy — min-label, the same
+    * total order q67 uses), zero hits opens a new cluster keyed by the
+    * doc itself. Output per new doc: assigned canonical, how many
+    * index docs its bands hit, and whether it opened a new cluster.
+    *
+    * Scale posture (100 TB): the index bands are a (band_idx,
+    * band_val)-bucketed table built ONCE; a batch probes it with one
+    * equi join on the bucket key — candidates only, never a scan of
+    * the corpus, and the batch never joins itself (intra-batch dups
+    * resolve on the NEXT index rebuild, the standard eventual-
+    * consistency contract of incremental dedup). */
+  def q231IncrementalAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val idx = docs.filter(!expr(NewDocPred))
+    val batch = docs.filter(expr(NewDocPred))
+    val idxBands = bandsOf(idx).localCheckpoint()
+    val a = idxBands.as("a")
+    val b = idxBands.as("b")
+    val idxPairs = a.join(b,
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val labels = clustersFromPairs(spark, idxPairs)
+      .select($"doc".as("idx_doc"), $"canonical")
+    val matches = bandsOf(batch)
+      .select($"doc_id".as("new_doc"), $"band_idx", $"band_val")
+      .join(idxBands.select($"doc_id".as("idx_doc"), $"band_idx", $"band_val"),
+        Seq("band_idx", "band_val"))
+      .select($"new_doc", $"idx_doc").distinct()
+      .join(labels, Seq("idx_doc"), "left")
+      .select($"new_doc", $"idx_doc",
+        coalesce($"canonical", $"idx_doc").as("cl"))
+    val assigned = matches.groupBy($"new_doc")
+      .agg(min($"cl").as("assigned"),
+        count(lit(1)).as("n_index_matches"))
+    batch.select($"doc_id")
+      .join(assigned, $"doc_id" === $"new_doc", "left")
+      .select($"doc_id",
+        coalesce($"assigned", $"doc_id").as("canonical"),
+        coalesce($"n_index_matches", lit(0L)).as("n_index_matches"),
+        when($"assigned".isNull, 1L).otherwise(0L).as("opened_cluster"))
+      .orderBy($"doc_id")
+  }
+
+  def q231Sql: String = {
+    val sh = shinglesSql("text")
+    s"""WITH RECURSIVE
+        shi AS (
+          SELECT doc_id, md5(unnest($sh)) AS h
+          FROM documents WHERE NOT ($NewDocPred)),
+        sigi AS (
+          SELECT doc_id,
+            min(substr(h, 1, 8)) AS m0, min(substr(h, 9, 8)) AS m1,
+            min(substr(h, 17, 8)) AS m2, min(substr(h, 25, 8)) AS m3
+          FROM shi GROUP BY doc_id),
+        bandsi AS (
+          SELECT doc_id, 0 AS band_idx, m0 || m1 AS band_val FROM sigi
+          UNION ALL
+          SELECT doc_id, 1 AS band_idx, m2 || m3 AS band_val FROM sigi),
+        pairsi AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandsi a JOIN bandsi b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairsi
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairsi),
+        reach AS (
+          SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT a AS idx_doc, min(b) AS canonical FROM reach GROUP BY a),
+        shb AS (
+          SELECT doc_id, md5(unnest($sh)) AS h
+          FROM documents WHERE $NewDocPred),
+        sigb AS (
+          SELECT doc_id,
+            min(substr(h, 1, 8)) AS m0, min(substr(h, 9, 8)) AS m1,
+            min(substr(h, 17, 8)) AS m2, min(substr(h, 25, 8)) AS m3
+          FROM shb GROUP BY doc_id),
+        bandsb AS (
+          SELECT doc_id, 0 AS band_idx, m0 || m1 AS band_val FROM sigb
+          UNION ALL
+          SELECT doc_id, 1 AS band_idx, m2 || m3 AS band_val FROM sigb),
+        matches AS (
+          SELECT DISTINCT nb.doc_id AS new_doc, ib.doc_id AS idx_doc
+          FROM bandsb nb JOIN bandsi ib
+            ON nb.band_idx = ib.band_idx AND nb.band_val = ib.band_val),
+        assigned AS (
+          SELECT m.new_doc,
+            min(coalesce(l.canonical, m.idx_doc)) AS assigned,
+            CAST(count(*) AS BIGINT) AS n_index_matches
+          FROM matches m LEFT JOIN labels l ON l.idx_doc = m.idx_doc
+          GROUP BY m.new_doc)
+        SELECT d.doc_id,
+          coalesce(a.assigned, d.doc_id) AS canonical,
+          coalesce(a.n_index_matches, 0) AS n_index_matches,
+          CAST(CASE WHEN a.assigned IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS opened_cluster
+        FROM documents d LEFT JOIN assigned a ON a.new_doc = d.doc_id
+        WHERE $NewDocPred
+        ORDER BY d.doc_id"""
+  }
 }

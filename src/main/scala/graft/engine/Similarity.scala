@@ -712,4 +712,194 @@ object Similarity {
         FROM q JOIN ncand n USING (query_id)
         LEFT JOIN h USING (query_id)
         ORDER BY query_id"""
+
+  /** Coreset size for the greedy k-center selection. */
+  private val KCenterK = 5
+
+  /** q230 — greedy k-center coreset selection (farthest-point
+    * traversal): pick the corpus point farthest (squared L2) from the
+    * already-selected set, k times, seeding at the minimum vec_id —
+    * the classic 2-approximation to the k-center cover and the
+    * workhorse of training-data CORESET curation (pick the k examples
+    * that best cover embedding space; the selection radii read out
+    * directly as the cover quality curve). Output: selection order,
+    * chosen vector, and the distance that forced the choice — the
+    * radius the remaining corpus is covered within after each pick.
+    *
+    * Determinism: distances are the shared sequential fold; the argmax
+    * ties on the SMALLER vec_id via a lexicographic (d, −vec_id)
+    * struct max — both engines replay the identical selection path.
+    *
+    * Scale posture (100 TB): the loop state is ONE row per point (its
+    * running min-distance) plus the k-row selected set; each iteration
+    * is one broadcast of the newest center, one map over the corpus
+    * (`least` of old distance and new), and one all-reduce argmax —
+    * k scans, no shuffle of the corpus, which is exactly how
+    * farthest-point runs on a cluster. `localCheckpoint` truncates the
+    * per-iteration lineage (the persist-to-storage swap at real scale,
+    * same note as Dedup's). The k driver-side scalars are the selected
+    * ids — bounded by k, not data. */
+  def q230KCenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val seedId = emb.agg(min($"vec_id")).head().getLong(0)
+    def centerEmb(id: Long) = broadcast(
+      emb.filter($"vec_id" === id).select($"embedding".as("c_emb")))
+    var selected = Vector((1L, seedId, 0.0))
+    var mind = emb.crossJoin(centerEmb(seedId))
+      .select($"vec_id", $"embedding",
+        fullDist($"embedding", $"c_emb").as("d"))
+      .localCheckpoint()
+    for (i <- 2 to KCenterK) {
+      val far = mind
+        .agg(max(struct($"d", (-$"vec_id").as("nv"))).as("m"))
+        .select($"m.d", $"m.nv").head()
+      val (fd, fid) = (far.getDouble(0), -far.getLong(1))
+      selected :+= ((i.toLong, fid, fd))
+      mind = mind.crossJoin(centerEmb(fid))
+        .select($"vec_id", $"embedding",
+          least($"d", fullDist($"embedding", $"c_emb")).as("d"))
+        .localCheckpoint()
+    }
+    selected.toDF("sel_order", "vec_id", "radius")
+      .select($"sel_order", $"vec_id", round($"radius", 6).as("radius"))
+      .orderBy($"sel_order")
+  }
+
+  /** Oracle: the same greedy path unrolled — k−1 explicit
+    * (distance-update, argmax) steps, each a CTE pair. */
+  def q230Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c1 AS (
+          SELECT vec_id, embedding FROM e
+          WHERE vec_id = (SELECT min(vec_id) FROM e)),
+        d1 AS (
+          SELECT e.vec_id, e.embedding,
+            ${fullDistSql("e.embedding", "c1.embedding")} AS d
+          FROM e CROSS JOIN c1)"""
+    for (i <- 2 to KCenterK) {
+      sb ++= s""",
+        p$i AS (SELECT vec_id, d FROM d${i - 1}
+                ORDER BY d DESC, vec_id LIMIT 1),
+        c$i AS (SELECT e.vec_id, e.embedding, p$i.d
+                FROM e JOIN p$i USING (vec_id))"""
+      if (i < KCenterK) sb ++= s""",
+        d$i AS (
+          SELECT p.vec_id, p.embedding,
+            least(p.d, ${fullDistSql("p.embedding", s"c$i.embedding")}) AS d
+          FROM d${i - 1} p CROSS JOIN c$i)"""
+    }
+    sb ++= s"""
+        SELECT CAST(1 AS BIGINT) AS sel_order, vec_id, 0.0 AS radius FROM c1"""
+    for (i <- 2 to KCenterK) sb ++= s"""
+        UNION ALL SELECT CAST($i AS BIGINT), vec_id, round(d, 6) FROM c$i"""
+    sb ++= "\n        ORDER BY sel_order"
+    sb.toString
+  }
+
+  /** Prefix lengths audited by the truncation recall study. */
+  private val TruncDims = Seq(8, 16, 32)
+
+  /** [[dotSql]] over only the first `n` elements. */
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** q232 — matryoshka truncation audit: recall@10 of cosine ranking
+    * over the FIRST d dimensions (d ∈ 8/16/32) against the full 64-dim
+    * exact top-10, per query. This is the dimension-adaptive-retrieval
+    * question (matryoshka representation learning serves truncated
+    * prefixes to cut index cost 2–8×): the table says how many true
+    * neighbors each prefix length keeps, i.e. which truncation a
+    * retrieval tier can run before re-ranking with full vectors.
+    *
+    * Scale posture: ONE broadcast-queries × corpus pair scan produces
+    * all three prefix scores (the per-dim fold reads a slice of the
+    * already-materialized pair — no extra scan, no shuffle beyond the
+    * per-(dim, query) top-k); everything downstream is |dims × queries|
+    * sized. The full-dim ranking is q24's baseline, reused as the
+    * denominator. */
+  def q232TruncationRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val pairs = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+    val wFull = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    val fullTop = pairs
+      .select($"query_id", $"vec_id",
+        (dot($"embedding", $"q_emb")
+          / sqrt(dot($"embedding", $"embedding")
+            * dot($"q_emb", $"q_emb"))).as("cos"))
+      .withColumn("rk", row_number().over(wFull)).filter($"rk" <= 10)
+      .select($"query_id", $"vec_id")
+    val truncated = pairs
+      .withColumn("trunc_dim", explode(typedlit(TruncDims)))
+      .select($"trunc_dim", $"query_id", $"vec_id",
+        (dot(slice($"embedding", lit(1), $"trunc_dim"),
+             slice($"q_emb", lit(1), $"trunc_dim"))
+          / sqrt(dot(slice($"embedding", lit(1), $"trunc_dim"),
+                     slice($"embedding", lit(1), $"trunc_dim"))
+               * dot(slice($"q_emb", lit(1), $"trunc_dim"),
+                     slice($"q_emb", lit(1), $"trunc_dim")))).as("cos"))
+    val wT = Window.partitionBy($"trunc_dim", $"query_id")
+      .orderBy($"cos".desc, $"vec_id")
+    val truncTop = truncated
+      .withColumn("rk", row_number().over(wT)).filter($"rk" <= 10)
+      .select($"trunc_dim", $"query_id", $"vec_id")
+    val hits = truncTop.join(fullTop, Seq("query_id", "vec_id"))
+      .groupBy($"trunc_dim", $"query_id")
+      .agg(count(lit(1)).as("hits"))
+    queries.select($"query_id")
+      .crossJoin(broadcast(
+        TruncDims.toDF("trunc_dim").select($"trunc_dim")))
+      .join(hits, Seq("trunc_dim", "query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select($"trunc_dim".cast("long").as("trunc_dim"), $"query_id",
+        $"hits", round($"hits".cast("double") / 10.0, 6).as("recall"))
+      .orderBy($"trunc_dim", $"query_id")
+  }
+
+  def q232Sql: String = {
+    val perDim = TruncDims.map { d =>
+      s"""t$d AS (
+          SELECT $d AS trunc_dim, query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                ${dotSqlN("e.embedding", "q.q_emb", d)}
+                  / sqrt(${dotSqlN("e.embedding", "e.embedding", d)}
+                       * ${dotSqlN("q.q_emb", "q.q_emb", d)}) DESC,
+                e.vec_id) AS rk
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+          WHERE rk <= 10)"""
+    }.mkString(",\n        ")
+    val unionT = TruncDims.map(d => s"SELECT * FROM t$d").mkString("\n          UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id % 100 = 0),
+        fulltop AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                ${cosineSql("e.embedding", "q.q_emb")} DESC, e.vec_id) AS rk
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+          WHERE rk <= 10),
+        $perDim,
+        alltrunc AS (
+          $unionT),
+        h AS (
+          SELECT t.trunc_dim, t.query_id, CAST(count(*) AS BIGINT) AS hits
+          FROM alltrunc t JOIN fulltop f USING (query_id, vec_id)
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT d.trunc_dim, q.query_id
+          FROM q CROSS JOIN (VALUES ${TruncDims.map(d => s"($d)").mkString(",")}) d(trunc_dim))
+        SELECT CAST(g.trunc_dim AS BIGINT) AS trunc_dim, g.query_id,
+          CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+          round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 10.0, 6) AS recall
+        FROM grid g LEFT JOIN h USING (trunc_dim, query_id)
+        ORDER BY trunc_dim, query_id"""
+  }
 }

@@ -163,4 +163,58 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("q229 IVF-PQ audit: recall in [0,1], candidate counts bounded by the corpus") {
+    val rows = graft.engine.Similarity.q229IvfPq(spark, sf).collect()
+    val n = graft.engine.Tables.embeddings(spark, sf).count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val recall = r.getAs[Double]("recall")
+      val hits = r.getAs[Long]("hits")
+      val cand = r.getAs[Long]("n_cand")
+      assert(recall >= 0.0 && recall <= 1.0 && hits <= 10)
+      // nprobe=1: a query scans one cell, never the corpus
+      assert(cand < n, s"cell candidate set must be a strict corpus subset: $r")
+    }
+  }
+
+  test("q230 k-center: selection radii are non-increasing (the greedy invariant)") {
+    val rows = graft.engine.Similarity.q230KCenterCoreset(spark, sf)
+      .collect().sortBy(_.getAs[Long]("sel_order"))
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5,
+      "centers must be distinct")
+    // radius at selection i bounds radius at i+1: each pick covers the
+    // previously-farthest point
+    val radii = rows.drop(1).map(_.getAs[Double]("radius"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"greedy radii must be non-increasing: ${radii.toSeq}")
+  }
+
+  test("q231 incremental assignment: new-cluster flag iff zero index matches, canonicals live in the index") {
+    val rows = graft.engine.Dedup.q231IncrementalAssign(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val opened = r.getAs[Long]("opened_cluster")
+      val matches = r.getAs[Long]("n_index_matches")
+      val doc = r.getAs[Long]("doc_id")
+      val canon = r.getAs[Long]("canonical")
+      assert((opened == 1L) == (matches == 0L), s"flag/match mismatch: $r")
+      if (opened == 1L) assert(canon == doc)
+      else assert(canon % 10 != 7,
+        s"assigned canonical must be an INDEX doc, got batch doc: $r")
+    }
+  }
+
+  test("q232 truncation recall: full-dim prefix would be perfect; wider prefixes no worse on average") {
+    val rows = graft.engine.Similarity.q232TruncationRecall(spark, sf).collect()
+    val byDim = rows.groupBy(_.getAs[Long]("trunc_dim"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("hits")).sum }
+    assert(byDim.keySet == Set(8L, 16L, 32L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") <= 10)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
 }
