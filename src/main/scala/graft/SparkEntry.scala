@@ -241,6 +241,7 @@ object SparkEntry {
     "q230_kcenter_coreset" -> Similarity.q230KCenterCoreset _,
     "q231_incremental_assign" -> Dedup.q231IncrementalAssign _,
     "q232_truncation_recall" -> Similarity.q232TruncationRecall _,
+    "q233_stream_topk"     -> graft.streaming.Streaming.q233StreamTopK _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -278,7 +279,7 @@ object SparkEntry {
     "q195_stream_outer_disorder", "q199_stream_full_outer_disorder",
     "q205_restart_replay", "q206_join_then_window", "q207_dynamic_gap",
     "q208_stream_asof", "q225_window_rollup", "q226_state_introspect",
-    "q227_stream_sketch", "q228_stream_dead_letter")
+    "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -714,6 +715,7 @@ object SparkEntry {
     "q230_kcenter_coreset" -> Similarity.q230Sql,
     "q231_incremental_assign" -> Dedup.q231Sql,
     "q232_truncation_recall" -> Similarity.q232Sql,
+    "q233_stream_topk"     -> graft.streaming.Streaming.q233Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

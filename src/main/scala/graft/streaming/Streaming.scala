@@ -1526,6 +1526,59 @@ object Streaming {
         .orderBy($"event_type"))
   }
 
+  /** q233 — STREAMING TOP-K under state: the bounded TopK Aggregator
+    * (q38's map-side-truncating custom aggregate) maintained per
+    * event_type across the 4-chunk disordered replay in complete mode
+    * — the live leaderboard. Each micro-batch the state store holds
+    * ONE k-row buffer per type (not the rows seen); merge is the total
+    * order (value desc, event_id asc), so partial buffers commute
+    * across batches and the drained stream result equals the batch
+    * top-k EXACTLY — which is what the oracle checks (same discipline
+    * as q227: the state is an exactly-mergeable summary, so streaming
+    * adds no approximation). Complete-mode output is k·|types| rows —
+    * the memory sink is the bounded-result contract here, not a
+    * row-scale funnel.
+    *
+    * Scale posture: state per (type) is k structs; each batch ships at
+    * most k rows per type per map task to the store — the streaming
+    * twin of the q38 shuffle argument. */
+  def q233StreamTopK(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = disorderedChunks(spark, sfDir)
+    val agg = spark.readStream
+      .schema(eventsNormSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .groupBy($"event_type")
+      .agg(graft.functions.TopKAggregator.top_k(5)($"value", $"event_id")
+        .as("top"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_topk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.engine.TempIo.materialize(spark,
+      spark.table("stream_topk")
+        .select($"event_type", posexplode($"top").as(Seq("pos", "s")))
+        .select($"event_type", ($"pos" + 1).cast("long").as("rank"),
+          $"s.id".as("event_id"), $"s.score".as("value"))
+        .orderBy($"event_type", $"rank"))
+  }
+
+  /** Batch top-5 per type by (value desc, event_id asc) — equal to the
+    * streamed result because the buffer merge is the same total order. */
+  def q233Sql: String =
+    """SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, value
+       FROM (
+         SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id) AS rn
+         FROM events)
+       WHERE rn <= 5 ORDER BY event_type, rank"""
+
   /** q127's oracle recipe (identical md5-hash KMV arithmetic), minus
     * the exact column — stream == batch because the merge is exact. */
   def q227Sql: String =

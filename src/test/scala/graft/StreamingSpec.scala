@@ -449,6 +449,34 @@ class StreamingSpec extends SparkTestBase {
       "the sketch maintained across batches must equal the single-pass sketch")
   }
 
+  test("q233 top-k buffer state survives micro-batch boundaries: stream == batch top-k") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = graft.streaming.Streaming.disorderedChunks(spark, sf)
+    val agg = spark.readStream
+      .schema(graft.streaming.Streaming.eventsNormSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .groupBy($"event_type")
+      .agg(graft.functions.TopKAggregator.top_k(5)($"value", $"event_id").as("top"))
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName("topk_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4,
+      s"the chunked source must drive >=4 data batches, saw $dataBatches")
+    val streamed = spark.table("topk_spec")
+      .select($"event_type", $"top").collect()
+      .map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    val batch = graft.engine.Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(graft.functions.TopKAggregator.top_k(5)($"value", $"event_id").as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    assert(streamed == batch,
+      "the k-row buffer maintained across batches must equal the single-pass top-k")
+  }
+
   test("S4 graceful absence: present hour reads, missing hour falls back, neither is None") {
     import graft.streaming.Streaming
     val out = Files.createTempDirectory("graft-s4-").toString
