@@ -242,6 +242,8 @@ object SparkEntry {
     "q231_incremental_assign" -> Dedup.q231IncrementalAssign _,
     "q232_truncation_recall" -> Similarity.q232TruncationRecall _,
     "q233_stream_topk"     -> graft.streaming.Streaming.q233StreamTopK _,
+    "q234_retention_policy" -> Dedup.q234RetentionPolicy _,
+    "q235_ivf_balance"     -> Similarity.q235IvfBalance _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -716,6 +718,8 @@ object SparkEntry {
     "q231_incremental_assign" -> Dedup.q231Sql,
     "q232_truncation_recall" -> Similarity.q232Sql,
     "q233_stream_topk"     -> graft.streaming.Streaming.q233Sql,
+    "q234_retention_policy" -> Dedup.q234Sql,
+    "q235_ivf_balance"     -> Similarity.q235Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

@@ -897,6 +897,77 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q234 — QUALITY-AWARE retention policy: which copy of a near-dup
+    * cluster to KEEP. q67/q130 keep the min doc_id (stable but
+    * arbitrary); a production pipeline keeps the best-quality member.
+    * For every multi-member cluster this emits both keepers side by
+    * side with their quality scores and the per-cluster quality gain
+    * of choosing by quality — the table that justifies (or kills) the
+    * policy switch. Argmax is deterministic: quality rides as an exact
+    * 6-dp integer (the decimal-cast discipline of [[Exact.cents]]) in
+    * a composite (quality, −doc_id) scalar key, so float ties cannot
+    * diverge engines.
+    *
+    * Scale: scoring is one map over cluster members only (clusters
+    * come from the cached band index via q67's propagation); both
+    * argmaxes are ONE map-side-combining aggregate over |members|
+    * rows. */
+  def q234RetentionPolicy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labels = q67DedupClusters(spark, sfDir)
+    val quality = Tables.documents(spark, sfDir)
+      .select($"doc_id", TextFunctions.qualityScore($"text").as("q"))
+    val scored = labels.join(quality, $"doc" === $"doc_id")
+      .select($"canonical".as("cluster"), $"doc", $"q",
+        ($"q".cast("decimal(10,6)") * 1000000).cast("long").as("qi"))
+    val picked = scored.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max_by($"doc", $"qi" * 100000000L - $"doc").as("keep_quality"),
+        max_by($"q", $"qi" * 100000000L - $"doc").as("q_quality"),
+        min($"doc").as("keep_minid"))
+      .filter($"n_members" >= 2)
+    val qMin = scored
+      .select($"cluster", $"doc".as("keep_minid"), $"q".as("q_minid"))
+    picked.join(qMin, Seq("cluster", "keep_minid"))
+      .select($"cluster", $"n_members", $"keep_quality", $"q_quality",
+        $"keep_minid", $"q_minid",
+        round($"q_quality" - $"q_minid", 6).as("q_gain"))
+      .orderBy($"cluster")
+  }
+
+  def q234Sql: String = {
+    val qs = TextFunctions.qualityScoreSql("text")
+    s"""WITH RECURSIVE $bandCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT a AS doc, min(b) AS canonical FROM reach GROUP BY a),
+        quality AS (
+          SELECT doc_id, $qs AS q FROM documents),
+        scored AS (
+          SELECT l.canonical AS cluster, l.doc, qu.q,
+            CAST(CAST(qu.q AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS qi
+          FROM labels l JOIN quality qu ON qu.doc_id = l.doc),
+        picked AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+            max_by(doc, qi * 100000000 - doc) AS keep_quality,
+            max_by(q, qi * 100000000 - doc) AS q_quality,
+            min(doc) AS keep_minid
+          FROM scored GROUP BY cluster HAVING count(*) >= 2)
+        SELECT p.cluster, p.n_members, p.keep_quality, p.q_quality,
+          p.keep_minid, s.q AS q_minid,
+          round(p.q_quality - s.q, 6) AS q_gain
+        FROM picked p
+        JOIN scored s ON s.cluster = p.cluster AND s.doc = p.keep_minid
+        ORDER BY p.cluster"""
+  }
+
   def q231Sql: String = {
     val sh = shinglesSql("text")
     s"""WITH RECURSIVE

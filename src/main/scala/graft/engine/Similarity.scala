@@ -798,6 +798,79 @@ object Similarity {
     sb.toString
   }
 
+  /** q235 — IVF index health audit: per centroid cell, how many
+    * vectors natively carry the cell's label vs how many the nearest-
+    * centroid assignment actually routes there, the cell's share of
+    * the corpus, and its imbalance factor (share × #cells — 1.0 is
+    * perfectly balanced). Empty or bloated cells are precisely what
+    * degrades q229's nprobe=1 recall and wrecks probe-cost uniformity,
+    * so this table is read BEFORE trusting the recall table: a cold
+    * cell means its members were captured by a neighboring centroid
+    * (label ≠ assignment migration). Share/imbalance are exact int
+    * ratios in one IEEE division each.
+    *
+    * Scale: assignment is q73's broadcast-codebook map; everything
+    * downstream is |cells|-sized aggregates. */
+  def q235IvfBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val byLabel = emb.groupBy($"label".cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_label"))
+    val assigned = ivfAssigned(spark, sfDir)
+      .groupBy($"cell").agg(count(lit(1)).as("n_assigned"))
+    val tot = emb.agg(count(lit(1)).as("n_total"),
+      countDistinct($"label").as("n_cells"))
+    byLabel.join(assigned, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_assigned"))
+      .crossJoin(broadcast(tot))
+      .select($"cell", $"n_label", $"n_assigned",
+        round($"n_assigned".cast("double") / $"n_total".cast("double"), 6)
+          .as("share"),
+        round($"n_assigned".cast("double") * $"n_cells".cast("double")
+          / $"n_total".cast("double"), 6).as("imbalance"))
+      .orderBy($"cell")
+  }
+
+  def q235Sql: String =
+    s"""WITH $centroidCtes,
+        e AS (
+          SELECT vec_id, embedding, label,
+            ${dotSql("embedding", "embedding")} AS norm2
+          FROM embeddings),
+        scoredcells AS (
+          SELECT e.vec_id, cent.cell,
+            ${dotSql("e.embedding", "cent.c")}
+              / sqrt(e.norm2 * ${dotSql("cent.c", "cent.c")}) AS score
+          FROM e CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cell) AS rn
+            FROM scoredcells) WHERE rn = 1),
+        bylabel AS (
+          SELECT CAST(label AS BIGINT) AS cell,
+            CAST(count(*) AS BIGINT) AS n_label
+          FROM embeddings GROUP BY 1),
+        byassign AS (
+          SELECT CAST(cell AS BIGINT) AS cell,
+            CAST(count(*) AS BIGINT) AS n_assigned
+          FROM assigned GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total,
+            CAST(count(DISTINCT label) AS BIGINT) AS n_cells
+          FROM embeddings)
+        SELECT l.cell, l.n_label,
+          CAST(coalesce(a.n_assigned, 0) AS BIGINT) AS n_assigned,
+          round(CAST(coalesce(a.n_assigned, 0) AS DOUBLE)
+            / CAST(t.n_total AS DOUBLE), 6) AS share,
+          round(CAST(coalesce(a.n_assigned, 0) AS DOUBLE)
+            * CAST(t.n_cells AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+            AS imbalance
+        FROM bylabel l
+        LEFT JOIN byassign a USING (cell)
+        CROSS JOIN tot t
+        ORDER BY l.cell"""
+
   /** Prefix lengths audited by the truncation recall study. */
   private val TruncDims = Seq(8, 16, 32)
 
