@@ -389,16 +389,14 @@ object Similarity {
   private val PqK = 16   // codewords per subspace
   private val PqSub = Dim / PqM
 
-  /** Squared L2 between the `m`-th 8-dim slices of two vectors —
-    * sequential left fold over double-cast elements (`m` 0-based,
-    * dynamic column so one broadcast frame serves all subspaces). */
+  /** Squared L2 between the `m`-th 8-dim slices of two vectors (`m`
+    * 0-based, dynamic column so one broadcast frame serves all
+    * subspaces) — the codegen'd native expression over the slices
+    * (bit-identical to the HOF fold; see [[l2Hof]]). */
   private def subDist(a: Column, b: Column, m: Column): Column =
-    aggregate(
-      zip_with(slice(a, m * PqSub + 1, lit(PqSub)),
-               slice(b, m * PqSub + 1, lit(PqSub)),
-        (x, y) => (x.cast("double") - y.cast("double")) *
-                  (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.l2_distance_sq(
+      slice(a, m * PqSub + 1, lit(PqSub)),
+      slice(b, m * PqSub + 1, lit(PqSub)))
 
   /** SQL twin of [[subDist]] (same element order, same fold; the
     * list_reduce seed-by-first-element equals Spark's 0.0 seed because
@@ -410,8 +408,15 @@ object Similarity {
         (x, y) -> x + y)"""
 
   /** Squared L2 over the full 64 dims — the exact distance the ADC
-    * estimate is reported against. */
+    * estimate is reported against (codegen'd; bit-identical to
+    * [[l2Hof]]). */
   private def fullDist(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.l2_distance_sq(a, b)
+
+  /** HOF reference formulation of squared L2 (interpreted) — the
+    * executable spec the native expression is asserted bit-identical
+    * against, mirroring [[dotHof]]. */
+  def l2Hof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
                                (x.cast("double") - y.cast("double"))),

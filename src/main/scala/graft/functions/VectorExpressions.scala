@@ -105,6 +105,88 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Squared L2 distance Σ(aᵢ−bᵢ)² over array<float|double> (double
+    * accumulator, sequential — the subtract-square-accumulate per
+    * element happens in exactly the order the HOF formulation and the
+    * oracle's list_reduce perform it, so the swap is bit-invisible).
+    * Same null contract as [[DotProduct]]: ragged lengths or a null
+    * element → NULL. */
+  case class L2DistanceSq(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"l2_distance_sq expects array<float|double>, got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+    private lazy val leftIsFloat = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    private lazy val rightIsFloat = right.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        val d = xv - yv
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val getL = if (leftIsFloat) "getFloat" else "getDouble"
+      val getR = if (rightIsFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    double $d = ((double) $a.$getL($i)) - ((double) $b.$getR($i));
+           |    $acc += $d * $d;
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): L2DistanceSq =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** |a ∩ b| for two SORTED string arrays (caller contract: both sides
     * produced by `sort_array` — Spark's binary UTF8String order — with
     * distinct elements, e.g. `sort_array(collect_set(...))`).
@@ -183,6 +265,10 @@ object VectorExpressions {
   /** Column API: codegen'd dot product. */
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  /** Column API: codegen'd squared L2 distance. */
+  def l2_distance_sq(a: Column, b: Column): Column =
+    ColumnBridge.column(L2DistanceSq(ColumnBridge.expr(a), ColumnBridge.expr(b)))
 
   /** Column API: merge-count of two sorted distinct string arrays. */
   def sorted_intersect_count(a: Column, b: Column): Column =

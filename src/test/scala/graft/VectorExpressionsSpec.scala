@@ -23,6 +23,36 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("codegen l2_distance_sq is bit-identical to the HOF fold, whole and sliced") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = emb.as("a").join(emb.as("b"), $"a.vec_id" + 1 === $"b.vec_id")
+      .select(
+        VectorExpressions.l2_distance_sq($"a.embedding", $"b.embedding").as("native"),
+        Similarity.l2Hof($"a.embedding", $"b.embedding").as("hof"),
+        VectorExpressions.l2_distance_sq(
+          slice($"a.embedding", 9, 8), slice($"b.embedding", 9, 8)).as("nslice"),
+        Similarity.l2Hof(
+          slice($"a.embedding", 9, 8), slice($"b.embedding", 9, 8)).as("hslice"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("l2_distance_sq is NULL on ragged lengths, like the HOF's zip_with padding") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f, 2.0f, 5.0f), Seq(3.0f, 4.0f)))
+      .toDF("a", "b")
+    val got = df.select(VectorExpressions.l2_distance_sq($"a", $"b").as("d"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got(0).contains(8.0) && got(1).isEmpty)
+  }
+
   test("dot_product rejects non-array inputs at analysis") {
     val err = intercept[Exception] {
       Tables.documents(spark, sf)
