@@ -75,7 +75,7 @@ object Streaming {
   /** File-source stream over the events table, `ts` ALREADY normalized
     * to TimestampType — downstream queries never see the physical
     * encoding. */
-  private[streaming] def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     graft.engine.Tables.ensureNanosAsLong(spark)
     // The file source requires a directory; pathGlobFilter pins it to
     // the events table within the sfDir.
@@ -970,7 +970,7 @@ object Streaming {
     * the returned plan and is reclaimed by [[TempIo.deleteAtExit]].
     * The explicit read schema covers the zero-output edge (an empty
     * sink has no footer to infer from). */
-  private def drainToFileSink(spark: SparkSession, df: DataFrame): DataFrame = {
+  private[graft] def drainToFileSink(spark: SparkSession, df: DataFrame): DataFrame = {
     val sink = TempIo.createTempDir("graft-ssink-")
     val ckpt = TempIo.createTempDir("graft-ssink-ckpt-")
     val q = df.writeStream

@@ -477,6 +477,18 @@ class StreamingSpec extends SparkTestBase {
       "the k-row buffer maintained across batches must equal the single-pass top-k")
   }
 
+  test("drainToFileSink zero-output edge: empty stream reads back empty WITH schema") {
+    // a stream whose every row is filtered out writes no parquet file at
+    // all — the explicit read schema is what keeps the read-back legal
+    val none = graft.streaming.Streaming
+      .readEventsStream(spark, sf)
+      .filter($"event_type" === "no_such_type")
+    val back = graft.streaming.Streaming.drainToFileSink(spark, none)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.contains("event_type"),
+      "the empty read-back must still carry the stream's schema")
+  }
+
   test("S4 graceful absence: present hour reads, missing hour falls back, neither is None") {
     import graft.streaming.Streaming
     val out = Files.createTempDirectory("graft-s4-").toString
