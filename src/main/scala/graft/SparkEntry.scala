@@ -244,6 +244,7 @@ object SparkEntry {
     "q233_stream_topk"     -> graft.streaming.Streaming.q233StreamTopK _,
     "q234_retention_policy" -> Dedup.q234RetentionPolicy _,
     "q235_ivf_balance"     -> Similarity.q235IvfBalance _,
+    "q236_bitmap_setops"   -> Relational24.q236BitmapSetops _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -720,6 +721,7 @@ object SparkEntry {
     "q233_stream_topk"     -> graft.streaming.Streaming.q233Sql,
     "q234_retention_policy" -> Dedup.q234Sql,
     "q235_ivf_balance"     -> Similarity.q235Sql,
+    "q236_bitmap_setops"   -> Relational24.q236Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

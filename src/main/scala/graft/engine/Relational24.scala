@@ -287,4 +287,60 @@ object Relational24 {
             AS BIGINT) AS est_direct
         FROM cnt LEFT JOIN kth USING (event_type)
         ORDER BY event_type"""
+
+  /** Bitmap capacity for q236 — user ids are dense from 0 (fixture
+    * contract); 16384 bits = 256 words = 2 KiB per group covers every
+    * shipped SF with an order of magnitude of headroom, and overflow
+    * fails loudly by the aggregate's contract. */
+  private val BitmapCapacity = 16384
+
+  /** q236 — EXACT set-operation cardinalities via presence bitmaps:
+    * |purchase users|, |error users|, their intersection, union, and
+    * Jaccard — the EXACT twin of q150's KMV-estimated versions of the
+    * same quantities. One pass builds a 2 KiB bitmap per event type
+    * (update = set bit, merge = word OR — order-free, map-side
+    * combining); the set algebra then runs on the aggregated words
+    * with NO second scan of events, which is the production reason
+    * bitmaps beat count(DISTINCT)-per-combination: k set expressions
+    * would otherwise each cost a distinct-shuffle over the corpus.
+    * Third member of the custom-aggregate tier (Aggregator = TopK,
+    * TypedImperativeAggregate sketch = KMV, exact bitmap = this). */
+  def q236BitmapSetops(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.BitmapAggregate._
+    val bm = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("purchase", "error"))
+      .groupBy($"event_type")
+      .agg(bitmapBits($"user_id", BitmapCapacity).as("bm"))
+    val p = bm.filter($"event_type" === "purchase").select($"bm".as("pbm"))
+    val e = bm.filter($"event_type" === "error").select($"bm".as("ebm"))
+    p.crossJoin(broadcast(e))
+      .select(
+        popCount($"pbm").as("n_purchase"),
+        popCount($"ebm").as("n_error"),
+        popCountAnd($"pbm", $"ebm").as("n_both"),
+        popCountOr($"pbm", $"ebm").as("n_either"))
+      .select($"n_purchase", $"n_error", $"n_both", $"n_either",
+        round($"n_both".cast("double") / $"n_either".cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** The bitmap is exact, so the oracle is plain distinct-set algebra. */
+  def q236Sql: String =
+    """WITH pu AS (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+       er AS (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+       b AS (SELECT count(*) AS n_both FROM
+               (SELECT user_id FROM pu INTERSECT SELECT user_id FROM er)),
+       u AS (SELECT count(*) AS n_either FROM
+               (SELECT user_id FROM pu UNION SELECT user_id FROM er))
+       SELECT
+         CAST((SELECT count(*) FROM pu) AS BIGINT) AS n_purchase,
+         CAST((SELECT count(*) FROM er) AS BIGINT) AS n_error,
+         CAST(b.n_both AS BIGINT) AS n_both,
+         CAST(u.n_either AS BIGINT) AS n_either,
+         round(CAST(b.n_both AS DOUBLE) / CAST(u.n_either AS DOUBLE), 6)
+           AS jaccard
+       FROM b CROSS JOIN u"""
 }

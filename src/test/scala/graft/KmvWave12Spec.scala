@@ -94,4 +94,35 @@ class KmvWave12Spec extends SparkTestBase {
     assert(r.head.getAs[Long]("max_id") == hi)
     assert(r.head.getAs[Boolean]("nonzero_size"))
   }
+
+  test("bitmap popcount equals count(DISTINCT) per group, at any parallelism") {
+    import graft.functions.BitmapAggregate._
+    val ev = Tables.events(spark, sf).select($"event_type", $"user_id")
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    for (parts <- Seq(1, 13)) {
+      val got = ev.repartition(parts)
+        .groupBy($"event_type")
+        .agg(popCount(bitmapBits($"user_id", 16384)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+      assert(got == exact,
+        s"bitmap must be exact and partitioning-independent at $parts parts")
+    }
+  }
+
+  test("bitmap set algebra: |A∩B| + |A∪B| = |A| + |B|, and out-of-range fails loudly") {
+    import graft.functions.BitmapAggregate._
+    val r = graft.engine.Relational24.q236BitmapSetops(spark, sf).head()
+    assert(r.getAs[Long]("n_both") + r.getAs[Long]("n_either") ==
+      r.getAs[Long]("n_purchase") + r.getAs[Long]("n_error"),
+      "inclusion-exclusion must hold exactly")
+    val err = intercept[Exception] {
+      Seq(99999L).toDF("k").agg(bitmapBits($"k", 64)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("dense domain")),
+      s"overflow must fail loudly, got: $err")
+  }
 }
