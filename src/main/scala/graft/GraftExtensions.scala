@@ -19,6 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   *  - `graft_bloom_agg(xxhash64(k), nItems)` → binary bloom filter
   *  - `graft_bloom_might_contain(bloom, xxhash64(k))` → boolean probe
   *  - `graft_kmv_distinct(hash, k)` → KMV distinct-count estimate
+  *  - `graft_l2_distance_sq(a, b)` → codegen squared L2 over vectors
+  *  - `graft_bitmap_bits(key, capacity)` → exact presence bitmap words
   * (Spark ships the bloom expressions for its internal runtime filters
   * but leaves them unregistered; the Column-API twins live in
   * [[graft.functions.BloomFunctions]] / [[graft.functions.KmvAggregate]].)
@@ -69,6 +71,27 @@ object GraftExtensions {
             k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "graft_kmv_distinct expects (hash, k-literal)")
+      }),
+    (FunctionIdentifier("graft_l2_distance_sq"),
+      info("graft_l2_distance_sq",
+        "graft_l2_distance_sq(a, b) - codegen squared L2 distance over " +
+          "array<float|double>; sequential fold, NULL on ragged/null input"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.VectorExpressions.L2DistanceSq(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_l2_distance_sq expects (a, b)")
+      }),
+    (FunctionIdentifier("graft_bitmap_bits"),
+      info("graft_bitmap_bits",
+        "graft_bitmap_bits(key, capacityBits) - exact presence bitmap " +
+          "(array<bigint> words) over a dense BIGINT key in [0, capacityBits); " +
+          "out-of-domain keys fail loudly"),
+      (args: Seq[Expression]) => args match {
+        case Seq(key, cap) if cap.foldable =>
+          graft.functions.BitmapBits(key,
+            cap.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_bitmap_bits expects (key, capacity-literal)")
       }))
 
   /** Register on a live session (idempotent — re-registration of the

@@ -245,6 +245,7 @@ object SparkEntry {
     "q234_retention_policy" -> Dedup.q234RetentionPolicy _,
     "q235_ivf_balance"     -> Similarity.q235IvfBalance _,
     "q236_bitmap_setops"   -> Relational24.q236BitmapSetops _,
+    "q237_stream_bitmap"   -> graft.streaming.Streaming.q237StreamBitmap _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -282,7 +283,8 @@ object SparkEntry {
     "q195_stream_outer_disorder", "q199_stream_full_outer_disorder",
     "q205_restart_replay", "q206_join_then_window", "q207_dynamic_gap",
     "q208_stream_asof", "q225_window_rollup", "q226_state_introspect",
-    "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk")
+    "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk",
+    "q237_stream_bitmap")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -722,6 +724,7 @@ object SparkEntry {
     "q234_retention_policy" -> Dedup.q234Sql,
     "q235_ivf_balance"     -> Similarity.q235Sql,
     "q236_bitmap_setops"   -> Relational24.q236Sql,
+    "q237_stream_bitmap"   -> graft.streaming.Streaming.q237Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

@@ -1579,6 +1579,54 @@ object Streaming {
          FROM events)
        WHERE rn <= 5 ORDER BY event_type, rank"""
 
+  /** q237 — STREAMING EXACT BITMAP: q236's presence bitmaps maintained
+    * per event_type across the disordered 4-chunk replay in complete
+    * mode, set algebra applied to the DRAINED words — completing the
+    * exactly-mergeable-state trio (KMV sketch q227, top-k buffer q233,
+    * exact bitmap here). The state store holds one 2 KiB word array
+    * per type; each micro-batch ORs the batch's bits in, and because
+    * word-OR is order/batching-independent the streamed set
+    * cardinalities are BIT-EQUAL to the batch ones — same oracle
+    * as q236, which is the point: delivery disorder cannot move an
+    * exact mergeable summary. */
+  def q237StreamBitmap(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    import graft.functions.BitmapAggregate._
+    val src = disorderedChunks(spark, sfDir)
+    val agg = spark.readStream
+      .schema(eventsNormSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .filter($"event_type".isin("purchase", "error"))
+      .groupBy($"event_type")
+      .agg(bitmapBits($"user_id", 16384).as("bm"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_bitmap")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val bm = graft.engine.TempIo.materialize(spark,
+      spark.table("stream_bitmap"))
+    val p = bm.filter($"event_type" === "purchase").select($"bm".as("pbm"))
+    val e = bm.filter($"event_type" === "error").select($"bm".as("ebm"))
+    p.crossJoin(broadcast(e))
+      .select(
+        popCount($"pbm").as("n_purchase"),
+        popCount($"ebm").as("n_error"),
+        popCountAnd($"pbm", $"ebm").as("n_both"),
+        popCountOr($"pbm", $"ebm").as("n_either"))
+      .select($"n_purchase", $"n_error", $"n_both", $"n_either",
+        round($"n_both".cast("double") / $"n_either".cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Identical to q236's oracle — the bitmap is exact and its merge is
+    * delivery-order-free, so streaming changes nothing. */
+  def q237Sql: String = graft.engine.Relational24.q236Sql
+
   /** q127's oracle recipe (identical md5-hash KMV arithmetic), minus
     * the exact column — stream == batch because the merge is exact. */
   def q227Sql: String =

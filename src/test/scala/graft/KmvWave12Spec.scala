@@ -83,6 +83,22 @@ class KmvWave12Spec extends SparkTestBase {
     assert(r == 3L, "below k, KMV degenerates to the exact distinct count")
   }
 
+  test("graft_l2_distance_sq and graft_bitmap_bits are SQL-callable through GraftExtensions") {
+    graft.GraftExtensions.install(spark)
+    val d = spark.sql(
+      """SELECT graft_l2_distance_sq(array(CAST(1.0 AS DOUBLE), 2.0),
+                                     array(CAST(3.0 AS DOUBLE), 4.0))""")
+      .as[Double].head()
+    assert(d == 8.0)
+    val n = spark.sql(
+      """SELECT aggregate(transform(bm, w -> CAST(bit_count(w) AS BIGINT)),
+                          CAST(0 AS BIGINT), (a, v) -> a + v)
+         FROM (SELECT graft_bitmap_bits(k, 128) AS bm FROM
+           (VALUES (CAST(1 AS BIGINT)), (65), (65), (127)) v(k))""")
+      .as[Long].head()
+    assert(n == 3L, "the SQL bitmap must count 3 distinct keys")
+  }
+
   test("q129 metadata audit matches the direct scan") {
     val r = Formats.q129FileMetadata(spark, sf).collect()
     assert(r.length == 1 && r.head.getAs[String]("file_name") == "events.parquet")
