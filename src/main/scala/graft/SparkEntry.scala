@@ -246,6 +246,14 @@ object SparkEntry {
     "q235_ivf_balance"     -> Similarity.q235IvfBalance _,
     "q236_bitmap_setops"   -> Relational24.q236BitmapSetops _,
     "q237_stream_bitmap"   -> graft.streaming.Streaming.q237StreamBitmap _,
+    "q238_weighted_sample" -> Relational25.q238WeightedSample _,
+    "q239_containment_join" -> Dedup.q239ContainmentJoin _,
+    "q240_range_frame"     -> Relational25.q240RangeFrame _,
+    "q241_stream_ann_serve" -> Similarity.q241StreamAnnServe _,
+    "q242_pagerank"        -> Relational25.q242PageRank _,
+    "q243_unigram_surprise" -> TextQueries.q243UnigramSurprise _,
+    "q244_systematic_resample" -> TextQueries.q244SystematicResample _,
+    "q245_schema_evolution" -> Formats.q245SchemaEvolution _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -284,7 +292,7 @@ object SparkEntry {
     "q205_restart_replay", "q206_join_then_window", "q207_dynamic_gap",
     "q208_stream_asof", "q225_window_rollup", "q226_state_introspect",
     "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk",
-    "q237_stream_bitmap")
+    "q237_stream_bitmap", "q241_stream_ann_serve")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -725,6 +733,14 @@ object SparkEntry {
     "q235_ivf_balance"     -> Similarity.q235Sql,
     "q236_bitmap_setops"   -> Relational24.q236Sql,
     "q237_stream_bitmap"   -> graft.streaming.Streaming.q237Sql,
+    "q238_weighted_sample" -> Relational25.q238Sql,
+    "q239_containment_join" -> Dedup.q239Sql,
+    "q240_range_frame"     -> Relational25.q240Sql,
+    "q241_stream_ann_serve" -> Similarity.q241Sql,
+    "q242_pagerank"        -> Relational25.q242Sql,
+    "q243_unigram_surprise" -> TextQueries.q243Sql,
+    "q244_systematic_resample" -> TextQueries.q244Sql,
+    "q245_schema_evolution" -> Formats.q245Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

@@ -1029,4 +1029,82 @@ object Dedup {
         WHERE $NewDocPred
         ORDER BY d.doc_id"""
   }
+
+  val Q239ProbeMod = 101
+  val Q239PassageLen = 5
+
+  /** q239 — containment (superset) search: each PROBE passage — the
+    * first [[Q239PassageLen]] word-3-gram shingles of every
+    * doc_id % [[Q239ProbeMod]] == 0 document — is matched against every
+    * corpus document whose shingle set CONTAINS the whole passage
+    * (containment |Q∩D| = |Q|, the quote-detection / verbatim-
+    * contamination primitive; Jaccard can be tiny when a short quote
+    * sits inside a long host, which is exactly why q21/q102 similarity
+    * thresholds cannot find it). Exact, via the containment form of the
+    * prefix-filter lemma: under ANY global token order, a superset of Q
+    * must contain Q's globally-RAREST element, so candidates are only
+    * the documents posting that one rarest shingle (rarest-first makes
+    * the posting list minimal) and verification is one codegen'd
+    * sorted-merge intersect per candidate. Each probe's own document
+    * always appears (self-containment) — the built-in sanity row.
+    *
+    * Scale: probes are a broadcast-small side; the candidate join is
+    * keyed by the rarest shingle against the (doc_id, shingle) posting
+    * frame (never all-pairs), and verification touches candidates
+    * only. The docSets broadcast carries q102's documented caveat:
+    * at corpus scale drop the hint and the fetch runs doc_id-keyed. */
+  def q239ContainmentJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = distinctShingles(spark, sfDir)
+    val freq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val probes = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % Q239ProbeMod === 0)
+      .select($"doc_id".as("probe_id"), TextFunctions.tokens($"text").as("toks"))
+      .select($"probe_id",
+        sort_array(array_distinct(
+          slice(shinglesOf($"toks"), 1, Q239PassageLen))).as("qset"))
+      .filter(size($"qset") > 0)
+      .withColumn("qsize", size($"qset").cast("long"))
+    val probeKeys = probes
+      .select($"probe_id", $"qsize", $"qset", explode($"qset").as("sh"))
+      .join(freq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"df", $"sh")))
+      .filter($"rk" === 1)
+      .select($"sh", $"probe_id", $"qsize", $"qset")
+    val cand = sh.join(broadcast(probeKeys), "sh")
+      .select($"probe_id", $"qsize", $"qset", $"doc_id")
+    val docSets = docShingleSets(spark, sh)
+    cand.join(broadcast(docSets), "doc_id")
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.sorted_intersect_count(
+          $"qset", $"set"))
+      .filter($"n_common" === $"qsize")
+      .select($"probe_id", $"doc_id", $"qsize")
+      .orderBy($"probe_id", $"doc_id")
+  }
+
+  /** Oracle = brute force: every (probe shingle, doc shingle) equality
+    * match, grouped, kept when the match count covers the passage —
+    * the rarest-element blocking must be result-invisible. */
+  def q239Sql: String =
+    s"""WITH s AS (
+          SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh
+          FROM documents),
+        q AS (
+          SELECT doc_id AS probe_id,
+            list_sort(list_distinct(
+              list_slice(${shinglesSql("text")}, 1, $Q239PassageLen))) AS qlist
+          FROM documents WHERE doc_id % $Q239ProbeMod = 0),
+        qx AS (
+          SELECT probe_id, len(qlist) AS qsize, unnest(qlist) AS sh
+          FROM q WHERE len(qlist) > 0),
+        hits AS (
+          SELECT qx.probe_id, s.doc_id, qx.qsize, count(*) AS n_common
+          FROM qx JOIN s ON qx.sh = s.sh
+          GROUP BY 1, 2, 3)
+        SELECT probe_id, doc_id, CAST(qsize AS BIGINT) AS qsize
+        FROM hits WHERE n_common = qsize
+        ORDER BY probe_id, doc_id"""
 }

@@ -259,4 +259,57 @@ object Formats {
        FROM events CROSS JOIN d
        GROUP BY strftime(ts, '%Y-%m-%d'), day
        ORDER BY date"""
+
+  /** q245 — SCHEMA EVOLUTION on read (`mergeSchema`): half the corpus
+    * lands as v1 files (event_id, event_type, value), the other half as
+    * v2 files carrying an added `hv` column — the column-added-mid-
+    * -stream shape every long-lived dataset accumulates. One
+    * `mergeSchema=true` read unifies the directory: v2 rows carry hv,
+    * v1 rows backfill NULL (schema-on-read null semantics, never a
+    * default). The audit reports, per event type, total rows, rows that
+    * carry the new column, and its sum — proving old files keep
+    * reading and new-column aggregates skip the nulls.
+    *
+    * Scale: mergeSchema reconciles footers across ALL files at plan
+    * time — fine for a roundtrip check, a metadata storm at a million
+    * files; production pins the evolved schema in a metastore/Delta log
+    * and hands it to the reader (`.schema(...)`), which this read path
+    * degrades to verbatim. The write is the real cost here and stays
+    * proportional to the slice. */
+  def q245SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = TempIo.createTempDir("graft-evolve-")
+    try {
+      val ev = Tables.events(spark, sfDir)
+      ev.filter($"event_id" % 2 === 0)
+        .select($"event_id", $"event_type", $"value")
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      ev.filter($"event_id" % 2 === 1)
+        .select($"event_id", $"event_type", $"value",
+          ($"user_id" % 16).as("hv"))
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/v1", s"$dir/v2")
+      TempIo.materialize(spark,
+        merged.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_total"),
+            count($"hv").as("n_with_hv"),
+            coalesce(sum($"hv"), lit(0L)).as("sum_hv"),
+            Exact.sumExact($"value", 2).as("sum_value"))
+          .orderBy($"event_type"))
+    } finally TempIo.deleteRecursively(dir)
+  }
+
+  /** The merged read must equal computing the v2 column directly with
+    * v1 rows masked to NULL. */
+  def q245Sql: String =
+    """SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+           AS n_with_hv,
+         CAST(COALESCE(sum(CASE WHEN event_id % 2 = 1
+           THEN user_id % 16 END), 0) AS BIGINT) AS sum_hv,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0
+           AS sum_value
+       FROM events GROUP BY event_type ORDER BY event_type"""
 }

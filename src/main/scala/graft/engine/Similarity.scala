@@ -980,4 +980,123 @@ object Similarity {
         FROM grid g LEFT JOIN h USING (trunc_dim, query_id)
         ORDER BY trunc_dim, query_id"""
   }
+
+  val Q241QueryMod = 83
+  private val Q241Chunks = 3
+  private val Q241K = 10
+
+  /** q241 — STREAMING ANN serving: the q73 IVF index turned into the
+    * online inference pattern — a static cell-keyed index serves a
+    * STREAM of query vectors, micro-batch at a time, through
+    * `foreachBatch` (the reference's S6 sink verb applied to model
+    * serving). The corpus is assigned to IVF cells ONCE (batch, lineage-
+    * truncated); each arriving micro-batch of queries is cell-assigned
+    * against the broadcast codebook, joined to ITS cells' candidates,
+    * and its top-[[Q241K]] written to an epoch-keyed directory — the
+    * overwrite-by-epoch idempotence contract (q86/q228), so a replayed
+    * batch rewrites rather than duplicates. Because each query is fully
+    * served inside its own batch (no cross-batch state), the drained
+    * result provably equals the batch q73 plan over the same query set
+    * — which is exactly the oracle.
+    *
+    * Scale: the serving loop never rescans or reshuffles the corpus —
+    * per batch it moves |queries| LUT-small rows (broadcast) against
+    * the cell-bucketed index, the same posture FAISS serving tiers run;
+    * index refresh is a batch rebuild swapped in by path. Results land
+    * distributed in the sink (no driver materialization). */
+  def q241StreamAnnServe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val index = ivfAssigned(spark, sfDir).localCheckpoint()
+    val cent = centroidArrays(spark, sfDir)
+    val src = TempIo.createTempDir("graft-annserve-src-")
+    val ckpt = TempIo.createTempDir("graft-annserve-ckpt-")
+    val out = TempIo.createTempDir("graft-annserve-out-")
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" % Q241QueryMod === 0)
+    (1 to Q241Chunks).foreach { i =>
+      val dir = s"$src/stage$i"
+      queries.filter(pmod($"vec_id", lit(Q241Chunks)) === i - 1)
+        .coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/chunk$i.parquet"))
+      TempIo.deleteRecursively(dir)
+    }
+    val q = spark.readStream
+      .schema(queries.schema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val byCell = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("cell"))
+        val qc = batch
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+          .withColumn("q_norm2", dot(col("q_emb"), col("q_emb")))
+          .crossJoin(broadcast(cent))
+          .withColumn("score",
+            cosinePre(col("q_emb"), col("c"), col("q_norm2"), col("cnorm2")))
+          .withColumn("rn", row_number().over(byCell))
+          .filter(col("rn") === 1)
+          .select(col("cell"), col("query_id"), col("q_emb"), col("q_norm2"))
+        val topk = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        index.join(broadcast(qc), "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            cosinePre(col("q_emb"), col("embedding"),
+              col("q_norm2"), col("norm2")).as("cos"))
+          .withColumn("rank", row_number().over(topk))
+          .filter(col("rank") <= Q241K)
+          .select(col("query_id"), col("rank"), col("vec_id"),
+            round(col("cos"), 6).as("cos"))
+          .write.mode("overwrite").parquet(s"$out/epoch=$epochId")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TempIo.deleteRecursively(ckpt)
+    TempIo.deleteRecursively(src)
+    TempIo.deleteAtExit(out)
+    spark.read.parquet(out)
+      .select($"query_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The drained serve result equals batch IVF (q73's plan) over the
+    * streamed query subset — batching must be result-invisible. */
+  def q241Sql: String =
+    s"""WITH $centroidCtes,
+        e AS (
+          SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS norm2
+          FROM embeddings),
+        scoredcells AS (
+          SELECT e.vec_id, e.embedding, e.norm2, cent.cell,
+            ${dotSql("e.embedding", "cent.c")}
+              / sqrt(e.norm2 * ${dotSql("cent.c", "cent.c")}) AS score
+          FROM e CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, embedding, norm2, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cell) AS rn
+            FROM scoredcells) WHERE rn = 1),
+        q AS (
+          SELECT cell, vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+          FROM assigned WHERE vec_id % $Q241QueryMod = 0),
+        scored AS (
+          SELECT q.query_id, a.vec_id,
+            ${dotSql("q.q_emb", "a.embedding")} / sqrt(q.q_norm2 * a.norm2) AS cos
+          FROM assigned a JOIN q USING (cell)
+          WHERE a.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= $Q241K ORDER BY query_id, rank"""
 }

@@ -679,4 +679,132 @@ object TextQueries {
          round(log2(CAST(sum(c) AS DOUBLE))
            - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
        FROM counts GROUP BY doc_id ORDER BY doc_id"""
+
+  val Q243TopN = 20
+
+  /** q243 — corpus-LM surprise scoring (the CCNet-style language-model
+    * quality filter with a unigram LM standing in for the trained
+    * model): each document's mean per-token surprisal −(1/n)Σ ln p(t)
+    * under the corpus's own unigram distribution, reported for the
+    * [[Q243TopN]] most surprising documents. High scores flag
+    * out-of-distribution text (boilerplate explosions, wrong-language
+    * fragments, noise) — the curation signal that length/punct ratios
+    * (q17) and char entropy (q165) both miss because they never look
+    * at the corpus distribution.
+    *
+    * Determinism: p(t) = cnt/total is one exact-operand IEEE division,
+    * per-token surprisal rounds to the 10⁻⁶ grid and scales to BIGINT
+    * units immediately (the q238 ln discipline), and the per-doc mean
+    * is integer floor division — ranking never touches an unrounded
+    * float. Scale: token frequencies are one map-side-combined
+    * aggregate; the score join shuffles by TOKEN (the join key with
+    * combinable fan-in), the per-doc reduce shuffles by doc — both the
+    * natural keys; the 1-row total broadcasts; top-N is
+    * TakeOrderedAndProject. */
+  def q243UnigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      .filter($"tok" =!= "")
+    val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum($"cnt").as("n_total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("surp_units",
+        round(log($"n_total".cast("double") / $"cnt") * 1000000L).cast("long"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_toks"), sum($"surp_units").as("s"))
+      .select($"doc_id", $"lang", $"n_toks",
+        expr("s div n_toks").as("xent_units"))
+      .orderBy($"xent_units".desc, $"doc_id")
+      .limit(Q243TopN)
+  }
+
+  def q243Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, lang,
+            unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents),
+        tt AS (SELECT * FROM t WHERE tok <> ''),
+        f AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY 1),
+        n AS (SELECT sum(cnt) AS n_total FROM f),
+        s AS (
+          SELECT doc_id, lang,
+            CAST(round(ln(CAST(n_total AS DOUBLE) / cnt) * 1000000)
+              AS BIGINT) AS su
+          FROM tt JOIN f USING (tok) CROSS JOIN n),
+        d AS (
+          SELECT doc_id, lang, count(*) AS n_toks, sum(su) AS s
+          FROM s GROUP BY 1, 2)
+        SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+          CAST(s // n_toks AS BIGINT) AS xent_units
+        FROM d ORDER BY xent_units DESC, doc_id LIMIT $Q243TopN"""
+
+  val Q244Draws = 200L
+
+  /** q244 — token-proportional SYSTEMATIC resample (with replacement):
+    * [[Q244Draws]] evenly spaced positions along the cumulative token
+    * axis, each draw landing on the document whose token interval
+    * contains it — the zero-variance-stratification form of weighted
+    * sampling-with-replacement that epoch-mixing pipelines use to
+    * re-draw a corpus at length-proportional rates (its q238 sibling
+    * samples WITHOUT replacement). Every quantity is integer: draw j
+    * sits at floor((2j+1)·W / 2K), and inverting the floor turns
+    * per-doc draw counts into CLOSED-FORM odd-integer interval
+    * counting — n_draws(doc) = #{odd m : A ≤ m·W < B} with
+    * A = 2K·before, B = 2K·(before+wc) — so the assignment is a PURE
+    * PROJECTION over the prefix-sum frame: no draw join exists at all,
+    * and determinism is unconditional (no ln, no rounding, no RNG).
+    *
+    * Scale: the only non-map work is [[tokenPrefixSums]]' two-level
+    * distributed prefix sum (bucket sums → ~8k-row offset frame →
+    * within-bucket windows); the draw arithmetic adds zero shuffles.
+    * At 100 TB the same projection prices ANY draw count K — sampling
+    * 10⁹ positions costs the same plan as 200. */
+  def q244SystematicResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pf = tokenPrefixSums(spark, sfDir).filter($"wc" > 0)
+    val totals = pf.agg(max($"before" + $"wc").as("w_total"))
+    pf.crossJoin(broadcast(totals))
+      .withColumn("a", lit(2L * Q244Draws) * $"before")
+      .withColumn("b", lit(2L * Q244Draws) * ($"before" + $"wc"))
+      // smallest m with m·W ≥ a is ceil(a/W); largest with m·W < b is
+      // ceil(b/W) − 1. Ceils via (x + W − 1) div W: operands stay
+      // non-negative, where truncating (Spark div) and flooring
+      // (DuckDB //) integer division agree. Odd-count via
+      // odd≤x = (x+1) div 2.
+      .withColumn("lo", expr("(a + w_total - 1) div w_total"))
+      .withColumn("hi", expr("(b + w_total - 1) div w_total - 1"))
+      .withColumn("n_draws",
+        greatest(lit(0L), expr("(hi + 1) div 2 - lo div 2")))
+      .filter($"n_draws" > 0)
+      .select($"doc_id", $"wc", $"n_draws")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle takes the direct route: materialize the K draw positions
+    * (a 200-row range), prefix-sum via a window, and interval-join —
+    * the closed form must agree with the brute-force assignment. */
+  def q244Sql: String =
+    s"""WITH pf AS (
+          SELECT doc_id,
+            CAST(${graft.functions.TextFunctions.tokenCountSql("text")}
+              AS BIGINT) AS wc,
+            COALESCE(CAST(sum(${graft.functions.TextFunctions.tokenCountSql("text")})
+              OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS before
+          FROM documents),
+        pfnz AS (SELECT * FROM pf WHERE wc > 0),
+        w AS (SELECT max(before + wc) AS w_total FROM pfnz),
+        draws AS (
+          SELECT CAST((2 * j + 1) * w_total // (2 * $Q244Draws) AS BIGINT) AS p
+          FROM (SELECT unnest(range(0, $Q244Draws)) AS j) CROSS JOIN w),
+        hit AS (
+          SELECT pfnz.doc_id, pfnz.wc, count(*) AS n_draws
+          FROM draws JOIN pfnz
+            ON draws.p >= pfnz.before AND draws.p < pfnz.before + pfnz.wc
+          GROUP BY 1, 2)
+        SELECT doc_id, wc, CAST(n_draws AS BIGINT) AS n_draws
+        FROM hit ORDER BY doc_id"""
 }
