@@ -254,6 +254,7 @@ object SparkEntry {
     "q243_unigram_surprise" -> TextQueries.q243UnigramSurprise _,
     "q244_systematic_resample" -> TextQueries.q244SystematicResample _,
     "q245_schema_evolution" -> Formats.q245SchemaEvolution _,
+    "q246_covariance"      -> Similarity.q246Covariance _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -741,6 +742,7 @@ object SparkEntry {
     "q243_unigram_surprise" -> TextQueries.q243Sql,
     "q244_systematic_resample" -> TextQueries.q244Sql,
     "q245_schema_evolution" -> Formats.q245Sql,
+    "q246_covariance"      -> Similarity.q246Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

@@ -1099,4 +1099,74 @@ object Similarity {
           FROM scored)
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= $Q241K ORDER BY query_id, rank"""
+
+  private val Q246Scale = 1048576L // 2^20, the q72 scaled-float grid
+  val Q246TopN = 20
+
+  /** q246 — exact covariance structure of the embedding space (the
+    * tall-skinny Gram pattern behind PCA / whitening / anisotropy
+    * audits): for every dimension pair i ≤ j, the exact integer
+    * covariance numerator n·Σsᵢsⱼ − Σsᵢ·Σsⱼ over the q72 scaled-float
+    * grid (sᵢ = ⌊vᵢ·2²⁰⌋ — exact in both engines, so the sums are
+    * order-free 64-bit arithmetic and no float reduction order can
+    * move them). Output: the [[Q246TopN]] strongest off-diagonal
+    * couplings — the dimension pairs an isotropic embedding space
+    * should NOT have.
+    *
+    * Scale: ONE pass, NO join on the data — each vector explodes its
+    * own d(d+1)/2 products directly (a generator projection), and
+    * partial aggregation combines map-side onto the 2080-key Gram
+    * frame, so the shuffle is O(d²·partitions) regardless of corpus
+    * size; the 64-row marginal frame broadcasts onto it. The d² work
+    * per row is inherent to ANY Gram computation; the relational form
+    * adds nothing over a BLAS accumulation but parallelizes identically
+    * (at extreme d, swap the explode for a mapPartitions local-matrix
+    * accumulator emitting one partial triangle per partition). */
+  def q246Covariance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val sExpr = (idx: String) =>
+      s"CAST(floor(CAST(element_at(embedding, $idx + 1) AS DOUBLE) * $Q246Scale) AS BIGINT)"
+    val gram = emb.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
+              transform(sequence(i, ${Dim - 1}), j ->
+                struct(i AS di, j AS dj,
+                  ${sExpr("i")} * ${sExpr("j")} AS p))))""")).as("t"))
+      .select($"t.di", $"t.dj", $"t.p")
+      .groupBy($"di", $"dj")
+      .agg(sum($"p").as("sum_p"), count(lit(1)).as("n"))
+    val marg = emb
+      .select(posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"dim", floor($"v".cast("double") * Q246Scale).cast("long").as("s"))
+      .groupBy($"dim").agg(sum($"s").as("sum_s"))
+    gram
+      .join(broadcast(marg.select($"dim".as("di"), $"sum_s".as("sum_i"))), "di")
+      .join(broadcast(marg.select($"dim".as("dj"), $"sum_s".as("sum_j"))), "dj")
+      .filter($"di" < $"dj")
+      .select($"di", $"dj",
+        ($"n" * $"sum_p" - $"sum_i" * $"sum_j").as("cov_num"))
+      .orderBy(abs($"cov_num").desc, $"di", $"dj")
+      .limit(Q246TopN)
+  }
+
+  def q246Sql: String =
+    s"""WITH s AS (
+          SELECT vec_id, i - 1 AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * $Q246Scale) AS BIGINT) AS s
+          FROM (SELECT vec_id, embedding,
+                  unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings)),
+        gram AS (
+          SELECT a.dim AS di, b.dim AS dj,
+            sum(a.s * b.s) AS sum_p, count(*) AS n
+          FROM s a JOIN s b ON a.vec_id = b.vec_id AND a.dim < b.dim
+          GROUP BY 1, 2),
+        marg AS (SELECT dim, sum(s) AS sum_s FROM s GROUP BY 1)
+        SELECT CAST(g.di AS INT) AS di, CAST(g.dj AS INT) AS dj,
+          CAST(g.n * g.sum_p - mi.sum_s * mj.sum_s AS BIGINT) AS cov_num
+        FROM gram g
+        JOIN marg mi ON mi.dim = g.di
+        JOIN marg mj ON mj.dim = g.dj
+        ORDER BY abs(g.n * g.sum_p - mi.sum_s * mj.sum_s) DESC, di, dj
+        LIMIT $Q246TopN"""
 }

@@ -107,6 +107,18 @@ class Wave33Spec extends SparkTestBase {
       "output is the supplier side only")
   }
 
+  test("q246 Gram never joins the data: marginals broadcast onto the pair frame") {
+    import spark.implicits._
+    val df = Similarity.q246Covariance(spark, sf)
+    assert(df.count() === Similarity.Q246TopN)
+    assert(df.filter($"di" >= $"dj").count() === 0,
+      "output is the strict upper triangle")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("SortMergeJoin"),
+      "the only joins are the 64-row marginal broadcasts — a shuffle " +
+        "join means the corpus-sized frame is on a join path:\n" + p)
+  }
+
   test("q245 merged read backfills v1 rows with NULL, never a default") {
     import spark.implicits._
     val res = graft.engine.Formats.q245SchemaEvolution(spark, sf)
