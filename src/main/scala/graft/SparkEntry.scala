@@ -255,6 +255,17 @@ object SparkEntry {
     "q244_systematic_resample" -> TextQueries.q244SystematicResample _,
     "q245_schema_evolution" -> Formats.q245SchemaEvolution _,
     "q246_covariance"      -> Similarity.q246Covariance _,
+    "q247_k_anonymity"     -> Relational26.q247KAnonymity _,
+    "q248_edit_join"       -> Relational26.q248EdJoin _,
+    "q249_hilbert_layout"  -> Relational26.q249HilbertLayout _,
+    "q250_stream_ewma"     -> graft.streaming.Streaming.q250StreamEwma _,
+    "q251_rle_runs"        -> Relational27.q251RleRuns _,
+    "q252_seq_motif"       -> Relational27.q252SeqMotif _,
+    "q253_bpe_encode"      -> Relational27.q253BpeEncode _,
+    "q254_join_stats"      -> Relational27.q254JoinStats _,
+    "q255_record_linkage"  -> Relational28.q255RecordLinkage _,
+    "q256_skew_audit"      -> Relational28.q256SkewAudit _,
+    "q257_sampling_audit"  -> Relational28.q257SamplingAudit _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -293,7 +304,7 @@ object SparkEntry {
     "q205_restart_replay", "q206_join_then_window", "q207_dynamic_gap",
     "q208_stream_asof", "q225_window_rollup", "q226_state_introspect",
     "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk",
-    "q237_stream_bitmap", "q241_stream_ann_serve")
+    "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -743,6 +754,17 @@ object SparkEntry {
     "q244_systematic_resample" -> TextQueries.q244Sql,
     "q245_schema_evolution" -> Formats.q245Sql,
     "q246_covariance"      -> Similarity.q246Sql,
+    "q247_k_anonymity"     -> Relational26.q247Sql,
+    "q248_edit_join"       -> Relational26.q248Sql,
+    "q249_hilbert_layout"  -> Relational26.q249Sql,
+    "q250_stream_ewma"     -> graft.streaming.Streaming.q250Sql,
+    "q251_rle_runs"        -> Relational27.q251Sql,
+    "q252_seq_motif"       -> Relational27.q252Sql,
+    "q253_bpe_encode"      -> Relational27.q253Sql,
+    "q254_join_stats"      -> Relational27.q254Sql,
+    "q255_record_linkage"  -> Relational28.q255Sql,
+    "q256_skew_audit"      -> Relational28.q256Sql,
+    "q257_sampling_audit"  -> Relational28.q257Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

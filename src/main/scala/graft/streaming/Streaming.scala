@@ -1770,4 +1770,103 @@ object Streaming {
        SELECT user_id, CAST(p_id AS BIGINT) AS p_id,
          CAST(e_id AS BIGINT) AS e_id, CAST(gap_s AS BIGINT) AS gap_s
        FROM alive ORDER BY user_id, p_id, e_id"""
+
+  /** q250 — STREAMING NUMERIC STATE EVOLUTION: a per-user exponentially
+    * weighted moving average (α = 1/4) maintained in
+    * `mapGroupsWithState` across four TIME-ORDERED micro-batches — the
+    * online-feature pattern (fraud scores, engagement decay, rate
+    * estimators) where state is a NUMBER a fold updates, distinct from
+    * every stateful shape already in the set (sessions, top-k buffers,
+    * KMV registers, bitmaps). EWMA is order-sensitive, so the fixture
+    * carve is by event-time QUARTER (a projection against broadcast
+    * bounds — fixture prep, like q128's carve) and the fold sorts each
+    * batch's slice by (ts, event_id) in memory: Spark's state API
+    * guarantees key grouping per batch but NOT within-group order, so
+    * the explicit sort is the correctness contract (bounded by one
+    * user's slice of one batch). Cross-batch order then follows from
+    * the time carve; ts ties cannot straddle chunks (chunk is a
+    * function of ts alone).
+    *
+    * Arithmetic: value cents, s ← (v + 3s) div 4 — all-integer, so
+    * shuffle order and engine cannot move a unit; the oracle replays
+    * the identical fold via DuckDB's list_reduce. Emissions carry the
+    * cumulative event count; the final state per user is the max-n
+    * emission (`max_by`) — a user absent from later batches still
+    * reports the EWMA after their true last event. Update-mode memory
+    * sink holds |users|·batches rows (keys-scale; the row-scale
+    * streams use the q63 file-sink path). At 100 TB this exact query
+    * runs unchanged with a real trigger: state is two longs per key,
+    * shuffles are per-batch slices keyed by user. */
+  def q250StreamEwma(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = TempIo.createTempDir("graft-ewma-src-")
+    val raw = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val b = raw.agg(min(unix_micros($"ts")).as("t0"),
+      max(unix_micros($"ts")).as("t1"))
+    val chunked = raw.crossJoin(broadcast(b))
+      .withColumn("c",
+        expr("(unix_micros(ts) - t0) * 4 div (t1 - t0 + 1) + 1"))
+    (1 to 4).foreach { i =>
+      val dir = s"$src/stage$i"
+      chunked.filter($"c" === i)
+        .select($"event_id", $"ts", $"user_id", $"value")
+        .coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/chunk$i.parquet"))
+      TempIo.deleteRecursively(dir)
+    }
+    val chunkSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val updates = spark.readStream
+      .schema(chunkSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        graft.engine.Exact.cents($"value").as("units"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val batch = it.toArray.sortBy(e => (e._2, e._3))
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          batch.foreach { e =>
+            s = if (n == 0L) e._4 else (e._4 + 3L * s) / 4L
+            n += 1L
+          }
+          state.update((n, s))
+          (uid, n, s)
+      }
+    val q = updates.toDF("user_id", "n_events", "ewma_units")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("ewma_state")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = TempIo.materialize(spark,
+      spark.table("ewma_state")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"),
+          max_by($"ewma_units", $"n_events").as("ewma_units"))
+        .orderBy($"user_id"))
+    TempIo.deleteRecursively(src)
+    result
+  }
+
+  /** The identical integer fold over each user's time-ordered values:
+    * list_reduce seeds with the first element, as the n==0 branch does. */
+  def q250Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(list_reduce(
+         list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ORDER BY ts, event_id),
+         (acc, v) -> (v + 3*acc) // 4) AS BIGINT) AS ewma_units
+       FROM events GROUP BY user_id ORDER BY user_id"""
 }
