@@ -266,6 +266,9 @@ object SparkEntry {
     "q255_record_linkage"  -> Relational28.q255RecordLinkage _,
     "q256_skew_audit"      -> Relational28.q256SkewAudit _,
     "q257_sampling_audit"  -> Relational28.q257SamplingAudit _,
+    "q258_stream_alerts"   -> graft.streaming.Streaming.q258StreamAlerts _,
+    "q259_gdpr_cascade"    -> Relational29.q259GdprCascade _,
+    "q260_deletion_vectors" -> Relational29.q260DeletionVectors _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -304,7 +307,8 @@ object SparkEntry {
     "q205_restart_replay", "q206_join_then_window", "q207_dynamic_gap",
     "q208_stream_asof", "q225_window_rollup", "q226_state_introspect",
     "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk",
-    "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma")
+    "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma",
+    "q258_stream_alerts")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -765,6 +769,9 @@ object SparkEntry {
     "q255_record_linkage"  -> Relational28.q255Sql,
     "q256_skew_audit"      -> Relational28.q256Sql,
     "q257_sampling_audit"  -> Relational28.q257Sql,
+    "q258_stream_alerts"   -> graft.streaming.Streaming.q258Sql,
+    "q259_gdpr_cascade"    -> Relational29.q259Sql,
+    "q260_deletion_vectors" -> Relational29.q260Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

@@ -1797,9 +1797,15 @@ object Streaming {
     * streams use the q63 file-sink path). At 100 TB this exact query
     * runs unchanged with a real trigger: state is two longs per key,
     * shuffles are per-batch slices keyed by user. */
-  def q250StreamEwma(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+  /** Write events as four chunk files carved by event-time QUARTER (a
+    * projection against broadcast bounds) — the IN-ORDER replay fixture
+    * for order-sensitive stateful folds (q250 EWMA, q258 hysteresis):
+    * replayed with maxFilesPerTrigger=1, batches arrive in event-time
+    * order, and a ts tie can never straddle chunks (chunk is a function
+    * of ts alone). Fixture prep, not the operator. */
+  private def writeTimeQuarterChunks(spark: SparkSession, sfDir: String,
+      src: String): Unit = {
     import spark.implicits._
-    val src = TempIo.createTempDir("graft-ewma-src-")
     val raw = Tables.events(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"value")
     val b = raw.agg(min(unix_micros($"ts")).as("t0"),
@@ -1818,6 +1824,12 @@ object Streaming {
         java.nio.file.Paths.get(s"$src/chunk$i.parquet"))
       TempIo.deleteRecursively(dir)
     }
+  }
+
+  def q250StreamEwma(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = TempIo.createTempDir("graft-ewma-src-")
+    writeTimeQuarterChunks(spark, sfDir, src)
     val chunkSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("value", DoubleType)))
@@ -1869,4 +1881,97 @@ object Streaming {
               ORDER BY ts, event_id),
          (acc, v) -> (v + 3*acc) // 4) AS BIGINT) AS ewma_units
        FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** q258 hysteresis thresholds on the cents grid: an alert ARMS at
+    * value ≤ $20 and FIRES at the first value ≥ $100 while armed (then
+    * disarms) — the two-threshold debounce that keeps a flapping metric
+    * from paging once per sample. */
+  val AlertHighCents = 10000L
+  val AlertLowCents = 2000L
+
+  /** q258 — STREAMING HYSTERESIS ALERTING: per-user threshold alerts
+    * with two-level debouncing, maintained in `mapGroupsWithState`
+    * across the in-order quarter replay — the monitoring/paging shape
+    * (disk-full alerts, fraud-velocity trips) the stateful family did
+    * not yet cover: state is a FLIP-FLOP the event stream toggles, not
+    * a number, session, or buffer. Starting armed, a high event (≥
+    * [[AlertHighCents]]) fires exactly one alert and disarms; only a
+    * low event (≤ [[AlertLowCents]]) re-arms. Equivalently — and this
+    * is what makes the streaming run oracle-checkable — alerts =
+    * maximal runs of H in each user's time-ordered H/L event string,
+    * so the batch oracle is q252's signature machinery with `H+` run
+    * counting, while the streaming side genuinely carries the armed
+    * bit across micro-batches. Same order contract as q250: per-batch
+    * in-group sort, cross-batch order from the time carve. Emissions
+    * carry the cumulative seen-count; final state per user = max-n
+    * emission. State: four longs per key. */
+  def q258StreamAlerts(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = TempIo.createTempDir("graft-alert-src-")
+    writeTimeQuarterChunks(spark, sfDir, src)
+    val chunkSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val updates = spark.readStream
+      .schema(chunkSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        graft.engine.Exact.cents($"value").as("units"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val batch = it.toArray.sortBy(e => (e._2, e._3))
+          var (nSeen, armed, nAlerts, nHigh) =
+            state.getOption.getOrElse((0L, 1L, 0L, 0L))
+          batch.foreach { e =>
+            if (e._4 >= AlertHighCents) {
+              nHigh += 1L
+              if (armed == 1L) { nAlerts += 1L; armed = 0L }
+            } else if (e._4 <= AlertLowCents) armed = 1L
+            nSeen += 1L
+          }
+          state.update((nSeen, armed, nAlerts, nHigh))
+          (uid, nSeen, nAlerts, nHigh)
+      }
+    val q = updates.toDF("user_id", "n_events", "n_alerts", "n_high")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("alert_state")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = TempIo.materialize(spark,
+      spark.table("alert_state")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"),
+          max_by($"n_alerts", $"n_events").as("n_alerts"),
+          max_by($"n_high", $"n_events").as("n_high"))
+        .orderBy($"user_id"))
+    TempIo.deleteRecursively(src)
+    result
+  }
+
+  /** Alerts = maximal H-runs of the per-user time-ordered H/L string
+    * (M events contribute the empty string): the first H of a run
+    * finds the flip-flop armed — either stream start or a preceding L
+    * — and every later H of the run finds it disarmed. */
+  def q258Sql: String =
+    s"""WITH sig AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(CASE
+             WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               >= $AlertHighCents THEN 'H'
+             WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               <= $AlertLowCents THEN 'L'
+             ELSE '' END, '' ORDER BY ts, event_id) AS s
+         FROM events GROUP BY user_id)
+       SELECT user_id, n_events,
+         CAST(len(regexp_extract_all(s, 'H+')) AS BIGINT) AS n_alerts,
+         CAST(len(regexp_extract_all(s, 'H')) AS BIGINT) AS n_high
+       FROM sig ORDER BY user_id"""
 }
