@@ -21,6 +21,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   *  - `graft_kmv_distinct(hash, k)` → KMV distinct-count estimate
   *  - `graft_l2_distance_sq(a, b)` → codegen squared L2 over vectors
   *  - `graft_bitmap_bits(key, capacity)` → exact presence bitmap words
+  *  - `graft_hilbert_d(x, y[, bits])` → codegen Hilbert curve position
   * (Spark ships the bloom expressions for its internal runtime filters
   * but leaves them unregistered; the Column-API twins live in
   * [[graft.functions.BloomFunctions]] / [[graft.functions.KmvAggregate]].)
@@ -92,6 +93,19 @@ object GraftExtensions {
             cap.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "graft_bitmap_bits expects (key, capacity-literal)")
+      }),
+    (FunctionIdentifier("graft_hilbert_d"),
+      info("graft_hilbert_d",
+        "graft_hilbert_d(x, y[, bits]) - Hilbert curve position of (x, y) " +
+          "on a 2^bits grid (default 8); codegen single-loop form of the " +
+          "chained-projection SQL transform"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y) => graft.functions.LayoutExpressions.HilbertIndex(x, y, 8)
+        case Seq(x, y, b) if b.foldable =>
+          graft.functions.LayoutExpressions.HilbertIndex(x, y,
+            b.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "graft_hilbert_d expects (x, y[, bits-literal])")
       }))
 
   /** Register on a live session (idempotent — re-registration of the

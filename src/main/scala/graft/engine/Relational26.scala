@@ -280,7 +280,10 @@ object Relational26 {
     * three layouts is the difference between reading the month you
     * asked for and reading the lake. Dimensions are scaled to the
     * [[HBits]]-bit grid from one broadcast bounds row; the Hilbert
-    * index itself is pure codegen'd CASE/mask arithmetic (no UDF). */
+    * index is the native codegen expression
+    * [[graft.functions.LayoutExpressions.HilbertIndex]] (one loop per
+    * row inside WholeStageCodegen), bit-equal to the [[withHilbert]]
+    * SQL chain the DuckDB oracle runs. */
   def q249HilbertLayout(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
@@ -295,10 +298,18 @@ object Relational26 {
         expr(s"CAST(datediff(to_date(l_shipdate), d0) * $HSide" +
           " div (span + 1) AS BIGINT)").as("x"),
         expr(s"CAST(l_orderkey * $HSide div (okmax + 1) AS BIGINT)").as("y"))
-    val keep = Seq("l_orderkey", "l_linenumber", "x", "y")
-    val withKeys = withHilbert(dims, keep)
+    // hd via the NATIVE codegen expression (one tight loop per row —
+    // LayoutExpressionsSpec proves it bit-equal to the withHilbert SQL
+    // chain the oracle runs); localCheckpoint because THREE DistRank
+    // carves each walk this frame several times (cut points, bucketing,
+    // counts) — materializing once replaces ~9 re-derivations of the
+    // curve/interleave arithmetic with one
+    val withKeys = dims
+      .withColumn("hd",
+        graft.functions.LayoutExpressions.hilbertD($"x", $"y", HBits))
       .withColumn("z", Relational5.zValue($"x", $"y"))
       .withColumn("arr", $"l_orderkey" * 8 + $"l_linenumber")
+      .localCheckpoint()
     def carve(df: DataFrame, key: String, layout: String): DataFrame =
       DistRank.withRank(df, key, "arr", "rn", desc = false)
         .select(lit(layout).as("layout"),

@@ -57,9 +57,13 @@ object Relational27 {
     * change indicators of all four columns at once; runs = changes+1. */
   def q251RleRuns(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // three orderings × (DistRank cut points + bucketing + counts +
+    // rank-adjacency self-join) would re-scan lineitem ~15×;
+    // materialize the projected frame once
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
         $"l_linestatus", expr(day).cast("long").as("ship_day"), $"l_partkey")
+      .localCheckpoint()
     val perOrder = orders.map { case (label, keyExpr) =>
       val keyed = li.withColumn("__k", expr(keyExpr).cast("long"))
         .withColumn("__t", expr(arr).cast("long"))
