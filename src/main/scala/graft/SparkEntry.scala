@@ -269,6 +269,8 @@ object SparkEntry {
     "q258_stream_alerts"   -> graft.streaming.Streaming.q258StreamAlerts _,
     "q259_gdpr_cascade"    -> Relational29.q259GdprCascade _,
     "q260_deletion_vectors" -> Relational29.q260DeletionVectors _,
+    "q261_optimize_plan"   -> Relational30.q261OptimizePlan _,
+    "q262_mv_routing"      -> Relational30.q262MvRouting _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -772,6 +774,8 @@ object SparkEntry {
     "q258_stream_alerts"   -> graft.streaming.Streaming.q258Sql,
     "q259_gdpr_cascade"    -> Relational29.q259Sql,
     "q260_deletion_vectors" -> Relational29.q260Sql,
+    "q261_optimize_plan"   -> Relational30.q261Sql,
+    "q262_mv_routing"      -> Relational30.q262Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,
