@@ -271,6 +271,7 @@ object SparkEntry {
     "q260_deletion_vectors" -> Relational29.q260DeletionVectors _,
     "q261_optimize_plan"   -> Relational30.q261OptimizePlan _,
     "q262_mv_routing"      -> Relational30.q262MvRouting _,
+    "q263_allocation"      -> Relational30.q263Allocation _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -776,6 +777,7 @@ object SparkEntry {
     "q260_deletion_vectors" -> Relational29.q260Sql,
     "q261_optimize_plan"   -> Relational30.q261Sql,
     "q262_mv_routing"      -> Relational30.q262Sql,
+    "q263_allocation"      -> Relational30.q263Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

@@ -220,4 +220,74 @@ object Relational30 {
          (SELECT CAST(sum(qc) AS BIGINT) FROM
            (SELECT flag, sum(qc) AS qc FROM base GROUP BY 1))
        ORDER BY query_name"""
+
+  /** q263 — PRIORITY ALLOCATION AS A PREFIX SUM: each part's available
+    * stock (60% of its total demand) is handed out to its order lines
+    * in strict priority order (orderkey, linenumber) — first-come
+    * fully served, the marginal line partially, the tail starved. The
+    * greedy loop every allocator/budget-pacer/quota system runs LOOKS
+    * inherently sequential, but its closed form is
+    * alloc_i = clamp(S − cumsum_before_i, 0, q_i): one exclusive
+    * running sum per part (a window PARTITIONED by partkey — per-key
+    * frames, never a global funnel, q244's discipline) turns the whole
+    * allocation into a projection. Cents grid throughout; the report
+    * is the fill ledger per outcome class plus the global fill rate.
+    *
+    * Scale: one shuffle on partkey (the window), one |classes|-row
+    * aggregate. The same shape allocates ad budgets to impressions or
+    * rate-limits to tenants at any row count. */
+  def q263Allocation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_partkey").orderBy($"l_orderkey", $"l_linenumber")
+    val lines = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_orderkey", $"l_linenumber",
+        Exact.cents($"l_quantity").as("qc"))
+      .withColumn("demand", sum($"qc").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")))
+      .withColumn("stock", expr("demand * 6 div 10"))
+      .withColumn("before", coalesce(sum($"qc").over(
+        w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("alloc",
+        greatest(lit(0L), least($"qc", $"stock" - $"before")))
+      .withColumn("status",
+        when($"alloc" === $"qc", "1_filled")
+          .when($"alloc" > 0, "2_partial")
+          .otherwise("3_starved"))
+    lines.groupBy($"status")
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"qc").as("requested_cents"),
+        sum($"alloc").as("allocated_cents"))
+      .crossJoin(broadcast(lines.agg(
+        expr("sum(alloc) * 1000000 div sum(qc)").as("fill_rate_ppm"))))
+      .orderBy($"status")
+  }
+
+  def q263Sql: String =
+    """WITH lines AS (
+         SELECT l_partkey, l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
+         FROM lineitem),
+       alloc AS (
+         SELECT qc,
+           greatest(0, least(qc,
+             (sum(qc) OVER (PARTITION BY l_partkey)) * 6 // 10
+               - coalesce(sum(qc) OVER (PARTITION BY l_partkey
+                   ORDER BY l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+             AS alloc
+         FROM lines),
+       cls AS (
+         SELECT qc, alloc,
+           CASE WHEN alloc = qc THEN '1_filled'
+                WHEN alloc > 0 THEN '2_partial'
+                ELSE '3_starved' END AS status
+         FROM alloc),
+       fr AS (SELECT CAST(sum(alloc) AS BIGINT) * 1000000
+                // CAST(sum(qc) AS BIGINT) AS fill_rate_ppm FROM cls)
+       SELECT status, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(qc) AS BIGINT) AS requested_cents,
+         CAST(sum(alloc) AS BIGINT) AS allocated_cents,
+         (SELECT fill_rate_ppm FROM fr) AS fill_rate_ppm
+       FROM cls GROUP BY status ORDER BY status"""
 }

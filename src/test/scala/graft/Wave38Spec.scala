@@ -36,4 +36,20 @@ class Wave38Spec extends SparkTestBase {
       "coarser grains must be strictly smaller MVs")
     assert(res.filter($"mv_rows" >= $"base_rows").count() === 0)
   }
+
+  test("q263 allocation conserves lines and hits the 60% stock bound exactly") {
+    import spark.implicits._
+    val res = Relational30.q263Allocation(spark, sf)
+    val n = res.agg(sum($"n_lines")).head.getLong(0)
+    assert(n === Tables.lineitem(spark, sf).count(),
+      "every order line receives exactly one outcome")
+    // stock is 60% of demand per part and the greedy fill exhausts it
+    // up to per-part integer floors, so the global rate sits at 60%
+    // minus at most the per-part floor loss
+    val rate = res.head.getAs[Long]("fill_rate_ppm")
+    assert(rate <= 600000L && rate >= 599000L, s"fill rate $rate")
+    val filled = res.filter($"status" === "1_filled").head
+    assert(filled.getAs[Long]("requested_cents") ===
+      filled.getAs[Long]("allocated_cents"))
+  }
 }
