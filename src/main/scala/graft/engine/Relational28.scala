@@ -45,7 +45,13 @@ object Relational28 {
     * truth), and precision in ppm; the `possible` band is exactly the
     * clerical-review queue FS theory prescribes. Balance rounding is
     * shift-then-divide so the floor is engine-identical on negative
-    * balances. */
+    * balances.
+    *
+    * Scale note (honest): a FIXED block count keeps pair volume
+    * quadratic (n²/|blocks|). Production linkage grows blocks with n —
+    * lengthen the tail key (right-3, right-4… keeps recall here by the
+    * same never-touched-tail argument) or union multiple disjoint
+    * blocking passes; the compare/decide stages are unchanged. */
   def q255RecordLinkage(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val a = Tables.customer(spark, sfDir).select(
