@@ -1107,4 +1107,98 @@ object Dedup {
         SELECT probe_id, doc_id, CAST(qsize AS BIGINT) AS qsize
         FROM hits WHERE n_common = qsize
         ORDER BY probe_id, doc_id"""
+
+  /** The q265 threshold ladder (Jaccard, permille). */
+  val RoiThresholds: Seq[Int] = Seq(100, 800, 930, 960, 985)
+
+  /** q265 — DEDUP ROI CURVE: how much corpus does each near-dup
+    * aggressiveness setting delete? For every threshold τ in
+    * [[RoiThresholds]], report the documents and characters removed
+    * under the PAIRWISE-CANONICAL policy (drop any doc that has a
+    * more-canonical — lower doc_id — neighbor with exact Jaccard ≥ τ;
+    * the cheap upper bound on q67's cluster dedup that curation teams
+    * sweep before committing to a threshold). The pipeline: q21's LSH
+    * band candidates → EXACT verification per candidate (codegen
+    * sorted-merge intersect over the shared shingle-set frame;
+    * jaccard on the integer permille grid: inter·1000 div union) →
+    * per-doc max-over-neighbors → ONE 5-counter aggregate (thresholds
+    * nest, so the whole curve is conditional sums over max_jacc).
+    *
+    * Result-completeness caveat, stated: candidates are LSH candidates
+    * (2 bands × 2 minhashes), so pairs the bands miss are absent for
+    * EVERY τ — the curve prices the dedup the deployed LSH pipeline
+    * would actually perform (q132 audits that recall separately).
+    * Scale: band self-join keyed by band value, verification touches
+    * candidates only, final aggregate is 5 counters. */
+  def q265DedupRoi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cand = q21MinhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    val sh = distinctShingles(spark, sfDir)
+    val sets = docShingleSets(spark, sh)
+    val verified = cand
+      .join(broadcast(sets.select($"doc_id".as("doc_a"), $"set".as("sa"))), "doc_a")
+      .join(broadcast(sets.select($"doc_id".as("doc_b"), $"set".as("sb"))), "doc_b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sorted_intersect_count($"sa", $"sb"))
+      .withColumn("jpm", expr(
+        "inter * 1000 div (size(sa) + size(sb) - inter)"))
+      .select($"doc_b".as("doc_id"), $"jpm")
+    val perDoc = verified.groupBy($"doc_id").agg(max($"jpm").as("max_jpm"))
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"n_chars"),
+        "doc_id")
+    val counters = RoiThresholds.flatMap { t =>
+      Seq(sum(when($"max_jpm" >= t, 1L).otherwise(0L)).as(s"n$t"),
+        coalesce(sum(when($"max_jpm" >= t, $"n_chars")), lit(0L)).as(s"c$t"))
+    }
+    val tot = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_all"))
+    perDoc.agg(counters.head, counters.tail: _*)
+      .crossJoin(broadcast(tot))
+      .select(inline(array(RoiThresholds.map { t =>
+        struct(lit(t).as("tau_permille"),
+          col(s"n$t").as("docs_removed"),
+          col(s"c$t").as("chars_removed"),
+          expr(s"c$t * 1000000 div n_chars_all").as("share_ppm"))
+      }: _*)))
+      .orderBy($"tau_permille")
+  }
+
+  def q265Sql: String = {
+    val branches = RoiThresholds.map { t =>
+      s"""SELECT $t AS tau_permille,
+            CAST(coalesce(sum(CASE WHEN max_jpm >= $t THEN 1 END), 0) AS BIGINT)
+              AS docs_removed,
+            CAST(coalesce(sum(CASE WHEN max_jpm >= $t THEN n_chars END), 0)
+              AS BIGINT) AS chars_removed,
+            CAST(coalesce(sum(CASE WHEN max_jpm >= $t THEN n_chars END), 0)
+              AS BIGINT) * 1000000
+              // (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+              AS share_ppm
+          FROM perdoc"""
+    }
+    s"""WITH $bandCtes,
+        sh2 AS (
+          SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS s
+          FROM documents),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh2 GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+          FROM pairs p
+          JOIN sh2 a ON a.doc_id = p.doc_a
+          JOIN sh2 b ON b.doc_id = p.doc_b AND a.s = b.s
+          GROUP BY 1, 2),
+        jacc AS (
+          SELECT p.doc_b AS doc_id,
+            coalesce(i.i, 0) * 1000 // (za.n + zb.n - coalesce(i.i, 0)) AS jpm
+          FROM pairs p
+          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+          JOIN sz za ON za.doc_id = p.doc_a
+          JOIN sz zb ON zb.doc_id = p.doc_b),
+        perdoc AS (
+          SELECT j.doc_id, max(j.jpm) AS max_jpm, first(d.n_chars) AS n_chars
+          FROM jacc j JOIN documents d ON d.doc_id = j.doc_id
+          GROUP BY j.doc_id)
+        ${branches.mkString("\n UNION ALL \n")}
+        ORDER BY tau_permille"""
+  }
 }

@@ -807,4 +807,73 @@ object TextQueries {
           GROUP BY 1, 2)
         SELECT doc_id, wc, CAST(n_draws AS BIGINT) AS n_draws
         FROM hit ORDER BY doc_id"""
+
+  /** q264 token-budget multiplier and epoch cap for the data recipe:
+    * the run trains on 2× the corpus's natural tokens, and no source
+    * may repeat more than 4 epochs (the empirical degradation knee for
+    * repeated LLM pretraining data). */
+  val RecipeBudgetX = 2L
+  val RecipeMaxEpochs = 4L
+
+  /** q264 — DATA-RECIPE PLANNING (temperature-scaled mixing with epoch
+    * caps): given a token budget of [[RecipeBudgetX]]× the corpus and
+    * per-source natural token counts, assign each source a target share
+    * ∝ √tokens (α = 1/2 temperature scaling — upsamples small sources
+    * relative to proportional mixing without flattening to uniform),
+    * then realize the target as REPEAT EPOCHS capped at
+    * [[RecipeMaxEpochs]]: epochs = ceil(target/natural) clamped, the
+    * contribution = min(target, epochs·natural), and whatever the cap
+    * forfeits is reported as the deficit — the number the recipe owner
+    * rebalances against. This is the planning pass a pretraining run
+    * executes before any sampling happens; q105/q244 are the samplers
+    * that then realize a share.
+    *
+    * Integer end to end: weights are isqrt(tokens) (floor of the IEEE
+    * sqrt — correctly rounded by the standard, and a double's error at
+    * these magnitudes cannot cross an integer boundary, so both
+    * engines floor identically); shares are w·B div Σw. One corpus
+    * scan (token counts per source), one 20-row planning projection. */
+  def q264DataRecipe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, sfDir)
+      .select($"source", tokenCount($"text").cast("long").as("wc"))
+      .groupBy($"source")
+      .agg(sum($"wc").as("t_tokens"))
+      .withColumn("w", expr("CAST(floor(sqrt(t_tokens)) AS BIGINT)"))
+    val tot = src.agg(sum($"t_tokens").as("t_all"), sum($"w").as("w_all"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("desired",
+        expr(s"$RecipeBudgetX * t_all * w div w_all"))
+      .withColumn("epochs",
+        expr(s"least($RecipeMaxEpochs, (desired + t_tokens - 1) div t_tokens)"))
+      .withColumn("contributed", expr("least(desired, epochs * t_tokens)"))
+      .withColumn("deficit", $"desired" - $"contributed")
+      .select($"source", $"t_tokens", $"w", $"desired", $"epochs",
+        $"contributed", $"deficit")
+      .orderBy($"source")
+  }
+
+  def q264Sql: String = {
+    val wc = tokenCountSql("text")
+    s"""WITH src AS (
+          SELECT source, CAST(sum($wc) AS BIGINT) AS t_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, t_tokens,
+            CAST(floor(sqrt(t_tokens)) AS BIGINT) AS w FROM src),
+        tot AS (SELECT CAST(sum(t_tokens) AS BIGINT) AS t_all,
+            CAST(sum(w) AS BIGINT) AS w_all FROM w),
+        plan AS (
+          SELECT source, t_tokens, w,
+            $RecipeBudgetX * t_all * w // w_all AS desired
+          FROM w CROSS JOIN tot),
+        e AS (
+          SELECT source, t_tokens, w, desired,
+            least($RecipeMaxEpochs, (desired + t_tokens - 1) // t_tokens)
+              AS epochs
+          FROM plan)
+        SELECT source, t_tokens, w, desired, epochs,
+          least(desired, epochs * t_tokens) AS contributed,
+          desired - least(desired, epochs * t_tokens) AS deficit
+        FROM e ORDER BY source"""
+  }
 }

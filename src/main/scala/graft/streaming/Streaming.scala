@@ -1974,4 +1974,103 @@ object Streaming {
          CAST(len(regexp_extract_all(s, 'H+')) AS BIGINT) AS n_alerts,
          CAST(len(regexp_extract_all(s, 'H')) AS BIGINT) AS n_high
        FROM sig ORDER BY user_id"""
+
+  /** q266's [[org.apache.spark.sql.streaming.StatefulProcessor]]: a
+    * per-user MAP state (event_type → running count) — the state-v2
+    * API surface q96's ValueState cell doesn't exercise. MapState's
+    * win at scale is PARTIAL access: each batch touches only the map
+    * entries its rows name (RocksDB point lookups), where a
+    * ValueState[Map[...]] would deserialize and rewrite the whole map
+    * per key per batch. Emissions re-state the key's full current map;
+    * counts are monotone, so the drained result is the max per
+    * (user, type) — order-free, no in-batch sort needed (unlike the
+    * q250/q258 folds). */
+  private[graft] class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts
+      : org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("tc",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      rows.foreach { r =>
+        val cur = if (counts.containsKey(r._2)) counts.getValue(r._2) else 0L
+        counts.updateValue(r._2, cur + 1L)
+      }
+      counts.iterator().map { case (t, c) => (key, t, c) }.toSeq.iterator
+    }
+  }
+
+  /** q266 — MAP STATE under streaming (transformWithState): per-user
+    * per-event-type running counts maintained across the quarter
+    * replay in a named MapState variable. Completes the state-v2
+    * coverage (q96 = ValueState sessions; this = MapState point
+    * updates); requires the RocksDB provider, scoped and restored
+    * like q96. Drained result equals the batch (user, type) counts —
+    * the oracle. */
+  def q266StreamTypeCounts(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = TempIo.createTempDir("graft-mapstate-src-")
+      writeTimeQuarterChunks(spark, sfDir, src)
+      val chunkSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      // event_type is not in the quarter-chunk projection; re-derive it
+      // deterministically from event_id via a broadcast join against the
+      // batch table (fixture plumbing, not the operator)
+      val types = Tables.events(spark, sfDir)
+        .select($"event_id".as("eid"), $"event_type")
+      val updates = spark.readStream
+        .schema(chunkSchema)
+        .option("pathGlobFilter", "chunk*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .join(broadcast(types), $"event_id" === $"eid")
+        .select($"user_id", $"event_type")
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new TypeCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]])
+      val q = updates.toDF("user_id", "event_type", "counts")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("mapstate_counts")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = TempIo.materialize(spark,
+        spark.table("mapstate_counts")
+          .groupBy($"user_id", $"event_type")
+          .agg(max($"counts").as("counts"))
+          .orderBy($"user_id", $"event_type"))
+      TempIo.deleteRecursively(src)
+      result
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  def q266Sql: String =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS counts
+       FROM events GROUP BY user_id, event_type
+       ORDER BY user_id, event_type"""
 }
