@@ -275,6 +275,8 @@ object SparkEntry {
     "q264_data_recipe"     -> TextQueries.q264DataRecipe _,
     "q265_dedup_roi"       -> Dedup.q265DedupRoi _,
     "q266_stream_map_state" -> graft.streaming.Streaming.q266StreamTypeCounts _,
+    "q267_stream_last_k"   -> graft.streaming.Streaming.q267StreamLastK _,
+    "q268_xml_roundtrip"   -> Formats.q268XmlRoundtrip _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -314,7 +316,7 @@ object SparkEntry {
     "q208_stream_asof", "q225_window_rollup", "q226_state_introspect",
     "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk",
     "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma",
-    "q258_stream_alerts", "q266_stream_map_state")
+    "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -784,6 +786,8 @@ object SparkEntry {
     "q264_data_recipe"     -> TextQueries.q264Sql,
     "q265_dedup_roi"       -> Dedup.q265Sql,
     "q266_stream_map_state" -> graft.streaming.Streaming.q266Sql,
+    "q267_stream_last_k"   -> graft.streaming.Streaming.q267Sql,
+    "q268_xml_roundtrip"   -> Formats.q268Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

@@ -312,4 +312,45 @@ object Formats {
          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0
            AS sum_value
        FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** q268 — XML SOURCE ROUNDTRIP: Spark 4 folded the spark-xml
+    * connector into core; this exercises it the q49/q63 way — write a
+    * projection of events as `<event>` rows, read it back through the
+    * XML reader WITH a declared schema (inference would widen
+    * everything to strings), and aggregate the read-back rows. The
+    * oracle aggregates the original table, so the gate asserts the
+    * roundtrip is LOSSLESS: Java's shortest-roundtrip double printing
+    * plus a declared DoubleType read reproduces every value bit-for-bit
+    * (`ts` is deliberately excluded — XML timestamp text formats are a
+    * documented lossy edge, the same reason q63's sink pins parquet).
+    *
+    * Scale: both write and read are ordinary per-partition datasource
+    * work; the aggregate is the only shuffle. */
+  def q268XmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, sfDir)
+      .filter($"event_id" % 10 === 0)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val dir = Files.createTempDirectory("graft-xml-").toString
+    base.write.mode("overwrite").format("xml")
+      .option("rowTag", "event").save(s"$dir/xml")
+    val back = spark.read.format("xml")
+      .option("rowTag", "event").schema(base.schema).load(s"$dir/xml")
+    val result = TempIo.materialize(spark,
+      back.groupBy($"event_type")
+        .agg(count(lit(1)).as("counts"),
+          sum($"event_id").as("sum_id"),
+          Exact.sumExact($"value", 2).as("sum_value"))
+        .orderBy($"event_type"))
+    TempIo.deleteRecursively(dir)
+    result
+  }
+
+  def q268Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS counts,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) / 100.0
+         AS sum_value
+       FROM events WHERE event_id % 10 = 0
+       GROUP BY event_type ORDER BY event_type"""
 }

@@ -2073,4 +2073,118 @@ object Streaming {
     """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS counts
        FROM events GROUP BY user_id, event_type
        ORDER BY user_id, event_type"""
+
+  /** q267 recent-activity buffer depth. */
+  val LastK = 5
+
+  /** q267's [[org.apache.spark.sql.streaming.StatefulProcessor]]: TWO
+    * named state variables per key — a ListState holding the last
+    * [[LastK]] event ids (TRIMMED every batch: the buffer is the state
+    * contract, so state stays O(K) per key no matter how long the
+    * stream runs) and a ValueState with the cumulative event count.
+    * With q266's MapState and q96's ValueState this exercises all
+    * three state-v2 variable kinds, plus the multiple-named-variables
+    * capability that the old one-blob APIs lacked. Trimming is
+    * correct because arrival order IS event-time order here (in-order
+    * carve + per-batch sort): the global last-K is always a suffix of
+    * (previous last-K ++ this batch). */
+  private[graft] class LastKProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, String)] {
+    @transient private var buf
+      : org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var nSeen
+      : org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[Long]("lastk",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String)] = {
+      val batch = rows.toArray.sortBy(e => (e._2, e._3))
+      val merged = (buf.get().toSeq ++ batch.map(_._3)).takeRight(LastK)
+      buf.put(merged.toArray)
+      val n = (if (nSeen.exists()) nSeen.get() else 0L) + batch.length
+      nSeen.update(n)
+      Iterator.single((key, n, merged.mkString(",")))
+    }
+  }
+
+  /** q267 — LIST STATE under streaming: each user's rolling
+    * last-[[LastK]] event-id buffer (the "recent activity" feature
+    * online models read) maintained across the quarter replay with a
+    * per-batch trim, so state is bounded by K — the property that
+    * distinguishes a production recent-N buffer from q250's unbounded
+    * history-dependent folds. Drained result equals the batch
+    * "5 most recent events per user, in time order" — the oracle. */
+  def q267StreamLastK(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = TempIo.createTempDir("graft-lastk-src-")
+      writeTimeQuarterChunks(spark, sfDir, src)
+      val chunkSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val updates = spark.readStream
+        .schema(chunkSchema)
+        .option("pathGlobFilter", "chunk*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new LastKProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long, String)]])
+      val q = updates.toDF("user_id", "n_events", "last5")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("lastk_state")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = TempIo.materialize(spark,
+        spark.table("lastk_state")
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"),
+            max_by($"last5", $"n_events").as("last5"))
+          .orderBy($"user_id"))
+      TempIo.deleteRecursively(src)
+      result
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** The 5 most recent events per user, reported oldest-first —
+    * exactly the trimmed buffer's content after the drain. */
+  def q267Sql: String =
+    s"""WITH base AS (
+         SELECT user_id, event_id, ts,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+         string_agg(CASE WHEN rn <= $LastK
+           THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY ts, event_id)
+           AS last5
+       FROM base GROUP BY user_id ORDER BY user_id"""
 }

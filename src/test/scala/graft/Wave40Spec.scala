@@ -44,4 +44,25 @@ class Wave40Spec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
   }
+
+  test("q267 ListState buffer holds exactly the K most recent events per user") {
+    import spark.implicits._
+    val res = graft.streaming.Streaming.q267StreamLastK(spark, sf)
+      .withColumn("k", size(split($"last5", ",")))
+    assert(res.filter($"n_events" >= graft.streaming.Streaming.LastK &&
+      $"k" =!= graft.streaming.Streaming.LastK).count() === 0,
+      "a user with >= K events must report a full buffer")
+    assert(res.filter($"n_events" < graft.streaming.Streaming.LastK &&
+      $"k" =!= $"n_events").count() === 0,
+      "a user with < K events reports them all")
+  }
+
+  test("q268 XML roundtrip conserves rows and the exact value sum") {
+    import spark.implicits._
+    val res = graft.engine.Formats.q268XmlRoundtrip(spark, sf)
+    val n = res.agg(sum($"counts")).head.getLong(0)
+    assert(n === Tables.events(spark, sf)
+      .filter($"event_id" % 10 === 0).count(),
+      "every written <event> row must read back")
+  }
 }
