@@ -517,9 +517,9 @@ object Dedup {
     // moving each set once rather than once per candidate shingle.
     val docSets = docShingleSets(spark, sfDir)
     cand
-      .join(broadcast(docSets.select($"doc_id".as("doc_a"), $"set".as("set_a"))),
+      .join(docSets.select($"doc_id".as("doc_a"), $"set".as("set_a")),
         "doc_a")
-      .join(broadcast(docSets.select($"doc_id".as("doc_b"), $"set".as("set_b"))),
+      .join(docSets.select($"doc_id".as("doc_b"), $"set".as("set_b")),
         "doc_b")
       .withColumn("n_common",
         graft.functions.VectorExpressions.sorted_intersect_count(
@@ -675,8 +675,8 @@ object Dedup {
     val cand = q21MinhashLsh(spark, sfDir)
     val sets = docShingleSets(spark, sfDir)
     val judged = cand
-      .join(broadcast(sets.select($"doc_id".as("doc_a"), $"set".as("set_a"))), "doc_a")
-      .join(broadcast(sets.select($"doc_id".as("doc_b"), $"set".as("set_b"))), "doc_b")
+      .join(sets.select($"doc_id".as("doc_a"), $"set".as("set_a")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"set".as("set_b")), "doc_b")
       .withColumn("n_common",
         graft.functions.VectorExpressions.sorted_intersect_count($"set_a", $"set_b"))
       .withColumn("is_true",
@@ -1059,8 +1059,9 @@ object Dedup {
     * Scale: probes are a broadcast-small side; the candidate join is
     * keyed by the rarest shingle against the (doc_id, shingle) posting
     * frame (never all-pairs), and verification touches candidates
-    * only. The docSets broadcast carries q102's documented caveat:
-    * at corpus scale drop the hint and the fetch runs doc_id-keyed. */
+    * only; the set fetch is doc_id-keyed with NO broadcast hint — the
+    * sets frame is corpus-sized, so AQE broadcasts the (small)
+    * candidate side instead, which also holds at 100 TB. */
   def q239ContainmentJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1084,7 +1085,7 @@ object Dedup {
     val cand = sh.join(broadcast(probeKeys), "sh")
       .select($"probe_id", $"qsize", $"qset", $"doc_id")
     val docSets = docShingleSets(spark, sfDir)
-    cand.join(broadcast(docSets), "doc_id")
+    cand.join(docSets, "doc_id")
       .withColumn("n_common",
         graft.functions.VectorExpressions.sorted_intersect_count(
           $"qset", $"set"))
@@ -1144,8 +1145,8 @@ object Dedup {
     val sh = distinctShingles(spark, sfDir)
     val sets = docShingleSets(spark, sfDir)
     val verified = cand
-      .join(broadcast(sets.select($"doc_id".as("doc_a"), $"set".as("sa"))), "doc_a")
-      .join(broadcast(sets.select($"doc_id".as("doc_b"), $"set".as("sb"))), "doc_b")
+      .join(sets.select($"doc_id".as("doc_a"), $"set".as("sa")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"set".as("sb")), "doc_b")
       .withColumn("inter",
         graft.functions.VectorExpressions.sorted_intersect_count($"sa", $"sb"))
       .withColumn("jpm", expr(
