@@ -277,6 +277,7 @@ object SparkEntry {
     "q266_stream_map_state" -> graft.streaming.Streaming.q266StreamTypeCounts _,
     "q267_stream_last_k"   -> graft.streaming.Streaming.q267StreamLastK _,
     "q268_xml_roundtrip"   -> Formats.q268XmlRoundtrip _,
+    "q269_shuffle_quality" -> Relational30.q269ShuffleQuality _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -788,6 +789,7 @@ object SparkEntry {
     "q266_stream_map_state" -> graft.streaming.Streaming.q266Sql,
     "q267_stream_last_k"   -> graft.streaming.Streaming.q267Sql,
     "q268_xml_roundtrip"   -> Formats.q268Sql,
+    "q269_shuffle_quality" -> Relational30.q269Sql,
     "q207_dynamic_gap"      -> graft.streaming.Sessionize.q207Sql,
     "q208_stream_asof"      -> graft.streaming.Streaming.q208Sql,
     "q209_cdc_deletes"      -> Relational21.q209Sql,

@@ -3,10 +3,10 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Thirty-eighth query wave — table-service planning: incremental
-  * OPTIMIZE (which clustered files must a new batch rewrite, q261) and
-  * materialized-view routing (answer each query from the coarsest
-  * rollup-compatible aggregate, q262).
+/** Thirty-eighth query wave and successors — table-service planning
+  * and training-run planning: incremental OPTIMIZE (q261),
+  * materialized-view routing (q262), priority allocation via prefix
+  * sums (q263), and training-order shuffle quality (q269).
   */
 object Relational30 {
 
@@ -290,4 +290,87 @@ object Relational30 {
          CAST(sum(alloc) AS BIGINT) AS allocated_cents,
          (SELECT fill_rate_ppm FROM fr) AS fill_rate_ppm
        FROM cls GROUP BY status ORDER BY status"""
+
+  /** q269 — TRAINING-ORDER SHUFFLE QUALITY: before a corpus feeds SGD,
+    * it must be globally shuffled — consecutive same-source documents
+    * correlate gradients and measurably hurt training. This audit
+    * quantifies the shuffle: under the source-sorted order (worst
+    * case) and the md5(doc_id) order (the pipeline's deterministic
+    * shuffle, q80's discipline), count same-source ADJACENCIES in the
+    * global sequence. Sorted order yields n − |sources|; a good
+    * shuffle lands near the multinomial expectation Σ n_s·(n_s−1)/(n−1)
+    * — reported alongside so the verdict is a number, not a vibe
+    * (rate_ppm vs expected_ppm). Same machinery as q251: DistRank
+    * global ranks (never a single-partition window), adjacency via the
+    * rn = prev.rn + 1 equi join.
+    *
+    * The md5 order key uses the first 12 hex digits (48 bits — no
+    * collisions in any realistic corpus, and a collision would only
+    * make two docs adjacent-order-swapped, which the tie column
+    * resolves deterministically anyway). */
+  def q269ShuffleQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+          .as("hk"),
+        // source-sorted composite: dense source index would need a join;
+        // hashing the source name to the high bits keeps one numeric key
+        expr("CAST(conv(substring(md5(source), 1, 7), 16, 10) AS BIGINT)" +
+          " * 4294967296 + doc_id").as("sk"))
+      .localCheckpoint()
+    val exp = docs.groupBy($"source").agg(count(lit(1)).as("ns"))
+      .agg(sum($"ns").as("n"),
+        sum($"ns" * ($"ns" - 1)).as("pairSum"))
+      .select($"n", expr("pairSum * 1000000 div (n * (n - 1))").as("expected_ppm"))
+    def adjacencies(key: String, label: String): DataFrame = {
+      val ranked = DistRank.withRank(docs, key, "doc_id", "rn", desc = false)
+        .select($"rn", $"source")
+      val prev = ranked.select(($"rn" + 1).as("rn"), $"source".as("psrc"))
+      ranked.join(prev, "rn")
+        .agg(sum(when($"source" === $"psrc", 1L).otherwise(0L)).as("same_adj"),
+          count(lit(1)).as("n_adj"))
+        .select(lit(label).as("ordering"), $"same_adj", $"n_adj",
+          expr("same_adj * 1000000 div n_adj").as("rate_ppm"))
+    }
+    adjacencies("sk", "1_source_sorted")
+      .unionByName(adjacencies("hk", "2_md5_shuffled"))
+      .crossJoin(broadcast(exp.select($"expected_ppm")))
+      .orderBy($"ordering")
+  }
+
+  def q269Sql: String =
+    """WITH docs AS (
+         SELECT doc_id, source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+             AS hk,
+           CAST(('0x' || substr(md5(source), 1, 7)) AS BIGINT)
+             * 4294967296 + doc_id AS sk
+         FROM documents),
+       e AS (
+         SELECT CAST(sum(ns) AS BIGINT) AS n,
+           CAST(sum(ns * (ns - 1)) AS BIGINT) AS pairSum
+         FROM (SELECT source, count(*) AS ns FROM docs GROUP BY 1)),
+       expv AS (SELECT pairSum * 1000000 // (n * (n - 1)) AS expected_ppm FROM e),
+       srt AS (
+         SELECT source, lag(source) OVER (ORDER BY sk, doc_id) AS psrc
+         FROM docs),
+       shf AS (
+         SELECT source, lag(source) OVER (ORDER BY hk, doc_id) AS psrc
+         FROM docs),
+       rows_s AS (
+         SELECT '1_source_sorted' AS ordering,
+           CAST(sum(CASE WHEN source = psrc THEN 1 ELSE 0 END) AS BIGINT)
+             AS same_adj,
+           CAST(count(*) - 1 AS BIGINT) AS n_adj
+         FROM srt
+         UNION ALL
+         SELECT '2_md5_shuffled',
+           CAST(sum(CASE WHEN source = psrc THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) - 1 AS BIGINT)
+         FROM shf)
+       SELECT ordering, same_adj, n_adj,
+         same_adj * 1000000 // n_adj AS rate_ppm,
+         (SELECT expected_ppm FROM expv) AS expected_ppm
+       FROM rows_s ORDER BY ordering"""
 }

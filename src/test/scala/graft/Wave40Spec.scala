@@ -57,6 +57,18 @@ class Wave40Spec extends SparkTestBase {
       "a user with < K events reports them all")
   }
 
+  test("q269 md5 shuffle lands near multinomial expectation; sorted order does not") {
+    val rows = graft.engine.Relational30.q269ShuffleQuality(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("rate_ppm"), r.getAs[Long]("expected_ppm"))).toMap
+    val (shufRate, expect) = rows("2_md5_shuffled")
+    val (sortRate, _) = rows("1_source_sorted")
+    assert(sortRate > 10 * expect,
+      "source-sorted order must be grossly clustered vs expectation")
+    assert(shufRate < 3 * expect + 20000,
+      s"the md5 shuffle must sit near the multinomial rate: $shufRate vs $expect")
+  }
+
   test("q268 XML roundtrip conserves rows and the exact value sum") {
     import spark.implicits._
     val res = graft.engine.Formats.q268XmlRoundtrip(spark, sf)
