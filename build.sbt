@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// `compile` alone must yield a RUNNABLE classes dir: the graftsink
+// DataSourceV2 short name resolves via the ServiceLoader file in
+// src/main/resources/META-INF/services, and tools/run.sh points a bare
+// java at target/scala-2.13/classes — so resource copying can't wait
+// for `products`/`package`.
+Compile / compile := (Compile / compile).dependsOn(Compile / copyResources).value
 // Forked `run` output must reach stdout RAW — the driver parses
 // graft.Bench's one-line JSON, and sbt's default LoggedOutput would
 // prefix every line with "[info] " and break that parse.

@@ -278,6 +278,7 @@ object SparkEntry {
     "q267_stream_last_k"   -> graft.streaming.Streaming.q267StreamLastK _,
     "q268_xml_roundtrip"   -> Formats.q268XmlRoundtrip _,
     "q269_shuffle_quality" -> Relational30.q269ShuffleQuality _,
+    "q270_graftsink_roundtrip" -> graft.streaming.Streaming.q270GraftSinkRoundtrip _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -317,7 +318,8 @@ object SparkEntry {
     "q208_stream_asof", "q225_window_rollup", "q226_state_introspect",
     "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk",
     "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma",
-    "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k")
+    "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k",
+    "q270_graftsink_roundtrip")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -620,6 +622,9 @@ object SparkEntry {
     // the foreachBatch store roundtrip preserves rows exactly like the
     // parquet-sink roundtrip — q63's oracle is the contract for both.
     "q86_foreach_sink"      -> graft.streaming.Streaming.q63Sql,
+    // same roundtrip contract through the graftsink DataSourceV2
+    // connector (write + read both via the provider)
+    "q270_graftsink_roundtrip" -> graft.streaming.Streaming.q63Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

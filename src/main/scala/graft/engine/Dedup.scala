@@ -65,10 +65,29 @@ object Dedup {
     * engine models exactly that. At real scale the checkpoint becomes
     * a persisted bucketed table (same note as Dedup's shared-derivation
     * checkpoints). */
+  /** Session-validating memoization for localCheckpoint'ed shared
+    * derivations: checkpoint blocks live on the CREATING session's
+    * executors, so a cached frame is only reusable by the session that
+    * built it. A hit from a different session (same-JVM session
+    * restart, or two sessions sharing the JVM) evicts the stale entry —
+    * best-effort unpersisting its blocks — and rebuilds, instead of
+    * silently serving a frame bound to a dead session. */
+  private def memoByDir(cache: scala.collection.concurrent.TrieMap[String, DataFrame],
+      spark: SparkSession, sfDir: String)(build: => DataFrame): DataFrame =
+    cache.get(sfDir) match {
+      case Some(df) if df.sparkSession eq spark => df
+      case stale =>
+        stale.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+        val built = build
+        cache.put(sfDir, built)
+        built
+    }
+
   private val bandsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def corpusBands(spark: SparkSession, sfDir: String): DataFrame =
-    bandsCache.getOrElseUpdate(sfDir,
-      bandsUncached(Tables.documents(spark, sfDir)).localCheckpoint())
+    memoByDir(bandsCache, spark, sfDir) {
+      bandsUncached(Tables.documents(spark, sfDir)).localCheckpoint()
+    }
 
   private def bandsUncached(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -463,14 +482,14 @@ object Dedup {
   // index once and every consumer reads it.
   private val shinglesCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
-    shinglesCache.getOrElseUpdate(sfDir, {
+    memoByDir(shinglesCache, spark, sfDir) {
       import spark.implicits._
       Tables.documents(spark, sfDir)
         .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
         .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
         .distinct()
         .localCheckpoint()
-    })
+    }
 
   /** Per-doc SORTED shingle sets over [[distinctShingles]] — the
     * broadcast ground-truth frame both q102's verification and q132's
@@ -478,12 +497,12 @@ object Dedup {
     * precision sides of the pairing can never diverge). */
   private val setsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def docShingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    setsCache.getOrElseUpdate(sfDir, {
+    memoByDir(setsCache, spark, sfDir) {
       import spark.implicits._
       distinctShingles(spark, sfDir).groupBy($"doc_id")
         .agg(sort_array(collect_set($"sh")).as("set"))
         .localCheckpoint()
-    })
+    }
 
   def q102PrefixSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -71,4 +71,45 @@ object DistRank {
       .withColumn(rankName, col(off) + col(lrn))
       .drop(b, lrn, off)
   }
+
+  /** Adds `outName` = the running max of `value` over the GLOBAL order
+    * (`key` asc, `tie` asc) — the scale-safe replacement for
+    * `max(v) OVER (ORDER BY key, tie ROWS UNBOUNDED PRECEDING)`, whose
+    * physical plan funnels every row through one WindowExec partition.
+    *
+    * Same two-level discipline as [[withRank]]: percentile_approx cut
+    * points bucket rows order-preservingly by `key` (equal keys share a
+    * bucket, so intra-bucket (key, tie) sorts resolve the global order);
+    * each bucket computes its LOCAL running max in parallel; each
+    * bucket's overall max feeds a |buckets|-row triangular broadcast
+    * join that yields the exclusive prefix max of all EARLIER buckets;
+    * global running max = greatest(local running max, prefix max).
+    * Spark's `greatest` ignores nulls, so the first bucket (null
+    * prefix) degrades to its local running max — exact. */
+  def withRunningMax(df: DataFrame, key: String, tie: String, value: String,
+      outName: String, nBuckets: Int = 16): DataFrame = {
+    require(nBuckets > 1, "nBuckets must exceed 1")
+    val b = s"__b_$outName"
+    val lmax = s"__lmax_$outName"
+    val pmax = s"__pmax_$outName"
+    val probs = typedlit((1 until nBuckets).map(_.toDouble / nBuckets))
+    val cuts = df.agg(
+      percentile_approx(col(key), probs, lit(10000)).as("__cuts"))
+    val bucketed = df.crossJoin(broadcast(cuts))
+      .withColumn(b,
+        expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
+      .drop("__cuts")
+    val local = bucketed.withColumn(lmax,
+      max(col(value)).over(Window.partitionBy(col(b))
+        .orderBy(col(key).asc, col(tie).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bmax = bucketed.groupBy(col(b)).agg(max(col(value)).as("__bm"))
+    val earlier = bmax.select(col(b).as("__ob"), col("__bm").as("__obm"))
+    val prefixes = bmax.join(broadcast(earlier), col("__ob") < col(b), "left")
+      .groupBy(col(b))
+      .agg(max(col("__obm")).as(pmax))
+    local.join(broadcast(prefixes), b)
+      .withColumn(outName, greatest(col(lmax), col(pmax)))
+      .drop(b, lmax, pmax)
+  }
 }

@@ -310,21 +310,19 @@ object Relational13 {
     * integer arithmetic (a real deployment orders by ingest offset
     * instead). Lateness lands in integer-decade buckets via a CASE
     * ladder — integer compares only, no float log near bucket edges.
-    * The running max is a window over the global arrival order — the
-    * honest formulation for ONE log; production runs it per ingest
-    * partition (PARTITION BY kafka_partition), the same plan with a
-    * partitioned window. */
+    * The running max over the global arrival order is computed with the
+    * two-level [[DistRank.withRunningMax]] discipline (bucketed local
+    * running maxima + a tiny exclusive-prefix bounds frame), so no
+    * WindowExec sees more than one bucket's rows — the same plan shape
+    * a production run gets from PARTITION BY kafka_partition, derived
+    * here from a deterministic synthetic ingest-partition key. */
   def q168OooAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val arrival = Window.orderBy($"ak", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(spark, sfDir)
+    val arrived = Tables.events(spark, sfDir)
       .select($"event_id", unix_micros($"ts").as("us"))
       .withColumn("ak", expr("event_id + (event_id * event_id) % 97 - 48"))
-      .withColumn("late_min",
-        expr("(max(us) OVER (ORDER BY ak, event_id" +
-          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us)" +
-          " div 60000000"))
+    DistRank.withRunningMax(arrived, "ak", "event_id", "us", "run_max", 32)
+      .withColumn("late_min", expr("(run_max - us) div 60000000"))
       .withColumn("bucket",
         when($"late_min" === 0, 0)
           .when($"late_min" < 10, 1)

@@ -119,7 +119,7 @@ object Relational25 {
           CAST(sum(trailing_cents) AS BIGINT) AS sum_trailing_cents
         FROM f GROUP BY 1, 2 ORDER BY event_type, trailing_n"""
 
-  val Q242Iters = 3
+  val Q242Iters = 5
   val Q242TopN = 20
 
   /** q242 — PageRank (damping 0.85, [[Q242Iters]] fixed iterations) on
@@ -160,6 +160,11 @@ object Relational25 {
       .localCheckpoint()
     var ranks = deg.select($"node", lit(1000000L).as("r"))
     (1 to Q242Iters).foreach { _ =>
+      // localCheckpoint per iteration: plan depth stays constant across
+      // the loop (one join-agg deep) instead of accreting the whole
+      // iteration history — the discipline that lets the iteration
+      // count grow without the optimizer re-planning an ever-taller
+      // tree. (At cluster scale: checkpoint to storage instead.)
       ranks = ranks.join(deg, "node")
         .withColumn("contrib", expr("r div outdeg"))
         .join(edges, $"node" === $"src")
@@ -167,6 +172,7 @@ object Relational25 {
         .agg(sum($"contrib").as("in_sum"))
         .select($"dst".as("node"),
           (lit(150000L) + expr("850L * in_sum div 1000")).as("r"))
+        .localCheckpoint()
     }
     ranks.filter($"node".startsWith("s"))
       .join(deg, "node")
@@ -192,13 +198,11 @@ object Relational25 {
           UNION ALL SELECT s AS src, c AS dst FROM pairs),
         deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
-        ${step("r0", "r1")},
-        ${step("r1", "r2")},
-        ${step("r2", "r3")}
-        SELECT r3.node, CAST(d.outdeg AS BIGINT) AS n_partners,
-          CAST(r3.r AS BIGINT) AS rank_units
-        FROM r3 JOIN deg d ON d.node = r3.node
-        WHERE r3.node LIKE 's%'
-        ORDER BY rank_units DESC, r3.node LIMIT $Q242TopN"""
+        ${(1 to Q242Iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n        ")}
+        SELECT rf.node, CAST(d.outdeg AS BIGINT) AS n_partners,
+          CAST(rf.r AS BIGINT) AS rank_units
+        FROM r$Q242Iters rf JOIN deg d ON d.node = rf.node
+        WHERE rf.node LIKE 's%'
+        ORDER BY rank_units DESC, rf.node LIMIT $Q242TopN"""
   }
 }

@@ -166,10 +166,27 @@ object Relational26 {
       .filter($"p" >= 0 && $"p" + $"glen" <= $"la")
       .select($"nm".as("nm_a"), $"i", $"lb",
         expr("substring(nm, p + 1, glen)").as("gram"))
+    // Short-string completion: the pigeonhole signatures only cover
+    // partners of length ≥ τ+1 (the `lb >= EdChunks` guard — shorter
+    // strings can't donate a non-empty chunk per piece), so any pair
+    // involving a name with < τ+1 characters would silently never
+    // become a candidate. Those names form a DOMAIN-bounded set (at
+    // most |Σ|^τ strings exist below the cutoff; for this catalog it is
+    // empty), so they pair directly against the length-proximate slice
+    // via a broadcast — completeness restored without touching the
+    // fact-scale signature join.
+    val shorts = names.filter($"la" < EdChunks)
+      .select($"nm".as("nm_s"), $"la".as("ls"))
+    val shortPairs = names.select($"nm".as("nm_o"), $"la".as("lo"))
+      .join(broadcast(shorts),
+        abs($"lo" - $"ls") <= EdTau && $"nm_s" =!= $"nm_o")
+      .select(least($"nm_s", $"nm_o").as("name_a"),
+        greatest($"nm_s", $"nm_o").as("name_b"))
     val cand = probes.join(idx, Seq("i", "gram", "lb"))
       .filter($"nm_a" =!= $"nm_b")
       .select(least($"nm_a", $"nm_b").as("name_a"),
         greatest($"nm_a", $"nm_b").as("name_b"))
+      .unionByName(shortPairs)
       .distinct()
     val verified = cand
       .withColumn("dist",

@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, min, timestamp_micros, to_date}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table access layer for the driver-generated parquet tables
@@ -159,10 +159,32 @@ object Tables {
         case e: Exception => Seq(s"$name: unreadable — ${e.getMessage}")
       }
     }
-    if (problems.nonEmpty) throw new IllegalStateException(
+    // Value-domain pins: cross-engine integer division (`div` truncates
+    // toward zero, DuckDB's `//` floors) agrees only on non-negative
+    // operands, and several queries lean on these fixture facts —
+    // events.value ≥ 0 (EWMA folds, cents grids) and l_shipdate ≥
+    // 1995-01-01 (q251/q257 ship_day = datediff from that epoch). A
+    // fixture drift to negative territory must flag HERE, not as an
+    // inscrutable hash mismatch. One min() aggregate per table — scan
+    // cost is two parquet stats reads.
+    val domainProblems =
+      if (problems.nonEmpty) Nil // schema already broken; don't scan
+      else {
+        val evMin = events(spark, sfDir).agg(min(col("value"))).head.getDouble(0)
+        val shipMin = lineitem(spark, sfDir)
+          .agg(min(to_date(col("l_shipdate")))).head.getDate(0)
+        (if (evMin < 0.0)
+          Seq(s"events.value: min $evMin < 0 — truncating vs flooring " +
+            "integer division diverge; audit every div/`//` site") else Nil) ++
+        (if (shipMin.before(java.sql.Date.valueOf("1995-01-01")))
+          Seq(s"lineitem.l_shipdate: min $shipMin precedes 1995-01-01 — " +
+            "ship_day (q251/q257) goes negative; audit its div sites") else Nil)
+      }
+    val allProblems = problems ++ domainProblems
+    if (allProblems.nonEmpty) throw new IllegalStateException(
       "FIXTURE CONTRACT DRIFT at " + sfDir + " — the driver regenerated " +
         "testdata with a different physical schema. Fix the readers " +
         "(Tables.normalizeTs and friends), do NOT chase per-query errors:\n  " +
-        problems.mkString("\n  "))
+        allProblems.mkString("\n  "))
   }
 }

@@ -1,0 +1,244 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graftsink` — a minimal file-backed DataSourceV2 connector with the
+  * APPEND COMMIT PROTOCOL an external-store sink actually exercises:
+  * the reference appends micro-batch aggregate rows to MongoDB
+  * (spark-app/src/main/scala/streamingConsumer/consumer.scala:176-181),
+  * i.e. a connector whose writer tasks run on EXECUTORS, whose commit
+  * is coordinated by the driver, and whose failed/aborted writes must
+  * leave no partial data behind. `foreachBatch` (q86/q228) stands in
+  * for the CALLBACK shape; this provider stands in for the CONNECTOR
+  * shape — `df.write.format("graftsink")` / `spark.read.format(...)` —
+  * with the full V2 handshake: TableProvider → Table(SupportsWrite +
+  * SupportsRead) → WriteBuilder → BatchWrite → per-task DataWriter.
+  *
+  * Commit protocol (two-phase, the same discipline as Spark's own
+  * FileBatchWrite, scaled down):
+  *   1. every task writer streams length-prefixed UnsafeRow bytes to a
+  *      private file under `<path>/_staging/<queryId>/` — invisible to
+  *      readers, which only list `part-*.graft`;
+  *   2. the task's `commit()` seals the file and ships its name to the
+  *      driver as the WriterCommitMessage;
+  *   3. the job-level `BatchWrite.commit` MOVEs each staged file into
+  *      the table directory (same-filesystem rename — the atomic
+  *      publish step) and reclaims the staging dir;
+  *   4. `BatchWrite.abort` (job failure) and `DataWriter.abort` (task
+  *      failure) delete staged output only — previously committed
+  *      part files are never touched, so an aborted append leaves the
+  *      table exactly as it was (spec-asserted in GraftSinkSpec).
+  *
+  * Storage is executor-written local files of UnsafeRow bytes (the
+  * zero-copy wire format Spark's own shuffle uses): no row ever
+  * transits the driver in either direction, which is the 100 TB
+  * posture a real connector must have. Schema travels with the table
+  * as `_schema.json`, written at first commit, so `spark.read` needs
+  * no user-supplied schema. Scans parallelize one task per part file.
+  */
+class GraftSinkProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftsink"
+
+  // Writes take the query's own schema (no inference round-trip);
+  // reads without a user schema infer from the committed _schema.json.
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = GraftSinkProvider.requirePath(options.asScala.toMap)
+    val f = new File(path, GraftSinkProvider.SchemaFile)
+    require(f.isFile,
+      s"graftsink table at $path has no ${GraftSinkProvider.SchemaFile} " +
+        "(nothing committed yet) and no user schema was supplied")
+    DataType.fromJson(new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      .asInstanceOf[StructType]
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = GraftSinkProvider.requirePath(properties.asScala.toMap)
+    new GraftTable(schema, path)
+  }
+}
+
+object GraftSinkProvider {
+  val SchemaFile = "_schema.json"
+  val StagingDir = "_staging"
+  val PartPrefix = "part-"
+  val PartSuffix = ".graft"
+
+  private[sources] def requirePath(opts: Map[String, String]): String =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graftsink requires a 'path' option"))
+
+  private[graft] def listParts(path: String): Array[File] = {
+    val d = new File(path)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(PartPrefix) &&
+        f.getName.endsWith(PartSuffix))
+      .sortBy(_.getName)
+  }
+}
+
+private[sources] class GraftTable(tableSchema: StructType, path: String)
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"graftsink:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftBatchWrite(info.schema(), path, info.queryId())
+      }
+    }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftScan(tableSchema, path)
+    }
+}
+
+private[sources] case class GraftCommitMessage(stagedPath: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class GraftBatchWrite(schema: StructType, path: String,
+    queryId: String) extends BatchWrite {
+
+  private def stagingRoot = new File(new File(path, GraftSinkProvider.StagingDir), queryId)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(schema, stagingRoot.getAbsolutePath)
+
+  /** Publish: same-filesystem rename of each sealed staging file into
+    * the table dir, then the schema sidecar, then staging reclamation.
+    * A crash between renames can duplicate no data (each file moves
+    * once) and a crash before any rename publishes nothing. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dest = new File(path)
+    dest.mkdirs()
+    messages.foreach {
+      case GraftCommitMessage(staged, _) =>
+        val name = GraftSinkProvider.PartPrefix + UUID.randomUUID().toString +
+          GraftSinkProvider.PartSuffix
+        Files.move(Paths.get(staged), Paths.get(path, name),
+          StandardCopyOption.ATOMIC_MOVE)
+      case other => throw new IllegalStateException(s"alien commit message: $other")
+    }
+    val schemaFile = new File(dest, GraftSinkProvider.SchemaFile)
+    if (!schemaFile.isFile)
+      Files.write(schemaFile.toPath, schema.json.getBytes("UTF-8"))
+    graft.engine.TempIo.deleteRecursively(stagingRoot.getAbsolutePath)
+  }
+
+  /** Job abort: reclaim this query's staging dir ONLY — committed part
+    * files from earlier appends are outside it and stay intact. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    graft.engine.TempIo.deleteRecursively(stagingRoot.getAbsolutePath)
+}
+
+private[sources] class GraftWriterFactory(schema: StructType, stagingRoot: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(schema, stagingRoot, partitionId, taskId)
+}
+
+/** Executor-side writer: length-prefixed UnsafeRow bytes to one private
+  * staging file. `UnsafeProjection` normalizes whatever InternalRow
+  * shape the plan emits to the contiguous binary form. */
+private[sources] class GraftDataWriter(schema: StructType, stagingRoot: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val file = {
+    val d = new File(stagingRoot)
+    d.mkdirs()
+    new File(d, s"w-$partitionId-$taskId.bin")
+  }
+  private val out = new DataOutputStream(
+    new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+  private val proj = UnsafeProjection.create(schema)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val u = proj(row)
+    val bytes = u.getBytes
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftCommitMessage(file.getAbsolutePath, rows)
+  }
+
+  /** Task abort: delete this task's staged file — nothing else. */
+  override def abort(): Unit = {
+    out.close()
+    file.delete(): Unit
+  }
+
+  override def close(): Unit = out.close()
+}
+
+private[sources] class GraftScan(schema: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftSinkProvider.listParts(path)
+      .map(f => GraftInputPartition(f.getAbsolutePath): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(schema.length)
+}
+
+private[sources] case class GraftInputPartition(file: String) extends InputPartition
+
+private[sources] class GraftReaderFactory(numFields: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition].file, numFields)
+}
+
+private[sources] class GraftPartitionReader(file: String, numFields: Int)
+    extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(
+    new BufferedInputStream(new FileInputStream(file), 1 << 16))
+  private var current: UnsafeRow = _
+
+  override def next(): Boolean = {
+    val len =
+      try in.readInt()
+      catch { case _: EOFException => -1 }
+    if (len < 0) false
+    else {
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val row = new UnsafeRow(numFields)
+      row.pointTo(bytes, len)
+      current = row
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

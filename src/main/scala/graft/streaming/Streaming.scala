@@ -282,6 +282,45 @@ object Streaming {
     result
   }
 
+  /** q270 — S6 through the CONNECTOR shape: q86's foreachBatch callback
+    * stands in for "call any batch writer"; this variant is the other
+    * half of the reference's MongoDB contract
+    * (consumer.scala:176-181) — a connector whose per-task writers run
+    * on EXECUTORS and whose append is published by a two-phase commit.
+    * Each micro-batch appends through the custom `graftsink`
+    * DataSourceV2 provider ([[graft.sources.GraftSinkProvider]]:
+    * staging files → task commit messages → driver-side atomic rename;
+    * abort leaves no partial data, spec-asserted in GraftSinkSpec),
+    * then the store is read back THROUGH the provider — one scan task
+    * per committed part file, no row ever transiting the driver in
+    * either direction — and aggregated per (date, hour): the q63/q86
+    * shared roundtrip oracle. */
+  def q270GraftSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = TempIo.createTempDir("graft-dsv2-")
+    val ckpt = TempIo.createTempDir("graft-dsv2-ckpt-")
+    try {
+      val q = projectIngest(readEventsStream(spark, sfDir))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.format("graftsink").mode("append")
+            .option("path", out).save()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      TempIo.materialize(spark,
+        spark.read.format("graftsink").load(out)
+          .groupBy($"date", $"hour")
+          .agg(count(lit(1)).as("counts"), countDistinct($"key").as("n_keys"))
+          .orderBy($"date", $"hour"))
+    } finally {
+      TempIo.deleteRecursively(out)
+      TempIo.deleteRecursively(ckpt)
+    }
+  }
+
   /** q228 — STREAMING DEAD-LETTER SPLIT: one stream fanned out to a
     * clean sink and a quarantine sink inside a single foreachBatch —
     * the production hygiene pattern q202 demonstrates for batch, under
@@ -448,14 +487,9 @@ object Streaming {
     val deduped = readEventsStream(spark, sfDir)
       .select($"user_id", $"event_type")
       .dropDuplicates("user_id", "event_type")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("stream_dedup")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("stream_dedup")
+    // Distinct user×type keys grow with the user population, so the
+    // drain goes through the distributed file sink, never the driver.
+    drainToFileSink(spark, deduped)
       .select($"user_id", $"event_type")
       .orderBy($"user_id", $"event_type")
   }
@@ -471,14 +505,8 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .select($"user_id", $"event_type", $"ts")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("stream_dedup_wm")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("stream_dedup_wm")
+    // Key-scale output (distinct user×type) → distributed file-sink drain.
+    drainToFileSink(spark, deduped)
       .select($"user_id", $"event_type")
       .orderBy($"user_id", $"event_type")
   }
@@ -540,14 +568,8 @@ object Streaming {
       intervalJoinSide(spark, sfDir, tag, eventType)
     val joined = side("p", "purchase").join(side("e", "error"),
       expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 2 hours"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("stream_join")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("stream_join")
+    // Pair output is row-scale (grows with matches) → file-sink drain.
+    drainToFileSink(spark, joined)
       .select($"p_user".as("user_id"), $"p_id", $"e_id",
         expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000").as("gap_s"))
       .orderBy($"user_id", $"p_id", $"e_id")
@@ -582,18 +604,12 @@ object Streaming {
     val joined = side("p", "purchase").join(side("e", "error"),
       expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 2 hours"),
       "left_outer")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("stream_outer_join")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    graft.engine.TempIo.materialize(spark,
-      spark.table("stream_outer_join")
-        .select($"p_user".as("user_id"), $"p_id", $"e_id",
-          expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000").as("gap_s"))
-        .orderBy($"user_id", $"p_id", $"e_id".asc_nulls_last))
+    // Row-scale pair output (plus null-padded outers) → file-sink drain;
+    // the sink parquet already backs the plan, so no extra materialize.
+    drainToFileSink(spark, joined)
+      .select($"p_user".as("user_id"), $"p_id", $"e_id",
+        expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000").as("gap_s"))
+      .orderBy($"user_id", $"p_id", $"e_id".asc_nulls_last)
   }
 
   def q97Sql: String =
@@ -1820,8 +1836,16 @@ object Streaming {
         .coalesce(1).write.parquet(dir)
       val part = new java.io.File(dir).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$src/chunk$i.parquet"))
+      val dest = java.nio.file.Paths.get(s"$src/chunk$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      // FileStreamSource orders same-batch discoveries by modification
+      // time; the order-sensitive EWMA/hysteresis folds (q250/q258/
+      // q266/q267) need chunk1..4 replayed in write order, so each
+      // chunk's mtime is PINNED strictly increasing rather than left
+      // to filesystem timestamp granularity (coarse mtimes could tie
+      // and make micro-batch order undefined).
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       TempIo.deleteRecursively(dir)
     }
   }
@@ -1848,7 +1872,12 @@ object Streaming {
           val batch = it.toArray.sortBy(e => (e._2, e._3))
           var (n, s) = state.getOption.getOrElse((0L, 0L))
           batch.foreach { e =>
-            s = if (n == 0L) e._4 else (e._4 + 3L * s) / 4L
+            // floorDiv, not `/`: the DuckDB oracle's `//` floors while
+            // Scala's `/` truncates toward zero — they agree only on
+            // non-negative operands (the repo's cross-engine division
+            // rule), so the fold floors unconditionally rather than
+            // leaning on the fixture's value-positivity.
+            s = if (n == 0L) e._4 else Math.floorDiv(e._4 + 3L * s, 4L)
             n += 1L
           }
           state.update((n, s))

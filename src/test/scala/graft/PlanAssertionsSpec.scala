@@ -141,6 +141,63 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  test("q168 running max carves with zero unpartitioned windows (two-level, not a global window)") {
+    val bad = unpartitionedWindows(graft.engine.Relational13.q168OooAudit(spark, sf))
+    assert(bad.isEmpty,
+      s"q168 must never funnel the events arrival log through one partition: $bad")
+  }
+
+  /** The unpartitioned-window sweep — the generalization of the
+    * per-query DistRank guards above, same shape as the broadcast-ladder
+    * sweep: EVERY registered batch query must plan without a `Window`
+    * whose partitionSpec is empty, unless the window's input is provably
+    * bounded (child.maxRows small) or the site is on the documented
+    * tiny-frame allowlist below. An unpartitioned window over a
+    * data-scale frame funnels the whole input through ONE WindowExec
+    * partition — correct at toy SF, the first thing to die at 100× —
+    * so it becomes a named test failure the day it is introduced. */
+  test("no batch query plans an unpartitioned Window over a non-tiny frame") {
+    // Documented tiny-frame sites: each global window's input is bounded
+    // by CONSTRUCTION (post-aggregation frames whose cardinality is a
+    // grid/bucket/source count, not data volume) — the optimizer can't
+    // see that through maxRows, so they're allowlisted with citations:
+    val allowlisted = Set(
+      // 20-source post-aggregation normalization frame (Relational6.scala
+      // q100MixtureWeights: "the 20-source frame that the window
+      // normalizes is O(#sources), not O(corpus)")
+      "q100_mixture_weights",
+      // |hours|-row dense grid; the log collapses in the aggregation
+      // before any window (Relational10.scala q151Interpolate scaladoc)
+      "q151_interpolate",
+      // tokenPrefixSums' two-level prefix sum: the one global window
+      // runs over the ~8k-row bucket-offsets frame, bounded at ANY
+      // corpus size by the span/8192 bucket width (TextQueries.scala
+      // tokenPrefixSums scaladoc); appears once per use of the helper.
+      "q81_shard_pack", "q88_seq_pack", "q244_systematic_resample",
+      // ≤|distinct p_size| post-aggregation frontier frame — "bounded
+      // by the DOMAIN of size, not the row count" (Relational11.scala
+      // q154Skyline scaladoc)
+      "q154_skyline",
+      // |sources|-row distinct-source index that then rides a broadcast
+      // (Relational12.scala q161Curriculum scaladoc)
+      "q161_curriculum"
+    )
+    val batch = SparkEntry.queries.filter {
+      case (n, _) => !SparkEntry.streamingQueries.contains(n)
+    }
+    val problems = batch.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val wins = unpartitionedWindows(fn(spark, sf))
+        val bad = wins.filterNot(_.child.maxRows.exists(_ <= 4096))
+        if (bad.isEmpty || allowlisted.contains(name)) Nil
+        else Seq(s"$name: ${bad.size} unpartitioned window(s) over unbounded input")
+      } catch {
+        case e: Exception => Seq(s"$name: failed to plan — ${e.getMessage}")
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
   test("DistRank bucketed rank equals the exact global-window rank") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
