@@ -144,14 +144,9 @@ object Sessionize {
           (closed ++ st1.open).iterator
       }
 
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("stream_sessions")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("stream_sessions")
+    // sessions are row-scale (grow with the log) → file-sink drain,
+    // never the driver-resident memory table
+    Streaming.drainToFileSink(spark, sessions.toDF())
       .select($"user_id", $"session_idx", $"n_events",
         graft.engine.Exact.tsString($"start_ts").as("start_ts"),
         graft.engine.Exact.tsString($"end_ts").as("end_ts"),
@@ -209,20 +204,14 @@ object Sessionize {
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Append(),
           implicitly[org.apache.spark.sql.Encoder[Session]])
-      val q = sessions.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName("tws_sessions")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      graft.engine.TempIo.materialize(spark,
-        spark.table("tws_sessions")
-          .select($"user_id", $"session_idx", $"n_events",
-            graft.engine.Exact.tsString($"start_ts").as("start_ts"),
-            graft.engine.Exact.tsString($"end_ts").as("end_ts"),
-            $"duration_s")
-          .orderBy($"user_id", $"session_idx"))
+      // sessions are row-scale → file-sink drain (see q40); the sink
+      // parquet backs the lazy result, so no driver materialization
+      Streaming.drainToFileSink(spark, sessions.toDF())
+        .select($"user_id", $"session_idx", $"n_events",
+          graft.engine.Exact.tsString($"start_ts").as("start_ts"),
+          graft.engine.Exact.tsString($"end_ts").as("end_ts"),
+          $"duration_s")
+        .orderBy($"user_id", $"session_idx")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(providerKey, v)

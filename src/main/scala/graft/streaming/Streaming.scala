@@ -436,6 +436,7 @@ object Streaming {
         first($"hv_share").as("hv_share"))
     val q = enriched.writeStream
       .outputMode("complete")
+      // BOUNDED memory drain: one row per event_type (complete mode) — O(|types|), data-volume-free
       .format("memory")
       .queryName("stream_static")
       .trigger(Trigger.AvailableNow())
@@ -467,6 +468,7 @@ object Streaming {
         graft.engine.Exact.sumExact($"value", 2).as("sum_value"))
     val q = agg.writeStream
       .outputMode("complete")
+      // BOUNDED memory drain: |hour grid| x |event types| rows (complete mode) — grows with the time horizon, not row count
       .format("memory")
       .queryName("stream_window")
       .trigger(Trigger.AvailableNow())
@@ -663,6 +665,7 @@ object Streaming {
         graft.engine.Exact.sumExact($"value", 2).as("sum_value"))
     val q = agg.writeStream
       .outputMode("append")
+      // BOUNDED memory drain: |hour grid| x |event types| rows — time-grid-bounded, not row-scale
       .format("memory")
       .queryName("append_window")
       .trigger(Trigger.AvailableNow())
@@ -731,6 +734,7 @@ object Streaming {
       .agg(count(lit(1)).as("counts"))
     val q = agg.writeStream
       .outputMode("update")
+      // BOUNDED memory drain: |hour grid| x |event types| update rows — time-grid-bounded
       .format("memory")
       .queryName("update_window")
       .trigger(Trigger.AvailableNow())
@@ -924,6 +928,7 @@ object Streaming {
       .agg(count(lit(1)).as("counts"))
     val q = agg.writeStream
       .outputMode("append")
+      // BOUNDED memory drain: |hour grid| x |event types| rows per flush — time-grid-bounded
       .format("memory")
       .queryName("wm_replay")
       .trigger(Trigger.AvailableNow())
@@ -1000,6 +1005,33 @@ object Streaming {
     TempIo.deleteRecursively(ckpt)
     TempIo.deleteAtExit(sink)
     spark.read.schema(df.schema).parquet(sink)
+  }
+
+  /** [[drainToFileSink]]'s UPDATE-mode sibling: file sinks accept only
+    * append mode, so update-mode state emissions (the
+    * mapGroupsWithState/transformWithState per-key progress rows whose
+    * key space is users-scale) drain through foreachBatch — each
+    * micro-batch's update rows land as one epoch-keyed parquet
+    * directory, written by EXECUTOR tasks — and the batch read-back
+    * reassembles the same multiset the memory sink would have held,
+    * without any row transiting the driver. Epoch keying keeps a
+    * replayed batch idempotent (q86's contract). */
+  private[graft] def drainUpdatesToFiles(spark: SparkSession, df: DataFrame): DataFrame = {
+    val sink = TempIo.createTempDir("graft-usink-")
+    val ckpt = TempIo.createTempDir("graft-usink-ckpt-")
+    val cols = df.schema.fieldNames.map(col).toSeq
+    val q = df.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$sink/epoch=$epochId")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TempIo.deleteRecursively(ckpt)
+    TempIo.deleteAtExit(sink)
+    spark.read.parquet(sink).select(cols: _*)
   }
 
   /** q194 — stream-stream join under disorder: q42's interval join
@@ -1360,6 +1392,7 @@ object Streaming {
       .agg(count(lit(1)).as("pairs"))
     val q = agg.writeStream
       .outputMode("append")
+      // BOUNDED memory drain: |hour grid| windowed aggregate rows — time-grid-bounded
       .format("memory")
       .queryName("join_then_window")
       .trigger(Trigger.AvailableNow())
@@ -1424,6 +1457,7 @@ object Streaming {
       .agg(sum($"hourly_n").as("counts"), count(lit(1)).as("n_hours"))
     val q = daily.writeStream
       .outputMode("append")
+      // BOUNDED memory drain: |day grid| rollup rows — time-grid-bounded
       .format("memory")
       .queryName("window_rollup")
       .trigger(Trigger.AvailableNow())
@@ -1531,6 +1565,7 @@ object Streaming {
       .agg(graft.functions.KmvAggregate.kmvDistinct($"hv", 32).as("kmv_est"))
     val q = agg.writeStream
       .outputMode("complete")
+      // BOUNDED memory drain: K KMV register rows per event_type — sketch-bounded
       .format("memory")
       .queryName("stream_sketch")
       .trigger(Trigger.AvailableNow())
@@ -1571,6 +1606,7 @@ object Streaming {
         .as("top"))
     val q = agg.writeStream
       .outputMode("complete")
+      // BOUNDED memory drain: k rows per event_type (bounded top-k aggregate)
       .format("memory")
       .queryName("stream_topk")
       .trigger(Trigger.AvailableNow())
@@ -1619,6 +1655,7 @@ object Streaming {
       .agg(bitmapBits($"user_id", 16384).as("bm"))
     val q = agg.writeStream
       .outputMode("complete")
+      // BOUNDED memory drain: one fixed-width bitmap row per event_type
       .format("memory")
       .queryName("stream_bitmap")
       .trigger(Trigger.AvailableNow())
@@ -1699,6 +1736,7 @@ object Streaming {
         sum(graft.engine.Exact.cents($"value")).as("cents"))
     val q = enriched.writeStream
       .outputMode("complete")
+      // BOUNDED memory drain: one row per tier (3) — complete-mode aggregate over a closed domain
       .format("memory")
       .queryName("asof_enrich")
       .trigger(Trigger.AvailableNow())
@@ -1883,16 +1921,12 @@ object Streaming {
           state.update((n, s))
           (uid, n, s)
       }
-    val q = updates.toDF("user_id", "n_events", "ewma_units")
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName("ewma_state")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = TempIo.materialize(spark,
-      spark.table("ewma_state")
+    // users-scale update rows → epoch-keyed file drain, not the driver;
+    // the sink backs the lazy result, so no driver materialization
+    val drained = drainUpdatesToFiles(spark,
+      updates.toDF("user_id", "n_events", "ewma_units"))
+    val result = (
+      drained
         .groupBy($"user_id")
         .agg(max($"n_events").as("n_events"),
           max_by($"ewma_units", $"n_events").as("ewma_units"))
@@ -1966,16 +2000,12 @@ object Streaming {
           state.update((nSeen, armed, nAlerts, nHigh))
           (uid, nSeen, nAlerts, nHigh)
       }
-    val q = updates.toDF("user_id", "n_events", "n_alerts", "n_high")
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName("alert_state")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = TempIo.materialize(spark,
-      spark.table("alert_state")
+    // users-scale update rows → epoch-keyed file drain, not the driver;
+    // the sink backs the lazy result, so no driver materialization
+    val drained = drainUpdatesToFiles(spark,
+      updates.toDF("user_id", "n_events", "n_alerts", "n_high"))
+    val result = (
+      drained
         .groupBy($"user_id")
         .agg(max($"n_events").as("n_events"),
           max_by($"n_alerts", $"n_events").as("n_alerts"),
@@ -2075,16 +2105,12 @@ object Streaming {
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Append(),
           implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]])
-      val q = updates.toDF("user_id", "event_type", "counts")
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName("mapstate_counts")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val result = TempIo.materialize(spark,
-        spark.table("mapstate_counts")
+      // keys-scale append rows → distributed file-sink drain; the sink
+      // backs the lazy result, so no driver materialization
+      val drained = drainToFileSink(spark,
+        updates.toDF("user_id", "event_type", "counts"))
+      val result = (
+        drained
           .groupBy($"user_id", $"event_type")
           .agg(max($"counts").as("counts"))
           .orderBy($"user_id", $"event_type"))
@@ -2178,16 +2204,12 @@ object Streaming {
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Append(),
           implicitly[org.apache.spark.sql.Encoder[(Long, Long, String)]])
-      val q = updates.toDF("user_id", "n_events", "last5")
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName("lastk_state")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val result = TempIo.materialize(spark,
-        spark.table("lastk_state")
+      // keys-scale append rows → distributed file-sink drain; the sink
+      // backs the lazy result, so no driver materialization
+      val drained = drainToFileSink(spark,
+        updates.toDF("user_id", "n_events", "last5"))
+      val result = (
+        drained
           .groupBy($"user_id")
           .agg(max($"n_events").as("n_events"),
             max_by($"last5", $"n_events").as("last5"))
