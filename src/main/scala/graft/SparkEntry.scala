@@ -279,6 +279,9 @@ object SparkEntry {
     "q268_xml_roundtrip"   -> Formats.q268XmlRoundtrip _,
     "q269_shuffle_quality" -> Relational30.q269ShuffleQuality _,
     "q270_graftsink_roundtrip" -> graft.streaming.Streaming.q270GraftSinkRoundtrip _,
+    "q271_scd2_build"      -> Relational31.q271Scd2Build _,
+    "q272_group_ols"       -> Relational31.q272GroupOls _,
+    "q273_tokenizer_fertility" -> Relational31.q273TokenizerFertility _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -625,6 +628,9 @@ object SparkEntry {
     // same roundtrip contract through the graftsink DataSourceV2
     // connector (write + read both via the provider)
     "q270_graftsink_roundtrip" -> graft.streaming.Streaming.q63Sql,
+    "q271_scd2_build"       -> Relational31.q271Sql,
+    "q272_group_ols"        -> Relational31.q272Sql,
+    "q273_tokenizer_fertility" -> Relational31.q273Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
