@@ -282,6 +282,7 @@ object SparkEntry {
     "q271_scd2_build"      -> Relational31.q271Scd2Build _,
     "q272_group_ols"       -> Relational31.q272GroupOls _,
     "q273_tokenizer_fertility" -> Relational31.q273TokenizerFertility _,
+    "q274_timer_sessions"  -> graft.streaming.Streaming.q274TimerSessions _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -322,7 +323,7 @@ object SparkEntry {
     "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk",
     "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma",
     "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k",
-    "q270_graftsink_roundtrip")
+    "q270_graftsink_roundtrip", "q274_timer_sessions")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -631,6 +632,7 @@ object SparkEntry {
     "q271_scd2_build"       -> Relational31.q271Sql,
     "q272_group_ols"        -> Relational31.q272Sql,
     "q273_tokenizer_fertility" -> Relational31.q273Sql,
+    "q274_timer_sessions"   -> graft.streaming.Streaming.q274Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

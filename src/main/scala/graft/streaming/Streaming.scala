@@ -2238,4 +2238,182 @@ object Streaming {
            THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY ts, event_id)
            AS last5
        FROM base GROUP BY user_id ORDER BY user_id"""
+
+  /** q274 session gap (reuses the library-wide 30-minute contract) in
+    * μs and in the ms grid timers live on. */
+  val TimerGapUs: Long = graft.streaming.Sessionize.GapMinutes * 60000000L
+  val TimerGapMs: Long = graft.streaming.Sessionize.GapMinutes * 60000L
+
+  /** q274 watermark delay: must EXCEED one quarter-chunk's time span
+    * (~7.5 days — the events fixture covers 30 days at every SF) so
+    * the watermark at any data batch trails the current chunk's start
+    * and no live session can be timer-closed while a within-gap
+    * continuation is still in flight. 192 h = 8 days. */
+  val TimerDelayHours = 192L
+
+  /** q274's [[org.apache.spark.sql.streaming.StatefulProcessor]]:
+    * session assembly closed by EVENT-TIME TIMERS — the state-v2
+    * timer API (registerTimer / deleteTimer / handleExpiredTimer) the
+    * q96/q266/q267 processors don't touch, and the production form of
+    * session closure the q40/q96 scaladocs point at: an open session
+    * emits when the WATERMARK passes end + gap, not at drain time.
+    * One ValueState cell (start_us, end_us, n) per user; one live
+    * timer per open session, re-registered when the session extends
+    * (delete old expiry, register new) and deleted on event-driven
+    * closure; `handleExpiredTimer` guards on the state's CURRENT
+    * expiry matching the firing timer, so a stale timer (session
+    * already closed or extended) is a no-op — which makes the emitted
+    * set identical whether the engine processes a batch's input rows
+    * before or after its expired timers. */
+  private[graft] class TimerSessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var sess
+      : org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("tsess",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def expiryMs(endUs: Long): Long = endUs / 1000L + TimerGapMs
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(e => (e._2, e._3))
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      val pre = if (sess.exists()) Some(sess.get()) else None
+      var cur = pre
+      sorted.foreach { e =>
+        cur match {
+          case Some((s0, e0, n0)) if e._2 - e0 <= TimerGapUs =>
+            cur = Some((s0, e._2, n0 + 1L))
+          case Some((s0, e0, n0)) =>
+            out += ((key, n0, s0, e0)) // event-driven closure
+            cur = Some((e._2, e._2, 1L))
+          case None =>
+            cur = Some((e._2, e._2, 1L))
+        }
+      }
+      // reconcile the key's single live timer with the open session
+      val preExp = pre.map(p => expiryMs(p._2))
+      val postExp = cur.map(c => expiryMs(c._2))
+      if (preExp != postExp) {
+        preExp.foreach(getHandle.deleteTimer)
+        postExp.foreach(getHandle.registerTimer)
+      }
+      cur match {
+        case Some(c) => sess.update(c)
+        case None => sess.clear()
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] = {
+      if (sess.exists()) {
+        val (s0, e0, n0) = sess.get()
+        if (expiryMs(e0) == expiredTimerInfo.getExpiryTimeInMs) {
+          sess.clear()
+          return Iterator((key, n0, s0, e0)) // watermark-driven closure
+        }
+      }
+      Iterator.empty // stale timer: session already closed or extended
+    }
+  }
+
+  /** q274 — EVENT-TIME TIMER sessionization (state-v2 timers): the
+    * 30-minute-gap sessions of q39/q40/q96, closed the way a
+    * PRODUCTION trigger closes them — by a per-key event-time timer
+    * firing when the watermark passes session end + gap — instead of
+    * the drain-time flush those queries use under AvailableNow. Runs
+    * over the in-order quarter-chunk replay so the watermark actually
+    * advances between micro-batches and timers genuinely fire
+    * mid-stream (a session abandoned in chunk 1 is emitted by its
+    * timer around chunk 3, when the watermark finally passes it) and
+    * at the terminal no-data batch. The emitted set is deterministic
+    * and watermark-model-reproducible: every session EXCEPT each
+    * user's last one when its expiry (end/1000 + gap ms) has not
+    * fallen strictly below the final watermark (ms-truncated max
+    * event time − [[TimerDelayHours]]) — those stay open in state,
+    * exactly what a live deployment would report. Timer-vs-event
+    * closure racing is order-free by the stale-timer guard, and the
+    * [[TimerDelayHours]] bound proves no within-gap continuation can
+    * ever find its session prematurely timer-closed. */
+  def q274TimerSessions(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = TempIo.createTempDir("graft-timer-src-")
+      writeTimeQuarterChunks(spark, sfDir, src)
+      val chunkSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val sessions = spark.readStream
+        .schema(chunkSchema)
+        .option("pathGlobFilter", "chunk*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", s"$TimerDelayHours hours")
+        .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TimerSessionProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Long)]])
+      // sessions are row-scale → file-sink drain; the sink backs the
+      // lazy result, so no driver materialization
+      val drained = drainToFileSink(spark,
+        sessions.toDF("user_id", "n_events", "start_us", "end_us"))
+      val result = drained.orderBy($"user_id", $"start_us")
+      TempIo.deleteRecursively(src)
+      result
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** Oracle: batch 30-min-gap sessionization; the withheld set is each
+    * user's LAST session whose timer expiry has not fallen strictly
+    * below the final watermark (Spark tracks event-time stats in ms —
+    * the q97 discipline). */
+  def q274Sql: String =
+    s"""WITH e AS (
+         SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+       wm AS (
+         SELECT epoch_us(max(ts)) // 1000 - ${TimerDelayHours * 3600000L}
+           AS wm_ms
+         FROM events),
+       marked AS (
+         SELECT user_id, tus, event_id,
+           CASE WHEN lag(tus) OVER w IS NULL
+                  OR tus - lag(tus) OVER w > $TimerGapUs
+             THEN 1 ELSE 0 END AS new_s
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       sess AS (
+         SELECT user_id, tus,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked),
+       agg AS (
+         SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+           min(tus) AS start_us, max(tus) AS end_us
+         FROM sess GROUP BY 1, 2),
+       last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+       SELECT a.user_id, n_events, start_us, end_us
+       FROM agg a JOIN last l USING (user_id) CROSS JOIN wm
+       WHERE a.sid <> l.last_sid
+          OR end_us // 1000 + $TimerGapMs < wm_ms
+       ORDER BY a.user_id, start_us"""
 }

@@ -81,6 +81,128 @@ class Wave41Spec extends SparkTestBase {
     assert(m.getDouble(0) === 7.0)
   }
 
+  test("q274 timers: fired set non-empty, withheld set exact, sessions partition the log") {
+    import spark.implicits._
+    import graft.streaming.Streaming
+    val emitted = Streaming.q274TimerSessions(spark, sf)
+      .select($"user_id", $"n_events", $"start_us", $"end_us").cache()
+    // batch ground truth: 30-min-gap sessions over the same events
+    val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val sess = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+      .withColumn("new_s", when(lag($"tus", 1).over(byUser).isNull ||
+        $"tus" - lag($"tus", 1).over(byUser) > Streaming.TimerGapUs, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"),
+        min($"tus").as("start_us"), max($"tus").as("end_us"))
+    val wmMs = Tables.events(spark, sf)
+      .agg((max(unix_micros($"ts")) / 1000 -
+        Streaming.TimerDelayHours * 3600000L).cast("long")).head().getLong(0)
+    // every emitted row is a true session; the withheld rows are exactly
+    // the still-open ones (last per user, expiry >= final watermark)
+    val sessProj = sess.select($"user_id", $"n_events", $"start_us", $"end_us")
+    assert(emitted.exceptAll(sessProj).isEmpty,
+      "emitted sessions must all be true batch sessions")
+    val withheld = sessProj.exceptAll(emitted)
+    val lastPerUser = sess
+      .withColumn("mx", max($"sid").over(Window.partitionBy($"user_id")))
+      .filter($"sid" === $"mx")
+      .select($"user_id", $"n_events", $"start_us", $"end_us")
+    assert(withheld.exceptAll(lastPerUser).isEmpty,
+      "only a user's LAST session may be withheld")
+    assert(withheld
+      .filter($"end_us" / 1000 + Streaming.TimerGapMs < wmMs).count() === 0,
+      "a session whose expiry fell below the final watermark must have fired")
+    // timer-closure evidence is only externally visible when some user
+    // is absent from the final delay window (none are at sf0.001 — the
+    // synthetic test below forces the firing deterministically instead)
+    val absentees = lastPerUser
+      .filter($"end_us" / 1000 + Streaming.TimerGapMs < wmMs).count()
+    if (absentees > 0)
+      assert(emitted.intersect(lastPerUser).count() === absentees,
+        "every abandoned last session must be closed by its timer")
+    emitted.unpersist()
+  }
+
+  test("q274 timer machinery fires deterministically on a crafted two-chunk stream") {
+    import spark.implicits._
+    import graft.streaming.Streaming
+    val src = graft.engine.TempIo.createTempDir("graft-timer-spec-")
+    try {
+      // chunk1: user 1 has a 2-event session on day 0 then goes silent;
+      // chunk2: user 2 appears on day 20. Final watermark = day 20 − 8 d
+      // = day 12 > user 1's expiry ⇒ its session MUST be emitted by the
+      // timer (no later event exists to close it); user 2's stays open.
+      val day0 = 1704067200000000L // 2024-01-01T00:00Z in epoch-μs
+      def writeChunk(i: Int, rows: Seq[(Long, Long, Long)]): Unit = {
+        val stage = s"$src/stage$i"
+        rows.toDF("event_id", "tus", "user_id")
+          .select($"event_id", timestamp_micros($"tus").as("ts"), $"user_id",
+            lit(1.0).as("value"))
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(s"$src/chunk$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        graft.engine.TempIo.deleteRecursively(stage)
+      }
+      writeChunk(1, Seq((1L, day0, 1L), (2L, day0 + 600000000L, 1L)))
+      writeChunk(2, Seq((3L, day0 + 20L * 86400000000L, 2L)))
+      val chunkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val out = Streaming.withStatePartitions(spark) {
+          val sessions = spark.readStream
+            .schema(chunkSchema)
+            .option("pathGlobFilter", "chunk*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", s"${Streaming.TimerDelayHours} hours")
+            .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+            .as[(Long, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new Streaming.TimerSessionProcessor,
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              org.apache.spark.sql.streaming.OutputMode.Append(),
+              implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Long)]])
+          val q = sessions.toDF("user_id", "n_events", "start_us", "end_us")
+            .writeStream.outputMode("append").format("memory")
+            .queryName("timer_spec") // 1-row bounded test frame
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          spark.table("timer_spec").collect()
+        }
+        assert(out.length === 1, s"exactly user 1's session fires: ${out.toSeq}")
+        val r = out.head
+        assert(r.getLong(0) === 1L && r.getLong(1) === 2L &&
+          r.getLong(2) === day0 && r.getLong(3) === day0 + 600000000L,
+          s"timer must emit the abandoned 2-event session verbatim, got $r")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    } finally graft.engine.TempIo.deleteRecursively(src)
+  }
+
   test("q273 fertility: bytes >= chars, every ratio positive, doc totals conserved") {
     import spark.implicits._
     val f = Relational31.q273TokenizerFertility(spark, sf)
