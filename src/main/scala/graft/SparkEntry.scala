@@ -283,6 +283,10 @@ object SparkEntry {
     "q272_group_ols"       -> Relational31.q272GroupOls _,
     "q273_tokenizer_fertility" -> Relational31.q273TokenizerFertility _,
     "q274_timer_sessions"  -> graft.streaming.Streaming.q274TimerSessions _,
+    "q275_exact_quantiles" -> Relational32.q275ExactQuantiles _,
+    "q276_stream_anti"     -> graft.streaming.Streaming.q276StreamAntiJoin _,
+    "q277_waiting_suppliers" -> Relational32.q277WaitingSuppliers _,
+    "q278_idle_rich"       -> Relational32.q278IdleRich _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -323,7 +327,7 @@ object SparkEntry {
     "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk",
     "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma",
     "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k",
-    "q270_graftsink_roundtrip", "q274_timer_sessions")
+    "q270_graftsink_roundtrip", "q274_timer_sessions", "q276_stream_anti")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -633,6 +637,10 @@ object SparkEntry {
     "q272_group_ols"        -> Relational31.q272Sql,
     "q273_tokenizer_fertility" -> Relational31.q273Sql,
     "q274_timer_sessions"   -> graft.streaming.Streaming.q274Sql,
+    "q275_exact_quantiles"  -> Relational32.q275Sql,
+    "q276_stream_anti"      -> graft.streaming.Streaming.q276Sql,
+    "q277_waiting_suppliers" -> Relational32.q277Sql,
+    "q278_idle_rich"        -> Relational32.q278Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

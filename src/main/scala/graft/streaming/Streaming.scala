@@ -2416,4 +2416,50 @@ object Streaming {
        WHERE a.sid <> l.last_sid
           OR end_us // 1000 + $TimerGapMs < wm_ms
        ORDER BY a.user_id, start_us"""
+
+  /** q276 — STREAM-STATIC ANTI JOIN: the streaming join matrix's last
+    * uncovered cell (q89 = stream-static inner, q42/q97/q194-q199 =
+    * stream-stream inner/outer): events from users with NO signup on
+    * record, the "unattributed traffic" split every ingest pipeline
+    * runs against a reference dimension. The static side (distinct
+    * signup users, re-resolved per micro-batch) broadcasts; LEFT ANTI
+    * keeps exactly the stream rows with no dimension match and never
+    * duplicates the probe side — the set-membership contract a
+    * NOT-IN-list filter would break on nulls and a hand-written outer
+    * join + null filter would pay double for. Stateless (no watermark:
+    * anti against a static frame needs no state), so append mode
+    * drains per batch; the per-type aggregate keeps the output
+    * |types|-bounded. */
+  def q276StreamAntiJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    // the reference directory: users who signed up in the launch
+    // window (first 2 days) — later arrivals are the unattributed set
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val t0 = ev.agg(min($"ts")).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(t0.getTime + 2L * 86400000L)
+    val signedUp = ev
+      .filter($"event_type" === "signup" && $"ts" < lit(cutoff))
+      .select($"user_id".as("dim_user")).distinct()
+    val unattributed = readEventsStream(spark, sfDir)
+      .join(broadcast(signedUp), $"user_id" === $"dim_user", "left_anti")
+      .select($"user_id", $"event_type", $"event_id")
+    // row-scale anti-join survivors → file-sink drain, then the
+    // bounded per-type rollup
+    drainToFileSink(spark, unattributed)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  def q276Sql: String =
+    """WITH b AS (SELECT min(ts) AS t0 FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events e
+       WHERE NOT EXISTS (
+         SELECT 1 FROM events s CROSS JOIN b
+         WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+           AND s.ts < b.t0 + INTERVAL 2 DAY)
+       GROUP BY event_type ORDER BY event_type"""
 }
