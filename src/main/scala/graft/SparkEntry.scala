@@ -287,6 +287,8 @@ object SparkEntry {
     "q276_stream_anti"     -> graft.streaming.Streaming.q276StreamAntiJoin _,
     "q277_waiting_suppliers" -> Relational32.q277WaitingSuppliers _,
     "q278_idle_rich"       -> Relational32.q278IdleRich _,
+    "q279_simhash_neardup" -> Dedup.q279SimhashNearDup _,
+    "q280_shard_manifest"  -> TextQueries.q280ShardManifest _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -641,6 +643,8 @@ object SparkEntry {
     "q276_stream_anti"      -> graft.streaming.Streaming.q276Sql,
     "q277_waiting_suppliers" -> Relational32.q277Sql,
     "q278_idle_rich"        -> Relational32.q278Sql,
+    "q279_simhash_neardup"  -> Dedup.q279Sql,
+    "q280_shard_manifest"   -> TextQueries.q280Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

@@ -876,4 +876,57 @@ object TextQueries {
           desired - least(desired, epochs * t_tokens) AS deficit
         FROM e ORDER BY source"""
   }
+
+  /** q280 — SHARD PROVENANCE MANIFEST: the lineage artifact a training
+    * run records next to q81's packed shards — per (shard, source) the
+    * document and token contribution, plus a per-shard content
+    * checksum (md5 of the ordered member doc_ids) that lets any later
+    * audit prove a shard on disk is exactly the shard the manifest
+    * describes (ablations, takedown compliance, repro claims all key
+    * on this). Shard assignment is identical to q81 (prefix tokens
+    * BEFORE the doc, 5000-token budget, via [[tokenPrefixSums]]).
+    *
+    * Scale: the two-level prefix sum is q81's; the checksum aggregate
+    * collects only a SHARD's worth of ids (a few dozen — bounded by
+    * budget/min-doc-tokens, never corpus-scale); the source join is
+    * one doc-keyed shuffle. */
+  def q280ShardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val Budget = 5000L
+    val assigned = tokenPrefixSums(spark, sfDir)
+      .withColumn("shard", expr(s"before div $Budget"))
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"),
+        "doc_id")
+    val checksums = assigned.groupBy($"shard")
+      .agg(md5(concat_ws(",",
+        expr("transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))")))
+        .as("shard_md5"))
+    assigned.groupBy($"shard", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"wc").as("n_tokens"))
+      .join(checksums, "shard")
+      .select($"shard", $"source", $"n_docs", $"n_tokens", $"shard_md5")
+      .orderBy($"shard", $"source")
+  }
+
+  def q280Sql: String =
+    s"""WITH docs AS (
+          SELECT doc_id, CAST(${tokenCountSql("text")} AS BIGINT) AS wc, source
+          FROM documents),
+        pos AS (
+          SELECT doc_id, wc, source,
+            CAST(coalesce(sum(wc) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS before
+          FROM docs),
+        a AS (SELECT doc_id, wc, source, before // 5000 AS shard FROM pos),
+        ck AS (
+          SELECT shard,
+            md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+              AS shard_md5
+          FROM a GROUP BY shard)
+        SELECT a.shard, source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(wc) AS BIGINT) AS n_tokens, ck.shard_md5
+        FROM a JOIN ck ON ck.shard = a.shard
+        GROUP BY a.shard, source, ck.shard_md5
+        ORDER BY a.shard, source"""
 }
