@@ -289,6 +289,9 @@ object SparkEntry {
     "q278_idle_rich"       -> Relational32.q278IdleRich _,
     "q279_simhash_neardup" -> Dedup.q279SimhashNearDup _,
     "q280_shard_manifest"  -> TextQueries.q280ShardManifest _,
+    "q281_dup_flow_matrix" -> Dedup.q281DupFlowMatrix _,
+    "q282_vocab_coverage"  -> TextQueries.q282VocabCoverage _,
+    "q283_takedown_plan"   -> TextQueries.q283TakedownPlan _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -645,6 +648,9 @@ object SparkEntry {
     "q278_idle_rich"        -> Relational32.q278Sql,
     "q279_simhash_neardup"  -> Dedup.q279Sql,
     "q280_shard_manifest"   -> TextQueries.q280Sql,
+    "q281_dup_flow_matrix"  -> Dedup.q281Sql,
+    "q282_vocab_coverage"   -> TextQueries.q282Sql,
+    "q283_takedown_plan"    -> TextQueries.q283Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

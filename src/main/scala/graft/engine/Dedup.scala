@@ -1326,4 +1326,41 @@ object Dedup {
         WHERE hamming <= $PhashTau
         ORDER BY doc_a, doc_b"""
   }
+
+  /** q281 — CROSS-SOURCE DUPLICATION FLOW MATRIX: the curation view of
+    * the near-dup pair set — per unordered source pair, how many
+    * MinHash-banded candidate pairs bridge them (diagonal =
+    * within-source duplication). This is the table a mixture owner
+    * reads to find which sources scrape which: a heavy off-diagonal
+    * cell means the two feeds share provenance and their mixture
+    * weights double-count (q100/q264's inputs assume independence).
+    * Reuses q21's memoized band index; the matrix is |sources|²-
+    * bounded, so everything after the pair join is a tiny aggregate.
+    *
+    * Scale: identical to q21 (band-keyed shuffle) + one broadcastable
+    * doc→source join per side. */
+  def q281DupFlowMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = q21MinhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("src_a"),
+        greatest($"sa", $"sb").as("src_b"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  def q281Sql: String =
+    s"""WITH $bandCtes,
+        m AS (
+          SELECT least(da.source, db.source) AS src_a,
+                 greatest(da.source, db.source) AS src_b
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.doc_a
+          JOIN documents db ON db.doc_id = p.doc_b)
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM m GROUP BY 1, 2 ORDER BY src_a, src_b"""
 }

@@ -929,4 +929,103 @@ object TextQueries {
         FROM a JOIN ck ON ck.shard = a.shard
         GROUP BY a.shard, source, ck.shard_md5
         ORDER BY a.shard, source"""
+
+  /** q282 vocabulary size for the coverage audit. */
+  val VocabK = 512
+
+  /** q282 — VOCABULARY COVERAGE / OOV AUDIT: freeze the top-[[VocabK]]
+    * corpus tokens (count desc, token asc — fully deterministic) as
+    * the candidate vocabulary and measure, per source, how much of its
+    * token stream that vocabulary covers — the out-of-vocabulary rate
+    * that decides whether a tokenizer trained on the aggregate serves
+    * every source (a source with high OOV gets fragmented into bytes
+    * and silently costs more tokens per word; cross-read with q273's
+    * fertility). Integer permille, no float gates.
+    *
+    * Scale: one token-keyed count builds the candidate table; the
+    * vocab is K rows and BROADCASTS to the coverage join; per-source
+    * totals are map-side combinable. */
+  def q282VocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"source", explode(tokens($"text")).as("t"))
+    val vocab = toks.groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t").limit(VocabK)
+      .select($"t".as("v"))
+    toks.join(broadcast(vocab), $"t" === $"v", "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"), count($"v").as("covered"))
+      .withColumn("oov_permille",
+        expr("(n_tokens - covered) * 1000 div n_tokens"))
+      .orderBy($"source")
+  }
+
+  def q282Sql: String =
+    s"""WITH toks AS (
+          SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          FROM documents),
+        vocab AS (
+          SELECT t AS v FROM (
+            SELECT t, count(*) AS c FROM toks GROUP BY t
+            ORDER BY c DESC, t LIMIT $VocabK))
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(count(v) AS BIGINT) AS covered,
+          CAST((count(*) - count(v)) * 1000 // count(*) AS BIGINT)
+            AS oov_permille
+        FROM toks LEFT JOIN vocab ON t = v
+        GROUP BY source ORDER BY source"""
+
+  /** q283 takedown selector: deterministic ~1% of doc ids. */
+  val TakedownMod = 97L
+  val TakedownRes = 13L
+
+  /** q283 — TAKEDOWN IMPACT PLAN over the shard manifest: given a
+    * takedown set (deterministic stand-in: doc_id ≡ [[TakedownRes]]
+    * mod [[TakedownMod]]), compute per shard what a compliance rewrite
+    * must do — docs and tokens to remove, what remains, and the
+    * post-removal membership checksum (the value q280's manifest will
+    * hold AFTER the rewrite, computable BEFORE touching any shard
+    * file). Shards with n_remove = 0 need no rewrite and keep their
+    * q280 checksum — the plan proves it by reproducing it.
+    *
+    * Scale: q81's two-level prefix sums + one shard-keyed aggregate;
+    * the checksum collects one shard's ids (budget-bounded). */
+  def q283TakedownPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val Budget = 5000L
+    tokenPrefixSums(spark, sfDir)
+      .withColumn("shard", expr(s"before div $Budget"))
+      .withColumn("gone", $"doc_id" % TakedownMod === TakedownRes)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"gone", 1)).as("n_remove"),
+        coalesce(sum(when($"gone", $"wc")), lit(0L)).as("tokens_removed"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(" +
+            "CASE WHEN NOT gone THEN doc_id END)), x -> CAST(x AS STRING))")))
+          .as("kept_md5"))
+      .orderBy($"shard")
+  }
+
+  def q283Sql: String =
+    s"""WITH docs AS (
+          SELECT doc_id, CAST(${tokenCountSql("text")} AS BIGINT) AS wc
+          FROM documents),
+        pos AS (
+          SELECT doc_id, wc,
+            CAST(coalesce(sum(wc) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS before
+          FROM docs),
+        a AS (
+          SELECT doc_id, wc, before // 5000 AS shard,
+            doc_id % $TakedownMod = $TakedownRes AS gone
+          FROM pos)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(*) FILTER (WHERE gone) AS BIGINT) AS n_remove,
+          CAST(coalesce(sum(wc) FILTER (WHERE gone), 0) AS BIGINT)
+            AS tokens_removed,
+          md5(string_agg(CASE WHEN NOT gone THEN CAST(doc_id AS VARCHAR) END,
+            ',' ORDER BY doc_id) FILTER (WHERE NOT gone)) AS kept_md5
+        FROM a GROUP BY shard ORDER BY shard"""
 }

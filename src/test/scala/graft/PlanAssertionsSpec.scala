@@ -174,7 +174,7 @@ class PlanAssertionsSpec extends SparkTestBase {
       // corpus size by the span/8192 bucket width (TextQueries.scala
       // tokenPrefixSums scaladoc); appears once per use of the helper.
       "q81_shard_pack", "q88_seq_pack", "q244_systematic_resample",
-      "q280_shard_manifest",
+      "q280_shard_manifest", "q283_takedown_plan",
       // ≤|distinct p_size| post-aggregation frontier frame — "bounded
       // by the DOMAIN of size, not the row count" (Relational11.scala
       // q154Skyline scaladoc)
