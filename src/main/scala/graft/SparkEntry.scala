@@ -292,6 +292,7 @@ object SparkEntry {
     "q281_dup_flow_matrix" -> Dedup.q281DupFlowMatrix _,
     "q282_vocab_coverage"  -> TextQueries.q282VocabCoverage _,
     "q283_takedown_plan"   -> TextQueries.q283TakedownPlan _,
+    "q284_graftsink_stream" -> graft.streaming.Streaming.q284GraftSinkStream _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -332,7 +333,8 @@ object SparkEntry {
     "q227_stream_sketch", "q228_stream_dead_letter", "q233_stream_topk",
     "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma",
     "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k",
-    "q270_graftsink_roundtrip", "q274_timer_sessions", "q276_stream_anti")
+    "q270_graftsink_roundtrip", "q274_timer_sessions", "q276_stream_anti",
+    "q284_graftsink_stream")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -651,6 +653,7 @@ object SparkEntry {
     "q281_dup_flow_matrix"  -> Dedup.q281Sql,
     "q282_vocab_coverage"   -> TextQueries.q282Sql,
     "q283_takedown_plan"    -> TextQueries.q283Sql,
+    "q284_graftsink_stream" -> graft.streaming.Streaming.q63Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

@@ -99,13 +99,17 @@ private[sources] class GraftTable(tableSchema: StructType, path: String)
   override def name(): String = s"graftsink:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftBatchWrite(info.schema(), path, info.queryId())
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(info.schema(), path, info.queryId())
       }
     }
 
@@ -157,6 +161,69 @@ private[sources] class GraftWriterFactory(schema: StructType, stagingRoot: Strin
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(schema, stagingRoot, partitionId, taskId)
+}
+
+/** The STREAMING half of the append commit protocol: per micro-batch
+  * (epoch), task writers stage exactly like the batch path — under
+  * `_staging/<queryId>/epoch-<id>/` — and the driver publishes the
+  * epoch with the same atomic renames PLUS an epoch marker file. The
+  * marker is what makes the sink EXACTLY-ONCE on top of Structured
+  * Streaming's at-least-once replay: a failed-then-replayed epoch
+  * finds its marker already present, discards its re-staged files, and
+  * publishes nothing twice (the same epoch-keyed idempotence contract
+  * q86's foreachBatch models; here it lives INSIDE the connector,
+  * which is where the reference's external-store sink needs it —
+  * consumer.scala:176-181 appends to MongoDB from a streaming query). */
+private[graft] class GraftStreamingWrite(schema: StructType, path: String,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def stagingRoot(epochId: Long) =
+    new File(new File(new File(path, GraftSinkProvider.StagingDir), queryId),
+      s"epoch-$epochId")
+  private def marker(epochId: Long) =
+    new File(path, s"_epoch-$queryId-$epochId.committed")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(schema, path, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dest = new File(path)
+    dest.mkdirs()
+    if (marker(epochId).isFile) {
+      // replayed epoch: already published — discard the re-staged files
+      graft.engine.TempIo.deleteRecursively(stagingRoot(epochId).getAbsolutePath)
+      return
+    }
+    messages.foreach {
+      case GraftCommitMessage(staged, _) =>
+        val name = GraftSinkProvider.PartPrefix + UUID.randomUUID().toString +
+          GraftSinkProvider.PartSuffix
+        Files.move(Paths.get(staged), Paths.get(path, name),
+          StandardCopyOption.ATOMIC_MOVE)
+      case other => throw new IllegalStateException(s"alien commit message: $other")
+    }
+    val schemaFile = new File(dest, GraftSinkProvider.SchemaFile)
+    if (!schemaFile.isFile)
+      Files.write(schemaFile.toPath, schema.json.getBytes("UTF-8"))
+    Files.write(marker(epochId).toPath, Array.emptyByteArray)
+    graft.engine.TempIo.deleteRecursively(stagingRoot(epochId).getAbsolutePath)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    graft.engine.TempIo.deleteRecursively(stagingRoot(epochId).getAbsolutePath)
+}
+
+private[graft] class GraftStreamingWriterFactory(schema: StructType,
+    path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val root = new File(new File(new File(path, GraftSinkProvider.StagingDir),
+      queryId), s"epoch-$epochId")
+    new GraftDataWriter(schema, root.getAbsolutePath, partitionId, taskId)
+  }
 }
 
 /** Executor-side writer: length-prefixed UnsafeRow bytes to one private

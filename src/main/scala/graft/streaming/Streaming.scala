@@ -321,6 +321,41 @@ object Streaming {
     }
   }
 
+  /** q284 — S6 as a TRUE V2 STREAMING SINK: the ingest stream writes
+    * through `writeStream.format("graftsink")` directly — no
+    * foreachBatch anywhere — exercising the connector's
+    * STREAMING_WRITE half ([[graft.sources.GraftSink]]'s
+    * GraftStreamingWrite): per-epoch staging, driver-side atomic
+    * publish, and an epoch MARKER that makes a replayed micro-batch a
+    * no-op — exactly-once delivery implemented INSIDE the connector,
+    * which is where the reference's MongoDB sink needs it
+    * (consumer.scala:176-181). Read back through the provider and
+    * aggregated per (date, hour): the q63/q86/q270 shared oracle. */
+  def q284GraftSinkStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = TempIo.createTempDir("graft-dsv2s-")
+    val ckpt = TempIo.createTempDir("graft-dsv2s-ckpt-")
+    try {
+      val q = projectIngest(readEventsStream(spark, sfDir))
+        .writeStream
+        .format("graftsink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      TempIo.materialize(spark,
+        spark.read.format("graftsink").load(out)
+          .groupBy($"date", $"hour")
+          .agg(count(lit(1)).as("counts"), countDistinct($"key").as("n_keys"))
+          .orderBy($"date", $"hour"))
+    } finally {
+      TempIo.deleteRecursively(out)
+      TempIo.deleteRecursively(ckpt)
+    }
+  }
+
   /** q228 — STREAMING DEAD-LETTER SPLIT: one stream fanned out to a
     * clean sink and a quarantine sink inside a single foreachBatch —
     * the production hygiene pattern q202 demonstrates for batch, under

@@ -85,6 +85,46 @@ class GraftSinkSpec extends SparkTestBase {
     } finally TempIo.deleteRecursively(dir)
   }
 
+  test("streaming write commits per-epoch markers; a replayed epoch publishes nothing twice") {
+    import graft.sources.GraftStreamingWrite
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = TempIo.createTempDir("graftsink-spec-")
+    try {
+      // drive a real V2 streaming write end to end
+      val src = TempIo.createTempDir("graftsink-spec-src-")
+      val ckpt = TempIo.createTempDir("graftsink-spec-ckpt-")
+      spark.range(0, 50).select($"id").write.parquet(s"$src/data")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("id", LongType))))
+        .parquet(s"$src/data")
+        .writeStream.format("graftsink")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val back = spark.read.format("graftsink").load(dir)
+      assert(back.count() === 50)
+      val markers = new File(dir).listFiles()
+        .filter(_.getName.matches("_epoch-.*\\.committed"))
+      assert(markers.nonEmpty, "each committed epoch must leave a marker")
+      assert(stagingLeftovers(dir).isEmpty)
+      // replay idempotence at the protocol level: re-commit an epoch
+      // that already carries a marker — nothing may publish
+      val qid = markers.head.getName.stripPrefix("_epoch-")
+        .stripSuffix(".committed").reverse.dropWhile(_ != '-').drop(1).reverse
+      val epoch = markers.head.getName.stripSuffix(".committed")
+        .reverse.takeWhile(_ != '-').reverse.toLong
+      val before = parts(dir).map(_.getName).toSet
+      val sw = new GraftStreamingWrite(
+        StructType(Seq(StructField("id", LongType))), dir, qid)
+      sw.commit(epoch, Array.empty)
+      assert(parts(dir).map(_.getName).toSet === before,
+        "a replayed (already-markered) epoch must publish nothing")
+      TempIo.deleteRecursively(src); TempIo.deleteRecursively(ckpt)
+    } finally TempIo.deleteRecursively(dir)
+  }
+
   test("wide-type roundtrip: timestamp, decimal, array, struct, nulls survive the wire format") {
     val dir = TempIo.createTempDir("graftsink-spec-")
     try {
