@@ -293,6 +293,9 @@ object SparkEntry {
     "q282_vocab_coverage"  -> TextQueries.q282VocabCoverage _,
     "q283_takedown_plan"   -> TextQueries.q283TakedownPlan _,
     "q284_graftsink_stream" -> graft.streaming.Streaming.q284GraftSinkStream _,
+    "q285_market_share"    -> Relational33.q285MarketShare _,
+    "q286_attribution"     -> Relational33.q286LinearAttribution _,
+    "q287_seasonal_profile" -> Relational33.q287SeasonalProfile _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -654,6 +657,9 @@ object SparkEntry {
     "q282_vocab_coverage"   -> TextQueries.q282Sql,
     "q283_takedown_plan"    -> TextQueries.q283Sql,
     "q284_graftsink_stream" -> graft.streaming.Streaming.q63Sql,
+    "q285_market_share"     -> Relational33.q285Sql,
+    "q286_attribution"      -> Relational33.q286Sql,
+    "q287_seasonal_profile" -> Relational33.q287Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
