@@ -296,6 +296,8 @@ object SparkEntry {
     "q285_market_share"    -> Relational33.q285MarketShare _,
     "q286_attribution"     -> Relational33.q286LinearAttribution _,
     "q287_seasonal_profile" -> Relational33.q287SeasonalProfile _,
+    "q288_hard_negatives"  -> Similarity.q288HardNegatives _,
+    "q289_pair_availability" -> Similarity.q289PairAvailability _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -660,6 +662,8 @@ object SparkEntry {
     "q285_market_share"     -> Relational33.q285Sql,
     "q286_attribution"      -> Relational33.q286Sql,
     "q287_seasonal_profile" -> Relational33.q287Sql,
+    "q288_hard_negatives"   -> Similarity.q288Sql,
+    "q289_pair_availability" -> Similarity.q289Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

@@ -117,12 +117,18 @@ object Similarity {
     * the strided element sum over indices ≡ j (mod 4) — a deterministic, engine-
     * portable stand-in for random-hyperplane projections (the projection
     * vectors are 0/1 indicator masks). */
+  /** Lambda-free unrolled strided sums (16 element_at terms per
+    * plane): bit-identical to the former aggregate/transform fold
+    * (0.0 + v1 ≡ v1 in IEEE, then the same left-to-right adds), pure
+    * codegen, and — the reason for the unroll — free of
+    * NamedLambdaVariables, whose duplication across self-join sides
+    * trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under non-broadcast
+    * physical plans (found by q288's bucket self-join at local[4]). */
   private def lshBucket(emb: Column): Column =
     (0 until 4).map { j =>
-      val proj = aggregate(
-        transform(sequence(lit(j + 1), lit(Dim), lit(4)),
-          i => element_at(emb, i).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = ((j + 1) to Dim by 4)
+        .map(i => element_at(emb, lit(i)).cast("double"))
+        .reduce(_ + _)
       when(proj > 0, lit(1 << j)).otherwise(0)
     }.reduce(_ + _)
 
@@ -1169,4 +1175,99 @@ object Similarity {
         JOIN marg mj ON mj.dim = g.dj
         ORDER BY abs(g.n * g.sum_p - mi.sum_s * mj.sum_s) DESC, di, dj
         LIMIT $Q246TopN"""
+
+  /** q288 — CONTRASTIVE HARD-NEGATIVE MINING: for every anchor vector,
+    * the most-similar DIFFERENT-label vector inside its sign-LSH
+    * bucket — the mining step a contrastive/embedding training loop
+    * runs per epoch (hard negatives dominate the gradient; random
+    * negatives teach nothing). Bucket-scoped by CONTRACT (the same
+    * candidate rule as q25's ANN serving, reproduced verbatim by the
+    * oracle): production mines hardness within the ANN structure it
+    * already maintains, not against the full corpus. Also reports how
+    * many negatives the bucket offered — anchors with zero in-bucket
+    * negatives surface as absent rows, the signal to widen probes.
+    *
+    * Scale: bucket-keyed self-join (candidates bounded by bucket
+    * population), codegen'd dot products, per-anchor WindowGroupLimit
+    * rank — no all-pairs stage. */
+  def q288HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def sides() = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding",
+        lshBucket($"embedding").as("bucket"),
+        dot($"embedding", $"embedding").as("norm2"))
+    val emb = sides()
+    // separate scan for the anchor side: distinct attribute ids keep
+    // the self-join free of Spark's dedup-rebinding edge cases (the
+    // shared-lineage form hit INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under
+    // some physical plans)
+    val anchors = sides().select($"vec_id".as("anchor_id"),
+      $"label".as("a_label"), $"embedding".as("a_emb"), $"bucket",
+      $"norm2".as("a_norm2"))
+    val negs = emb.join(anchors, Seq("bucket"))
+      .filter($"label" =!= $"a_label")
+      .select($"anchor_id", $"a_label", $"vec_id", $"label",
+        cosinePre($"a_emb", $"embedding", $"a_norm2", $"norm2").as("cos"))
+    val w = Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"vec_id")
+    negs
+      .withColumn("n_negs", count(lit(1)).over(Window.partitionBy($"anchor_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"anchor_id", $"a_label", $"vec_id".as("hard_neg_id"),
+        $"label".as("neg_label"), round($"cos", 6).as("cos"), $"n_negs")
+      .orderBy($"anchor_id")
+  }
+
+  def q288Sql: String =
+    s"""WITH e AS (
+          SELECT vec_id, label, embedding,
+            ${lshBucketSql("embedding")} AS bucket
+          FROM embeddings),
+        negs AS (
+          SELECT a.vec_id AS anchor_id, a.label AS a_label,
+            e.vec_id, e.label,
+            ${cosineSql("a.embedding", "e.embedding")} AS cos
+          FROM e a JOIN e ON e.bucket = a.bucket AND e.label <> a.label),
+        ranked AS (
+          SELECT anchor_id, a_label, vec_id, label, cos,
+            CAST(count(*) OVER (PARTITION BY anchor_id) AS BIGINT) AS n_negs,
+            row_number() OVER (PARTITION BY anchor_id
+              ORDER BY cos DESC, vec_id) AS rk
+          FROM negs)
+        SELECT anchor_id, a_label, vec_id AS hard_neg_id,
+          label AS neg_label, round(cos, 6) AS cos, n_negs
+        FROM ranked WHERE rk = 1 ORDER BY anchor_id"""
+
+  /** q289 — CONTRASTIVE PAIR-AVAILABILITY MATRIX: per unordered label
+    * pair, how many in-bucket candidate pairs the LSH structure offers
+    * — the |labels|²-bounded planning table that says whether each
+    * class can mine enough negatives from the index alone (an empty
+    * off-diagonal cell means that label pair NEVER co-occurs in a
+    * bucket, so its hard negatives require cross-bucket probes).
+    * Same join as q288; diagonal counts positive (same-label) pairs. */
+  def q289PairAvailability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def side() = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", lshBucket($"embedding").as("bucket"))
+    val emb = side()
+    val other = side().select($"vec_id".as("o_id"), $"label".as("o_label"),
+      $"bucket")
+    emb.join(other, Seq("bucket"))
+      .filter($"vec_id" < $"o_id")
+      .select(least($"label", $"o_label").as("label_a"),
+        greatest($"label", $"o_label").as("label_b"))
+      .groupBy($"label_a", $"label_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  def q289Sql: String =
+    s"""WITH e AS (
+          SELECT vec_id, label, ${lshBucketSql("embedding")} AS bucket
+          FROM embeddings)
+        SELECT least(a.label, b.label) AS label_a,
+          greatest(a.label, b.label) AS label_b,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY 1, 2 ORDER BY label_a, label_b"""
 }
