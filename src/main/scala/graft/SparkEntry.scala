@@ -298,6 +298,7 @@ object SparkEntry {
     "q287_seasonal_profile" -> Relational33.q287SeasonalProfile _,
     "q288_hard_negatives"  -> Similarity.q288HardNegatives _,
     "q289_pair_availability" -> Similarity.q289PairAvailability _,
+    "q290_graftsink_restart" -> graft.streaming.Streaming.q290GraftSinkRestart _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -339,7 +340,7 @@ object SparkEntry {
     "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma",
     "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k",
     "q270_graftsink_roundtrip", "q274_timer_sessions", "q276_stream_anti",
-    "q284_graftsink_stream")
+    "q284_graftsink_stream", "q290_graftsink_restart")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -664,6 +665,7 @@ object SparkEntry {
     "q287_seasonal_profile" -> Relational33.q287Sql,
     "q288_hard_negatives"   -> Similarity.q288Sql,
     "q289_pair_availability" -> Similarity.q289Sql,
+    "q290_graftsink_restart" -> graft.streaming.Streaming.q290Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

@@ -356,6 +356,65 @@ object Streaming {
     }
   }
 
+  /** q290 — CHECKPOINT RESTART THROUGH THE CUSTOM CONNECTOR: the
+    * T3/T7 fault-tolerance contract (q205 proves it for the built-in
+    * parquet sink) driven through graftsink's STREAMING_WRITE — two
+    * separate query RUNS share one checkpoint: run 1 drains the first
+    * two time-quarter chunks, run 2 starts fresh against the same
+    * checkpoint after two more chunks land and must process ONLY the
+    * new files, with the connector's epoch markers guarding the
+    * publish side against replayed batches. The read-back aggregate
+    * equals the batch aggregate over ALL events iff every chunk was
+    * delivered exactly once across the restart — which is the oracle. */
+  def q290GraftSinkRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = TempIo.createTempDir("graft-gsr-src-")
+    val out = TempIo.createTempDir("graft-gsr-out-")
+    val ckpt = TempIo.createTempDir("graft-gsr-ckpt-")
+    try {
+      val chunkSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      def drain(): Unit = {
+        val q = spark.readStream
+          .schema(chunkSchema)
+          .option("pathGlobFilter", "chunk*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+          .select($"event_id", $"user_id",
+            date_format($"ts", "yyyy-MM-dd").as("date"),
+            date_format($"ts", "HH").as("hour"))
+          .writeStream
+          .format("graftsink")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      writeTimeQuarterChunks(spark, sfDir, src, Seq(1, 2))
+      drain()
+      writeTimeQuarterChunks(spark, sfDir, src, Seq(3, 4))
+      drain()
+      TempIo.materialize(spark,
+        spark.read.format("graftsink").load(out)
+          .groupBy($"date", $"hour")
+          .agg(count(lit(1)).as("counts"),
+            countDistinct($"event_id").as("n_keys"))
+          .orderBy($"date", $"hour"))
+    } finally {
+      Seq(src, out, ckpt).foreach(TempIo.deleteRecursively)
+    }
+  }
+
+  /** Exactly-once across the restart ⇔ the plain batch aggregate. */
+  def q290Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS date, strftime(ts, '%H') AS hour,
+       CAST(count(*) AS BIGINT) AS counts,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys
+       FROM events GROUP BY 1, 2 ORDER BY date, hour"""
+
   /** q228 — STREAMING DEAD-LETTER SPLIT: one stream fanned out to a
     * clean sink and a quarantine sink inside a single foreachBatch —
     * the production hygiene pattern q202 demonstrates for batch, under
@@ -1893,7 +1952,7 @@ object Streaming {
     * order, and a ts tie can never straddle chunks (chunk is a function
     * of ts alone). Fixture prep, not the operator. */
   private def writeTimeQuarterChunks(spark: SparkSession, sfDir: String,
-      src: String): Unit = {
+      src: String, which: Seq[Int] = 1 to 4): Unit = {
     import spark.implicits._
     val raw = Tables.events(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"value")
@@ -1902,7 +1961,7 @@ object Streaming {
     val chunked = raw.crossJoin(broadcast(b))
       .withColumn("c",
         expr("(unix_micros(ts) - t0) * 4 div (t1 - t0 + 1) + 1"))
-    (1 to 4).foreach { i =>
+    which.foreach { i =>
       val dir = s"$src/stage$i"
       chunked.filter($"c" === i)
         .select($"event_id", $"ts", $"user_id", $"value")
