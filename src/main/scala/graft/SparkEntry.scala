@@ -299,6 +299,7 @@ object SparkEntry {
     "q288_hard_negatives"  -> Similarity.q288HardNegatives _,
     "q289_pair_availability" -> Similarity.q289PairAvailability _,
     "q290_graftsink_restart" -> graft.streaming.Streaming.q290GraftSinkRestart _,
+    "q291_stream_observe"  -> graft.streaming.Streaming.q291StreamObserve _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -340,7 +341,7 @@ object SparkEntry {
     "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma",
     "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k",
     "q270_graftsink_roundtrip", "q274_timer_sessions", "q276_stream_anti",
-    "q284_graftsink_stream", "q290_graftsink_restart")
+    "q284_graftsink_stream", "q290_graftsink_restart", "q291_stream_observe")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -666,6 +667,7 @@ object SparkEntry {
     "q288_hard_negatives"   -> Similarity.q288Sql,
     "q289_pair_availability" -> Similarity.q289Sql,
     "q290_graftsink_restart" -> graft.streaming.Streaming.q290Sql,
+    "q291_stream_observe"   -> graft.streaming.Streaming.q291Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

@@ -415,6 +415,71 @@ object Streaming {
        CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys
        FROM events GROUP BY 1, 2 ORDER BY date, hour"""
 
+  /** q291 — STREAMING OBSERVED METRICS: q99's `observe()` audit
+    * attached to a LIVE stream — per micro-batch, the named aggregate
+    * rides the query's progress events (`StreamingQueryProgress
+    * .observedMetrics`) instead of a second scan, which is how a
+    * production pipeline watches row counts / value totals / QA flags
+    * without paying for a monitoring query. Replayed over the 4
+    * time-quarter chunks so MULTIPLE batches contribute; the driver
+    * folds the per-batch observations and the total must equal the
+    * batch aggregate — proving no batch was dropped or double-counted
+    * by the metrics path. Observation cost is map-side only (the
+    * CollectMetrics node aggregates alongside the sink write). */
+  def q291StreamObserve(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val src = TempIo.createTempDir("graft-obs-src-")
+    val sink = TempIo.createTempDir("graft-obs-sink-")
+    val ckpt = TempIo.createTempDir("graft-obs-ckpt-")
+    try {
+      writeTimeQuarterChunks(spark, sfDir, src)
+      val chunkSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val q = spark.readStream
+        .schema(chunkSchema)
+        .option("pathGlobFilter", "chunk*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .observe("ingest_audit",
+          count(lit(1)).as("n_rows"),
+          count(when($"value" > 100, 1)).as("high_value"),
+          sum(graft.engine.Exact.cents($"value")).as("cents"))
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val perBatch = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest_audit")))
+      val totals = perBatch.foldLeft((0L, 0L, 0L)) { (acc, r) =>
+        (acc._1 + r.getAs[Long]("n_rows"),
+          acc._2 + r.getAs[Long]("high_value"),
+          acc._3 + (if (r.isNullAt(r.fieldIndex("cents"))) 0L
+                    else r.getAs[Long]("cents")))
+      }
+      val nDataBatches = perBatch.count(_.getAs[Long]("n_rows") > 0)
+      Seq((nDataBatches.toLong, totals._1, totals._2, totals._3 / 100.0))
+        .toDF("n_batches", "n_rows", "high_value", "sum_value")
+    } finally {
+      Seq(src, sink, ckpt).foreach(TempIo.deleteRecursively)
+    }
+  }
+
+  /** The four quarter chunks each hold ≥1 row, so the metrics path
+    * must report exactly 4 data batches and the batch totals. */
+  def q291Sql: String =
+    """SELECT CAST(4 AS BIGINT) AS n_batches,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS high_value,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_value
+       FROM events"""
+
   /** q228 — STREAMING DEAD-LETTER SPLIT: one stream fanned out to a
     * clean sink and a quarantine sink inside a single foreachBatch —
     * the production hygiene pattern q202 demonstrates for batch, under
