@@ -300,6 +300,8 @@ object SparkEntry {
     "q289_pair_availability" -> Similarity.q289PairAvailability _,
     "q290_graftsink_restart" -> graft.streaming.Streaming.q290GraftSinkRestart _,
     "q291_stream_observe"  -> graft.streaming.Streaming.q291StreamObserve _,
+    "q292_version_diff"    -> Relational34.q292VersionDiff _,
+    "q293_topk_ties"       -> Relational34.q293TopKTies _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -668,6 +670,8 @@ object SparkEntry {
     "q289_pair_availability" -> Similarity.q289Sql,
     "q290_graftsink_restart" -> graft.streaming.Streaming.q290Sql,
     "q291_stream_observe"   -> graft.streaming.Streaming.q291Sql,
+    "q292_version_diff"     -> Relational34.q292Sql,
+    "q293_topk_ties"        -> Relational34.q293Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
