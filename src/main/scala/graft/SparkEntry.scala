@@ -302,6 +302,12 @@ object SparkEntry {
     "q291_stream_observe"  -> graft.streaming.Streaming.q291StreamObserve _,
     "q292_version_diff"    -> Relational34.q292VersionDiff _,
     "q293_topk_ties"       -> Relational34.q293TopKTies _,
+    "q294_late_orders"     -> Relational35.q294LateOrders _,
+    "q295_latency_classes" -> Relational35.q295LatencyClasses _,
+    "q296_dominant_suppliers" -> Relational35.q296DominantSuppliers _,
+    "q297_quality_auc"     -> Relational36.q297QualityAuc _,
+    "q298_ks_drift"        -> Relational36.q298KsDrift _,
+    "q299_spearman_stats"  -> Relational36.q299SpearmanStats _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -672,6 +678,12 @@ object SparkEntry {
     "q291_stream_observe"   -> graft.streaming.Streaming.q291Sql,
     "q292_version_diff"     -> Relational34.q292Sql,
     "q293_topk_ties"        -> Relational34.q293Sql,
+    "q294_late_orders"      -> Relational35.q294Sql,
+    "q295_latency_classes"  -> Relational35.q295Sql,
+    "q296_dominant_suppliers" -> Relational35.q296Sql,
+    "q297_quality_auc"      -> Relational36.q297Sql,
+    "q298_ks_drift"         -> Relational36.q298Sql,
+    "q299_spearman_stats"   -> Relational36.q299Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

@@ -112,4 +112,56 @@ object DistRank {
       .withColumn(outName, greatest(col(lmax), col(pmax)))
       .drop(b, lmax, pmax)
   }
+
+  /** Adds, for each `(value, outName)` pair, `outName` = the INCLUSIVE
+    * running sum of `value` over the GLOBAL order (`key` asc, `tie`
+    * asc) — the scale-safe replacement for
+    * `sum(v) OVER (ORDER BY key, tie ROWS UNBOUNDED PRECEDING)`, the
+    * exact-CDF / midrank primitive the rank-statistics queries (q297
+    * KS numerators, q299 midranks) are built on.
+    *
+    * Same two-level discipline as [[withRank]]/[[withRunningMax]], one
+    * shuffle for ANY number of summed columns: order-preserving
+    * bucketing by percentile cut points, per-bucket local running sums
+    * in parallel, then a |buckets|-row triangular broadcast join whose
+    * exclusive prefix totals lift local sums to global ones. Callers
+    * own overflow discipline: partial sums must stay within long range
+    * (counts and cents against ~10^5-row-scale frames are ≤10^13 —
+    * audit before reusing on a new measure). */
+  def withRunningSums(df: DataFrame, key: String, tie: String,
+      sums: Seq[(String, String)], nBuckets: Int = 16): DataFrame = {
+    require(nBuckets > 1, "nBuckets must exceed 1")
+    require(sums.nonEmpty, "at least one (value, outName) pair")
+    val b = s"__b_${sums.head._2}"
+    val probs = typedlit((1 until nBuckets).map(_.toDouble / nBuckets))
+    val cuts = df.agg(
+      percentile_approx(col(key), probs, lit(10000)).as("__cuts"))
+    val bucketed = df.crossJoin(broadcast(cuts))
+      .withColumn(b,
+        expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
+      .drop("__cuts")
+    val w = Window.partitionBy(col(b))
+      .orderBy(col(key).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.foldLeft(bucketed) { case (acc, (v, out)) =>
+      acc.withColumn(s"__l_$out", sum(col(v)).over(w))
+    }
+    val btot = bucketed.groupBy(col(b))
+      .agg(sums.map { case (v, out) => sum(col(v)).as(s"__t_$out") }.head,
+        sums.tail.map { case (v, out) => sum(col(v)).as(s"__t_$out") }: _*)
+    val earlier = btot.select((col(b).as("__ob") +:
+      sums.map { case (_, out) => col(s"__t_$out").as(s"__e_$out") }): _*)
+    val prefixes = btot.join(broadcast(earlier), col("__ob") < col(b), "left")
+      .groupBy(col(b))
+      .agg(sums.map { case (_, out) =>
+          coalesce(sum(col(s"__e_$out")), lit(0L)).as(s"__p_$out") }.head,
+        sums.tail.map { case (_, out) =>
+          coalesce(sum(col(s"__e_$out")), lit(0L)).as(s"__p_$out") }: _*)
+    val lifted = sums.foldLeft(local.join(broadcast(prefixes), b)) {
+      case (acc, (_, out)) =>
+        acc.withColumn(out, col(s"__p_$out") + col(s"__l_$out"))
+          .drop(s"__p_$out", s"__l_$out")
+    }
+    lifted.drop(b)
+  }
 }

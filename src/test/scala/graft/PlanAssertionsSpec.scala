@@ -181,7 +181,11 @@ class PlanAssertionsSpec extends SparkTestBase {
       "q154_skyline",
       // |sources|-row distinct-source index that then rides a broadcast
       // (Relational12.scala q161Curriculum scaladoc)
-      "q161_curriculum"
+      "q161_curriculum",
+      // ≤1001-row permille score histogram — the score domain [0,1000]
+      // bounds the post-aggregation frame at ANY corpus size
+      // (Relational36.scala q297QualityAuc scaladoc)
+      "q297_quality_auc"
     )
     val batch = SparkEntry.queries.filter {
       case (n, _) => !SparkEntry.streamingQueries.contains(n)
