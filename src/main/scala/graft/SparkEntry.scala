@@ -308,6 +308,8 @@ object SparkEntry {
     "q297_quality_auc"     -> Relational36.q297QualityAuc _,
     "q298_ks_drift"        -> Relational36.q298KsDrift _,
     "q299_spearman_stats"  -> Relational36.q299SpearmanStats _,
+    "q300_stream_semi_join" -> graft.streaming.Streaming.q300StreamSemiJoin _,
+    "q301_union_ingest"    -> graft.streaming.Streaming.q301UnionIngest _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -349,7 +351,8 @@ object SparkEntry {
     "q237_stream_bitmap", "q241_stream_ann_serve", "q250_stream_ewma",
     "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k",
     "q270_graftsink_roundtrip", "q274_timer_sessions", "q276_stream_anti",
-    "q284_graftsink_stream", "q290_graftsink_restart", "q291_stream_observe")
+    "q284_graftsink_stream", "q290_graftsink_restart", "q291_stream_observe",
+    "q300_stream_semi_join", "q301_union_ingest")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -684,6 +687,8 @@ object SparkEntry {
     "q297_quality_auc"      -> Relational36.q297Sql,
     "q298_ks_drift"         -> Relational36.q298Sql,
     "q299_spearman_stats"   -> Relational36.q299Sql,
+    "q300_stream_semi_join" -> graft.streaming.Streaming.q300Sql,
+    "q301_union_ingest"     -> graft.streaming.Streaming.q301Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

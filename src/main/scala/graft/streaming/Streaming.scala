@@ -2621,4 +2621,81 @@ object Streaming {
          WHERE s.event_type = 'signup' AND s.user_id = e.user_id
            AND s.ts < b.t0 + INTERVAL 2 DAY)
        GROUP BY event_type ORDER BY event_type"""
+
+  /** q300 — STREAM-STREAM LEFT SEMI interval join: purchases that had
+    * an error within the 2 hours after them, each purchase emitted at
+    * most ONCE — the EXISTS form of q42's inner interval join (which
+    * fans a purchase out once per matching error). The semi is the
+    * right operator when downstream only needs the flag: state and
+    * output stay purchase-scale, never pair-scale. Both sides carry
+    * the q42 watermarks (state cleanup at scale); with AvailableNow
+    * every match is in-batch, so the drained result equals batch
+    * EXISTS — the oracle.
+    *
+    * Scale: same keyed state as the inner join (shuffle both sides on
+    * user), but emission dedups in-state, so a pathological error
+    * burst can't amplify the output. Output is row-scale → file-sink
+    * drain, never the driver. */
+  def q300StreamSemiJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    def side(tag: String, eventType: String) =
+      intervalJoinSide(spark, sfDir, tag, eventType)
+    val joined = side("p", "purchase").join(side("e", "error"),
+      expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 2 hours"),
+      "left_semi")
+    drainToFileSink(spark, joined)
+      .select($"p_user".as("user_id"), $"p_id")
+      .orderBy($"user_id", $"p_id")
+  }
+
+  def q300Sql: String =
+    """SELECT a.user_id, a.event_id AS p_id FROM events a
+       WHERE a.event_type = 'purchase' AND EXISTS (
+         SELECT 1 FROM events b
+         WHERE b.event_type = 'error' AND b.user_id = a.user_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR)
+       ORDER BY a.user_id, p_id"""
+
+  /** q301 — MULTI-SOURCE UNION INGEST: two independent streaming
+    * sources (the purchase topic and the error topic, here two file
+    * streams over the same fixture) unioned into ONE watermarked
+    * 6-hour windowed aggregation — the fan-in topology a multi-topic
+    * ingest runs (the reference consumes a single topic; production
+    * pipelines merge several). The watermark node sits ABOVE the
+    * union, so event time advances with the max across BOTH sources
+    * (one watermark node — no multi-watermark min policy involved).
+    *
+    * Append-mode gate mirrored by the oracle exactly as q107: a
+    * window [s, s+6h) emits iff s+6h ≤ ms-truncated max unioned event
+    * time − 1h. Output is time-grid×type scale and grows with stream
+    * lifetime → file-sink drain. */
+  def q301UnionIngest(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val purchases = readEventsStream(spark, sfDir)
+      .filter($"event_type" === "purchase")
+    val errors = readEventsStream(spark, sfDir)
+      .filter($"event_type" === "error")
+    val agg = purchases.unionByName(errors)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("counts"))
+    drainToFileSink(spark, agg)
+      .select(graft.engine.Exact.tsString($"window.start").as("ws"),
+        $"event_type", $"counts")
+      .orderBy($"ws", $"event_type")
+  }
+
+  def q301Sql: String =
+    """WITH u AS (
+         SELECT ts, event_type FROM events
+         WHERE event_type IN ('purchase', 'error')),
+       gate AS (SELECT epoch_ms(max(ts)) AS mx FROM u)
+       SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000)
+                                      * 21600000000),
+                       '%Y-%m-%d %H:%M:%S') AS ws,
+         event_type, count(*) AS counts
+       FROM u
+       WHERE (epoch_us(ts) // 21600000000) * 21600000 + 21600000 <=
+         (SELECT mx FROM gate) - 3600000
+       GROUP BY 1, 2 ORDER BY ws, event_type"""
 }
