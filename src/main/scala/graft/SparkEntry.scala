@@ -310,6 +310,8 @@ object SparkEntry {
     "q299_spearman_stats"  -> Relational36.q299SpearmanStats _,
     "q300_stream_semi_join" -> graft.streaming.Streaming.q300StreamSemiJoin _,
     "q301_union_ingest"    -> graft.streaming.Streaming.q301UnionIngest _,
+    "q302_connected_components" -> GraphQueries.q302ConnectedComponents _,
+    "q303_co_supplier_matrix" -> GraphQueries.q303CoSupplierMatrix _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -689,6 +691,8 @@ object SparkEntry {
     "q299_spearman_stats"   -> Relational36.q299Sql,
     "q300_stream_semi_join" -> graft.streaming.Streaming.q300Sql,
     "q301_union_ingest"     -> graft.streaming.Streaming.q301Sql,
+    "q302_connected_components" -> GraphQueries.q302Sql,
+    "q303_co_supplier_matrix" -> GraphQueries.q303Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

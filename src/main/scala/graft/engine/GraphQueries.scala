@@ -132,4 +132,179 @@ object GraphQueries {
           JOIN pr1 ON e.src = pr1.doc
           GROUP BY e.dst)
         SELECT doc, CAST(r AS BIGINT) AS rank_micro FROM pr2 ORDER BY doc"""
+
+
+  private val WinLo = "1996-01-01"
+  private val WinHi = "1996-02-01"
+
+  /** Distinct undirected bipartite edges for the window; suppliers get
+    * even node ids (2k), parts odd (2k+1), so one BIGINT namespace
+    * holds both sides. */
+  private def coSupplyEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit(WinLo).cast("timestamp") &&
+        $"l_shipdate" < lit(WinHi).cast("timestamp"))
+      .select(($"l_suppkey" * 2).as("u"), ($"l_partkey" * 2 + 1).as("v"))
+      .distinct()
+  }
+
+  /** One alternating-star round: large-star then small-star, each
+    * built from m(u) = min(Γ⁺(u)) — a groupBy-u min joined back on u
+    * (co-partitioned with its own aggregate, so each pass is ONE
+    * shuffle of the directed edge list). Large-star links every
+    * neighbor v > u to m(u); small-star links every v < u and u
+    * itself to m(u). Edges re-canonicalize (min, max) and dedup after
+    * each pass; self-loops drop. */
+  private def starRound(edges: DataFrame): DataFrame = {
+    def pass(e: DataFrame, large: Boolean): DataFrame = {
+      val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = dir.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val joined = dir.join(mins, "u")
+      val emitted =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+        else joined.filter(col("v") < col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .union(joined.select(col("u").as("a"), col("m").as("b")))
+      emitted.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+    }
+    pass(pass(edges, large = true), large = false)
+  }
+
+  /** Alternating-star to fixpoint: returns (node, comp) labels. The
+    * loop is driver-side control flow over TWO SCALARS per round
+    * (edge count + order-invariant hash-sum — the convergence probe);
+    * every data pass stays distributed, and localCheckpoint cuts the
+    * per-round lineage exactly as q242's PageRank loop does. At
+    * convergence every edge is a (center, member) star arm. */
+  def alternatingStar(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    var edges = edges0.localCheckpoint()
+    var signature = (-1L, -1L)
+    var converged = false
+    var rounds = 0
+    val MaxRounds = 20
+    while (!converged && rounds < MaxRounds) {
+      val next = starRound(edges).localCheckpoint()
+      val sig = next.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .as[(Long, Long)].head()
+      converged = sig == signature
+      signature = sig
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"alternating-star did not converge in $MaxRounds rounds")
+    // Star arms: member v of comp u (u = component min). Centers label
+    // themselves; with isolated nodes impossible here (nodes come from
+    // edges), labels = arms ∪ centers.
+    edges.select($"v".as("node"), $"u".as("comp"))
+      .union(edges.select($"u".as("node"), $"u".as("comp")))
+      .distinct()
+  }
+
+  /** q302 — CONNECTED COMPONENTS (alternating-star): component
+    * structure of the one-month co-supply graph, rolled up to the
+    * (suppliers-in-component, parts-in-component) shape histogram —
+    * the fixed-size summary a 100 TB run would emit. */
+  def q302ConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labels = alternatingStar(coSupplyEdges(spark, sfDir))
+    labels.groupBy($"comp")
+      .agg(sum(when($"node" % 2 === 0, 1L).otherwise(0L)).as("ns"),
+        sum($"node" % 2).as("np"))
+      .groupBy($"ns", $"np")
+      .agg(count(lit(1)).as("n_components"))
+      .select($"ns".as("n_supp"), $"np".as("n_part"), $"n_components")
+      .orderBy($"n_supp", $"n_part")
+  }
+
+  def q302Sql: String =
+    s"""WITH RECURSIVE edges AS (
+         SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '$WinLo'
+           AND l_shipdate <  TIMESTAMP '$WinHi'),
+       und AS (
+         SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+       nodes AS (SELECT DISTINCT u AS node FROM und),
+       r(node, lab) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT e.u AS node, r.lab
+         FROM r JOIN und e ON e.v = r.node
+         WHERE r.lab < e.u),
+       comp AS (SELECT node, min(lab) AS comp FROM r GROUP BY node),
+       shapes AS (
+         SELECT comp,
+           CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_supp,
+           CAST(sum(node % 2) AS BIGINT) AS n_part
+         FROM comp GROUP BY comp)
+       SELECT n_supp, n_part, CAST(count(*) AS BIGINT) AS n_components
+       FROM shapes GROUP BY 1, 2 ORDER BY n_supp, n_part"""
+
+  /** q303 — BIPARTITE CO-OCCURRENCE PROJECTION: project the same
+    * co-supply graph onto supplier pairs sharing a part, rolled up to
+    * the nation×nation collaboration matrix — the co-citation /
+    * co-purchase projection pattern. The per-part self-join is the
+    * honest cost: fan-out is Σ deg(part)², bounded here by the
+    * one-month window (≈ a few suppliers per part). At 100 TB the
+    * guard is structural: cap or sample parts whose degree exceeds a
+    * bound before squaring (the q256 skew-audit discipline); this
+    * fixture's max degree is single-digit, so the projection is
+    * exact with no cap.
+    *
+    * Scale: the self-join is an equi join on l_partkey (co-partitioned
+    * with the distinct that built the edge list); nation dims ride
+    * broadcasts; output is |nations|² bounded. */
+  def q303CoSupplierMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = coSupplyEdges(spark, sfDir)
+      .select(expr("u div 2").as("s"), expr("v div 2").as("p"))
+    val pairs = e.as("a").join(e.as("b"), Seq("p"))
+      .filter(col("a.s") < col("b.s"))
+      .select($"p", col("a.s").as("sa"), col("b.s").as("sb"))
+    val natOf = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    pairs
+      .join(broadcast(natOf.select($"s_suppkey".as("sa"), $"n_name".as("na"))), Seq("sa"))
+      .join(broadcast(natOf.select($"s_suppkey".as("sb"), $"n_name".as("nb"))), Seq("sb"))
+      .select($"p", least($"na", $"nb").as("nation_a"),
+        greatest($"na", $"nb").as("nation_b"))
+      .groupBy($"nation_a", $"nation_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"p").as("n_parts_shared"))
+      .orderBy($"nation_a", $"nation_b")
+  }
+
+  def q303Sql: String =
+    s"""WITH e AS (
+         SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '$WinLo'
+           AND l_shipdate <  TIMESTAMP '$WinHi'),
+       pairs AS (
+         SELECT a.p, a.s AS sa, b.s AS sb
+         FROM e a JOIN e b ON a.p = b.p AND a.s < b.s),
+       nat AS (
+         SELECT s_suppkey, n_name FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey)
+       SELECT least(x.n_name, y.n_name) AS nation_a,
+         greatest(x.n_name, y.n_name) AS nation_b,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT p) AS BIGINT) AS n_parts_shared
+       FROM pairs
+       JOIN nat x ON sa = x.s_suppkey
+       JOIN nat y ON sb = y.s_suppkey
+       GROUP BY 1, 2 ORDER BY nation_a, nation_b"""
 }
