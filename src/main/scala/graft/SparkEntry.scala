@@ -312,6 +312,10 @@ object SparkEntry {
     "q301_union_ingest"    -> graft.streaming.Streaming.q301UnionIngest _,
     "q302_connected_components" -> GraphQueries.q302ConnectedComponents _,
     "q303_co_supplier_matrix" -> GraphQueries.q303CoSupplierMatrix _,
+    "q304_vocab_growth"    -> Relational37.q304VocabGrowth _,
+    "q305_kappa_stats"     -> Relational37.q305KappaStats _,
+    "q306_gini"            -> Relational37.q306GiniConcentration _,
+    "q307_coverage_depth"  -> Relational37.q307CoverageDepth _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -693,6 +697,10 @@ object SparkEntry {
     "q301_union_ingest"     -> graft.streaming.Streaming.q301Sql,
     "q302_connected_components" -> GraphQueries.q302Sql,
     "q303_co_supplier_matrix" -> GraphQueries.q303Sql,
+    "q304_vocab_growth"     -> Relational37.q304Sql,
+    "q305_kappa_stats"      -> Relational37.q305Sql,
+    "q306_gini"             -> Relational37.q306Sql,
+    "q307_coverage_depth"   -> Relational37.q307Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

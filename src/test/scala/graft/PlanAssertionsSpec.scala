@@ -185,7 +185,11 @@ class PlanAssertionsSpec extends SparkTestBase {
       // ≤1001-row permille score histogram — the score domain [0,1000]
       // bounds the post-aggregation frame at ANY corpus size
       // (Relational36.scala q297QualityAuc scaladoc)
-      "q297_quality_auc"
+      "q297_quality_auc",
+      // 16-row slice frame — the slice constant bounds the
+      // post-aggregation frame at ANY corpus size (Relational37.scala
+      // q304VocabGrowth scaladoc)
+      "q304_vocab_growth"
     )
     val batch = SparkEntry.queries.filter {
       case (n, _) => !SparkEntry.streamingQueries.contains(n)
