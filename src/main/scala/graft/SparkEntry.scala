@@ -316,6 +316,8 @@ object SparkEntry {
     "q305_kappa_stats"     -> Relational37.q305KappaStats _,
     "q306_gini"            -> Relational37.q306GiniConcentration _,
     "q307_coverage_depth"  -> Relational37.q307CoverageDepth _,
+    "q308_power_iteration" -> EmbedStats.q308PowerIteration _,
+    "q309_anova_separation" -> EmbedStats.q309AnovaSeparation _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -701,6 +703,8 @@ object SparkEntry {
     "q305_kappa_stats"      -> Relational37.q305Sql,
     "q306_gini"             -> Relational37.q306Sql,
     "q307_coverage_depth"   -> Relational37.q307Sql,
+    "q308_power_iteration"  -> EmbedStats.q308Sql,
+    "q309_anova_separation" -> EmbedStats.q309Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
