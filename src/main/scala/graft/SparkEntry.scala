@@ -318,6 +318,9 @@ object SparkEntry {
     "q307_coverage_depth"  -> Relational37.q307CoverageDepth _,
     "q308_power_iteration" -> EmbedStats.q308PowerIteration _,
     "q309_anova_separation" -> EmbedStats.q309AnovaSeparation _,
+    "q310_span_coverage"   -> Relational38.q310SpanCoverage _,
+    "q311_bootstrap"       -> Relational38.q311Bootstrap _,
+    "q312_apportionment"   -> Relational38.q312Apportionment _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -705,6 +708,9 @@ object SparkEntry {
     "q307_coverage_depth"   -> Relational37.q307Sql,
     "q308_power_iteration"  -> EmbedStats.q308Sql,
     "q309_anova_separation" -> EmbedStats.q309Sql,
+    "q310_span_coverage"    -> Relational38.q310Sql,
+    "q311_bootstrap"        -> Relational38.q311Sql,
+    "q312_apportionment"    -> Relational38.q312Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

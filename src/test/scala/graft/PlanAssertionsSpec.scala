@@ -189,7 +189,10 @@ class PlanAssertionsSpec extends SparkTestBase {
       // 16-row slice frame — the slice constant bounds the
       // post-aggregation frame at ANY corpus size (Relational37.scala
       // q304VocabGrowth scaladoc)
-      "q304_vocab_growth"
+      "q304_vocab_growth",
+      // |sources|-row remainder-rank frame (Relational38.scala
+      // q312Apportionment scaladoc)
+      "q312_apportionment"
     )
     val batch = SparkEntry.queries.filter {
       case (n, _) => !SparkEntry.streamingQueries.contains(n)
