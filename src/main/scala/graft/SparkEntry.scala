@@ -321,6 +321,8 @@ object SparkEntry {
     "q310_span_coverage"   -> Relational38.q310SpanCoverage _,
     "q311_bootstrap"       -> Relational38.q311Bootstrap _,
     "q312_apportionment"   -> Relational38.q312Apportionment _,
+    "q313_weighted_quantiles" -> Relational39.q313WeightedQuantiles _,
+    "q314_trimmed_mean"    -> Relational39.q314TrimmedMean _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -711,6 +713,8 @@ object SparkEntry {
     "q310_span_coverage"    -> Relational38.q310Sql,
     "q311_bootstrap"        -> Relational38.q311Sql,
     "q312_apportionment"    -> Relational38.q312Sql,
+    "q313_weighted_quantiles" -> Relational39.q313Sql,
+    "q314_trimmed_mean"     -> Relational39.q314Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

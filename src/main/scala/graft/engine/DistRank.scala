@@ -164,4 +164,57 @@ object DistRank {
     }
     lifted.drop(b)
   }
+
+  /** GROUPED variant of [[withRunningSums]]: the running sums restart
+    * per `groups` key, but — unlike a per-group global window, whose
+    * partitions grow with the group's share of the data — each
+    * (group, bucket) cell sorts locally and cross-bucket lifts come
+    * from a |groups|·|buckets|-row triangular broadcast join. Cut
+    * points stay GLOBAL on `key` (order-preserving within every group
+    * regardless of where the cuts fall; group skew only unbalances
+    * cells, never changes a sum — the [[withRank]] exactness argument
+    * verbatim). This is the primitive behind grouped exact quantiles
+    * and trimmed aggregates (q313/q314). */
+  def withGroupedRunningSums(df: DataFrame, groups: Seq[String],
+      key: String, tie: String, sums: Seq[(String, String)],
+      nBuckets: Int = 16): DataFrame = {
+    require(nBuckets > 1, "nBuckets must exceed 1")
+    require(sums.nonEmpty, "at least one (value, outName) pair")
+    require(groups.nonEmpty, "use withRunningSums for the ungrouped form")
+    val b = s"__b_${sums.head._2}"
+    val probs = typedlit((1 until nBuckets).map(_.toDouble / nBuckets))
+    val cuts = df.agg(
+      percentile_approx(col(key), probs, lit(10000)).as("__cuts"))
+    val bucketed = df.crossJoin(broadcast(cuts))
+      .withColumn(b,
+        expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
+      .drop("__cuts")
+    val w = Window.partitionBy((groups :+ b).map(col): _*)
+      .orderBy(col(key).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.foldLeft(bucketed) { case (acc, (v, out)) =>
+      acc.withColumn(s"__l_$out", sum(col(v)).over(w))
+    }
+    val btot = bucketed.groupBy((groups :+ b).map(col): _*)
+      .agg(sums.map { case (v, out) => sum(col(v)).as(s"__t_$out") }.head,
+        sums.tail.map { case (v, out) => sum(col(v)).as(s"__t_$out") }: _*)
+    val earlier = btot.select(
+      (groups.map(g => col(g).as(s"__og_$g")) :+ col(b).as("__ob")) ++
+        sums.map { case (_, out) => col(s"__t_$out").as(s"__e_$out") }: _*)
+    val joinCond = groups.map(g => col(s"__og_$g") === col(g))
+      .reduce(_ && _) && col("__ob") < col(b)
+    val prefixes = btot.join(broadcast(earlier), joinCond, "left")
+      .groupBy((groups :+ b).map(col): _*)
+      .agg(sums.map { case (_, out) =>
+          coalesce(sum(col(s"__e_$out")), lit(0L)).as(s"__p_$out") }.head,
+        sums.tail.map { case (_, out) =>
+          coalesce(sum(col(s"__e_$out")), lit(0L)).as(s"__p_$out") }: _*)
+    val lifted = sums.foldLeft(
+        local.join(broadcast(prefixes), groups :+ b)) {
+      case (acc, (_, out)) =>
+        acc.withColumn(out, col(s"__p_$out") + col(s"__l_$out"))
+          .drop(s"__p_$out", s"__l_$out")
+    }
+    lifted.drop(b)
+  }
 }
