@@ -323,6 +323,9 @@ object SparkEntry {
     "q312_apportionment"   -> Relational38.q312Apportionment _,
     "q313_weighted_quantiles" -> Relational39.q313WeightedQuantiles _,
     "q314_trimmed_mean"    -> Relational39.q314TrimmedMean _,
+    "q315_nearest_asof"    -> Relational40.q315NearestAsof _,
+    "q316_ks_matrix"       -> Relational40.q316KsMatrix _,
+    "q317_quantile_norm"   -> Relational40.q317QuantileNorm _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -715,6 +718,9 @@ object SparkEntry {
     "q312_apportionment"    -> Relational38.q312Sql,
     "q313_weighted_quantiles" -> Relational39.q313Sql,
     "q314_trimmed_mean"     -> Relational39.q314Sql,
+    "q315_nearest_asof"     -> Relational40.q315Sql,
+    "q316_ks_matrix"        -> Relational40.q316Sql,
+    "q317_quantile_norm"    -> Relational40.q317Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
