@@ -326,6 +326,9 @@ object SparkEntry {
     "q315_nearest_asof"    -> Relational40.q315NearestAsof _,
     "q316_ks_matrix"       -> Relational40.q316KsMatrix _,
     "q317_quantile_norm"   -> Relational40.q317QuantileNorm _,
+    "q318_chunk_dedup"     -> Relational41.q318ChunkDedup _,
+    "q319_rebalance"       -> Relational41.q319Rebalance _,
+    "q320_kmeans_lloyd"    -> Relational41.q320KMeansLloyd _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -721,6 +724,9 @@ object SparkEntry {
     "q315_nearest_asof"     -> Relational40.q315Sql,
     "q316_ks_matrix"        -> Relational40.q316Sql,
     "q317_quantile_norm"    -> Relational40.q317Sql,
+    "q318_chunk_dedup"      -> Relational41.q318Sql,
+    "q319_rebalance"        -> Relational41.q319Sql,
+    "q320_kmeans_lloyd"     -> Relational41.q320Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
