@@ -329,6 +329,9 @@ object SparkEntry {
     "q318_chunk_dedup"     -> Relational41.q318ChunkDedup _,
     "q319_rebalance"       -> Relational41.q319Rebalance _,
     "q320_kmeans_lloyd"    -> Relational41.q320KMeansLloyd _,
+    "q321_coverage_calendar" -> Relational42.q321CoverageCalendar _,
+    "q322_overlap_matrix"  -> Relational42.q322OverlapMatrix _,
+    "q323_quota_topk"      -> Relational42.q323QuotaTopK _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -727,6 +730,9 @@ object SparkEntry {
     "q318_chunk_dedup"      -> Relational41.q318Sql,
     "q319_rebalance"        -> Relational41.q319Sql,
     "q320_kmeans_lloyd"     -> Relational41.q320Sql,
+    "q321_coverage_calendar" -> Relational42.q321Sql,
+    "q322_overlap_matrix"   -> Relational42.q322Sql,
+    "q323_quota_topk"       -> Relational42.q323Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
