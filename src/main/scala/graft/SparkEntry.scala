@@ -332,6 +332,9 @@ object SparkEntry {
     "q321_coverage_calendar" -> Relational42.q321CoverageCalendar _,
     "q322_overlap_matrix"  -> Relational42.q322OverlapMatrix _,
     "q323_quota_topk"      -> Relational42.q323QuotaTopK _,
+    "q324_datasheet"       -> Relational43.q324Datasheet _,
+    "q325_hybrid_skew_join" -> Relational43.q325HybridSkewJoin _,
+    "q326_balanced_downsample" -> Relational43.q326BalancedDownsample _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -733,6 +736,9 @@ object SparkEntry {
     "q321_coverage_calendar" -> Relational42.q321Sql,
     "q322_overlap_matrix"   -> Relational42.q322Sql,
     "q323_quota_topk"       -> Relational42.q323Sql,
+    "q324_datasheet"        -> Relational43.q324Sql,
+    "q325_hybrid_skew_join" -> Relational43.q325Sql,
+    "q326_balanced_downsample" -> Relational43.q326Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
