@@ -335,6 +335,11 @@ object SparkEntry {
     "q324_datasheet"       -> Relational43.q324Datasheet _,
     "q325_hybrid_skew_join" -> Relational43.q325HybridSkewJoin _,
     "q326_balanced_downsample" -> Relational43.q326BalancedDownsample _,
+    "q327_forecast_revenue" -> Relational44.q327ForecastRevenue _,
+    "q328_hhi_bands"       -> Relational44.q328HhiBands _,
+    "q329_pruning_cost"    -> Relational44.q329PruningCost _,
+    "q330_anti_entropy"    -> Relational45.q330AntiEntropy _,
+    "q331_quorum_repair"   -> Relational45.q331QuorumRepair _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -739,6 +744,11 @@ object SparkEntry {
     "q324_datasheet"        -> Relational43.q324Sql,
     "q325_hybrid_skew_join" -> Relational43.q325Sql,
     "q326_balanced_downsample" -> Relational43.q326Sql,
+    "q327_forecast_revenue" -> Relational44.q327Sql,
+    "q328_hhi_bands"        -> Relational44.q328Sql,
+    "q329_pruning_cost"     -> Relational44.q329Sql,
+    "q330_anti_entropy"     -> Relational45.q330Sql,
+    "q331_quorum_repair"    -> Relational45.q331Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
