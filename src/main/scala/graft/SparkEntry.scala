@@ -340,6 +340,8 @@ object SparkEntry {
     "q329_pruning_cost"    -> Relational44.q329PruningCost _,
     "q330_anti_entropy"    -> Relational45.q330AntiEntropy _,
     "q331_quorum_repair"   -> Relational45.q331QuorumRepair _,
+    "q332_grain_alignment" -> Relational46.q332GrainAlignment _,
+    "q333_ab_audit"        -> Relational46.q333AbAudit _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -749,6 +751,8 @@ object SparkEntry {
     "q329_pruning_cost"     -> Relational44.q329Sql,
     "q330_anti_entropy"     -> Relational45.q330Sql,
     "q331_quorum_repair"    -> Relational45.q331Sql,
+    "q332_grain_alignment"  -> Relational46.q332Sql,
+    "q333_ab_audit"         -> Relational46.q333Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
