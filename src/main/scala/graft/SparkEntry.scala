@@ -342,6 +342,7 @@ object SparkEntry {
     "q331_quorum_repair"   -> Relational45.q331QuorumRepair _,
     "q332_grain_alignment" -> Relational46.q332GrainAlignment _,
     "q333_ab_audit"        -> Relational46.q333AbAudit _,
+    "q334_three_way_stream_join" -> graft.streaming.Streaming.q334ThreeWayStreamJoin _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -384,7 +385,8 @@ object SparkEntry {
     "q258_stream_alerts", "q266_stream_map_state", "q267_stream_last_k",
     "q270_graftsink_roundtrip", "q274_timer_sessions", "q276_stream_anti",
     "q284_graftsink_stream", "q290_graftsink_restart", "q291_stream_observe",
-    "q300_stream_semi_join", "q301_union_ingest")
+    "q300_stream_semi_join", "q301_union_ingest",
+    "q334_three_way_stream_join")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -753,6 +755,7 @@ object SparkEntry {
     "q331_quorum_repair"    -> Relational45.q331Sql,
     "q332_grain_alignment"  -> Relational46.q332Sql,
     "q333_ab_audit"         -> Relational46.q333Sql,
+    "q334_three_way_stream_join" -> graft.streaming.Streaming.q334Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

@@ -2698,4 +2698,55 @@ object Streaming {
        WHERE (epoch_us(ts) // 21600000000) * 21600000 + 21600000 <=
          (SELECT mx FROM gate) - 3600000
        GROUP BY 1, 2 ORDER BY ws, event_type"""
+
+  /** q334 — THREE-WAY CHAINED STREAM-STREAM JOIN: signup → purchase
+    * (within 30 days) → error (within 2 hours) for the same user, as
+    * ONE streaming query with two chained interval joins — the
+    * multi-stateful-operator topology (Spark ≥3.4's chained
+    * time-interval joins) that a funnel-attribution pipeline runs
+    * live. Every side carries its own watermark; the event-time
+    * range conditions bound BOTH join states, so neither stage's
+    * buffer grows past its window.
+    *
+    * With AvailableNow all matches land in-batch, so the drained
+    * result equals the batch 3-way interval join — the oracle.
+    * Output is triple-scale → file-sink drain. */
+  def q334ThreeWayStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    def side(tag: String, eventType: String) =
+      readEventsStream(spark, sfDir)
+        .filter($"event_type" === eventType)
+        .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+          $"event_id".as(s"${tag}_id"))
+        .withWatermark(s"${tag}_ts", "1 hour")
+    val sp = side("s", "signup").join(side("p", "purchase"),
+        expr("s_user = p_user AND p_ts >= s_ts" +
+          " AND p_ts <= s_ts + interval 30 days"))
+      // exactly ONE event-time column may reach the next stateful
+      // operator: demote the signup time to a plain BIGINT and keep
+      // p_ts as the chain's event-time axis
+      .select($"s_user", $"s_id", unix_micros($"s_ts").as("s_us"),
+        $"p_user", $"p_ts", $"p_id")
+    val spe = sp.join(side("e", "error"),
+      expr("p_user = e_user AND e_ts >= p_ts" +
+        " AND e_ts <= p_ts + interval 2 hours"))
+    drainToFileSink(spark, spe)
+      .select($"s_user".as("user_id"), $"s_id", $"p_id", $"e_id",
+        expr("(unix_micros(p_ts) - s_us) div 86400000000")
+          .as("signup_to_purchase_days"))
+      .orderBy($"user_id", $"s_id", $"p_id", $"e_id")
+  }
+
+  def q334Sql: String =
+    """SELECT s.user_id, s.event_id AS s_id, p.event_id AS p_id,
+         e.event_id AS e_id,
+         CAST((epoch_us(p.ts) - epoch_us(s.ts)) // 86400000000 AS BIGINT)
+           AS signup_to_purchase_days
+       FROM events s
+       JOIN events p ON s.user_id = p.user_id
+         AND s.event_type = 'signup' AND p.event_type = 'purchase'
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 DAY
+       JOIN events e ON p.user_id = e.user_id AND e.event_type = 'error'
+         AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 2 HOUR
+       ORDER BY s.user_id, s_id, p_id, e_id"""
 }
