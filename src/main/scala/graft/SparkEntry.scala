@@ -345,6 +345,8 @@ object SparkEntry {
     "q334_three_way_stream_join" -> graft.streaming.Streaming.q334ThreeWayStreamJoin _,
     "q335_winsor_trend"    -> Relational47.q335WinsorTrend _,
     "q336_ushape_attribution" -> Relational47.q336UShapeAttribution _,
+    "q337_sparse_scoring"  -> Relational48.q337SparseScoring _,
+    "q338_hashing_collisions" -> Relational48.q338HashingCollisions _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -760,6 +762,8 @@ object SparkEntry {
     "q334_three_way_stream_join" -> graft.streaming.Streaming.q334Sql,
     "q335_winsor_trend"     -> Relational47.q335Sql,
     "q336_ushape_attribution" -> Relational47.q336Sql,
+    "q337_sparse_scoring"   -> Relational48.q337Sql,
+    "q338_hashing_collisions" -> Relational48.q338Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
