@@ -347,6 +347,8 @@ object SparkEntry {
     "q336_ushape_attribution" -> Relational47.q336UShapeAttribution _,
     "q337_sparse_scoring"  -> Relational48.q337SparseScoring _,
     "q338_hashing_collisions" -> Relational48.q338HashingCollisions _,
+    "q339_change_point"    -> Relational49.q339ChangePoint _,
+    "q340_greedy_cover"    -> Relational49.q340GreedyCover _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -764,6 +766,8 @@ object SparkEntry {
     "q336_ushape_attribution" -> Relational47.q336Sql,
     "q337_sparse_scoring"   -> Relational48.q337Sql,
     "q338_hashing_collisions" -> Relational48.q338Sql,
+    "q339_change_point"     -> Relational49.q339Sql,
+    "q340_greedy_cover"     -> Relational49.q340Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

@@ -30,7 +30,7 @@ object Dedup {
     * (measured 6s of q21's 8s at sf0.1 before this was hoisted).
     * Guarded so docs with <3 tokens yield no shingles (Spark's `sequence`
     * would otherwise generate a descending range, unlike DuckDB's range). */
-  private def shinglesOf(toks: Column): Column =
+  private[engine] def shinglesOf(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2), i =>
         concat_ws(" ",
