@@ -349,6 +349,8 @@ object SparkEntry {
     "q338_hashing_collisions" -> Relational48.q338HashingCollisions _,
     "q339_change_point"    -> Relational49.q339ChangePoint _,
     "q340_greedy_cover"    -> Relational49.q340GreedyCover _,
+    "q341_diff_compose"    -> Relational50.q341DiffCompose _,
+    "q342_gc_plan"         -> Relational50.q342GcPlan _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -768,6 +770,8 @@ object SparkEntry {
     "q338_hashing_collisions" -> Relational48.q338Sql,
     "q339_change_point"     -> Relational49.q339Sql,
     "q340_greedy_cover"     -> Relational49.q340Sql,
+    "q341_diff_compose"     -> Relational50.q341Sql,
+    "q342_gc_plan"          -> Relational50.q342Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
