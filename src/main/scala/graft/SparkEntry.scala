@@ -351,6 +351,9 @@ object SparkEntry {
     "q340_greedy_cover"    -> Relational49.q340GreedyCover _,
     "q341_diff_compose"    -> Relational50.q341DiffCompose _,
     "q342_gc_plan"         -> Relational50.q342GcPlan _,
+    "q343_salted_distinct" -> Relational51.q343SaltedDistinct _,
+    "q344_kmv_frontier"    -> Relational51.q344KmvFrontier _,
+    "q345_fd_profile"      -> Relational51.q345FdProfile _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -772,6 +775,9 @@ object SparkEntry {
     "q340_greedy_cover"     -> Relational49.q340Sql,
     "q341_diff_compose"     -> Relational50.q341Sql,
     "q342_gc_plan"          -> Relational50.q342Sql,
+    "q343_salted_distinct"  -> Relational51.q343Sql,
+    "q344_kmv_frontier"     -> Relational51.q344Sql,
+    "q345_fd_profile"       -> Relational51.q345Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
