@@ -354,6 +354,9 @@ object SparkEntry {
     "q343_salted_distinct" -> Relational51.q343SaltedDistinct _,
     "q344_kmv_frontier"    -> Relational51.q344KmvFrontier _,
     "q345_fd_profile"      -> Relational51.q345FdProfile _,
+    "q346_sequence_support" -> Relational52.q346SequenceSupport _,
+    "q347_reconciliation"  -> Relational52.q347Reconciliation _,
+    "q348_longest_streak"  -> Relational52.q348LongestStreak _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -778,6 +781,9 @@ object SparkEntry {
     "q343_salted_distinct"  -> Relational51.q343Sql,
     "q344_kmv_frontier"     -> Relational51.q344Sql,
     "q345_fd_profile"       -> Relational51.q345Sql,
+    "q346_sequence_support" -> Relational52.q346Sql,
+    "q347_reconciliation"   -> Relational52.q347Sql,
+    "q348_longest_streak"   -> Relational52.q348Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
