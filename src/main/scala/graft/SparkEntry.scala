@@ -357,6 +357,9 @@ object SparkEntry {
     "q346_sequence_support" -> Relational52.q346SequenceSupport _,
     "q347_reconciliation"  -> Relational52.q347Reconciliation _,
     "q348_longest_streak"  -> Relational52.q348LongestStreak _,
+    "q349_benford"         -> Relational53.q349Benford _,
+    "q350_inclusion_deps"  -> Relational53.q350InclusionDeps _,
+    "q351_assortativity"   -> Relational53.q351Assortativity _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -784,6 +787,9 @@ object SparkEntry {
     "q346_sequence_support" -> Relational52.q346Sql,
     "q347_reconciliation"   -> Relational52.q347Sql,
     "q348_longest_streak"   -> Relational52.q348Sql,
+    "q349_benford"          -> Relational53.q349Sql,
+    "q350_inclusion_deps"   -> Relational53.q350Sql,
+    "q351_assortativity"    -> Relational53.q351Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
