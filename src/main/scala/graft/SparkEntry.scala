@@ -360,6 +360,9 @@ object SparkEntry {
     "q349_benford"         -> Relational53.q349Benford _,
     "q350_inclusion_deps"  -> Relational53.q350InclusionDeps _,
     "q351_assortativity"   -> Relational53.q351Assortativity _,
+    "q352_acf"             -> Relational54.q352Acf _,
+    "q353_fifo_containers" -> Relational54.q353FifoContainers _,
+    "q354_pk_discovery"    -> Relational54.q354PkDiscovery _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -790,6 +793,9 @@ object SparkEntry {
     "q349_benford"          -> Relational53.q349Sql,
     "q350_inclusion_deps"   -> Relational53.q350Sql,
     "q351_assortativity"    -> Relational53.q351Sql,
+    "q352_acf"              -> Relational54.q352Sql,
+    "q353_fifo_containers"  -> Relational54.q353Sql,
+    "q354_pk_discovery"     -> Relational54.q354Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
