@@ -363,6 +363,9 @@ object SparkEntry {
     "q352_acf"             -> Relational54.q352Acf _,
     "q353_fifo_containers" -> Relational54.q353FifoContainers _,
     "q354_pk_discovery"    -> Relational54.q354PkDiscovery _,
+    "q355_tree_rollup"     -> Relational55.q355TreeRollup _,
+    "q356_dhondt"          -> Relational55.q356Dhondt _,
+    "q357_rrf_fusion"      -> Relational55.q357RrfFusion _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -796,6 +799,9 @@ object SparkEntry {
     "q352_acf"              -> Relational54.q352Sql,
     "q353_fifo_containers"  -> Relational54.q353Sql,
     "q354_pk_discovery"     -> Relational54.q354Sql,
+    "q355_tree_rollup"      -> Relational55.q355Sql,
+    "q356_dhondt"           -> Relational55.q356Sql,
+    "q357_rrf_fusion"       -> Relational55.q357Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
