@@ -366,6 +366,9 @@ object SparkEntry {
     "q355_tree_rollup"     -> Relational55.q355TreeRollup _,
     "q356_dhondt"          -> Relational55.q356Dhondt _,
     "q357_rrf_fusion"      -> Relational55.q357RrfFusion _,
+    "q358_theil_sen"       -> Relational56.q358TheilSen _,
+    "q359_mad_outliers"    -> Relational56.q359MadOutliers _,
+    "q360_sssp_minplus"    -> Relational56.q360SsspMinplus _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -802,6 +805,9 @@ object SparkEntry {
     "q355_tree_rollup"      -> Relational55.q355Sql,
     "q356_dhondt"           -> Relational55.q356Sql,
     "q357_rrf_fusion"       -> Relational55.q357Sql,
+    "q358_theil_sen"        -> Relational56.q358Sql,
+    "q359_mad_outliers"     -> Relational56.q359Sql,
+    "q360_sssp_minplus"     -> Relational56.q360Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
