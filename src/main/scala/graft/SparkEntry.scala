@@ -369,6 +369,8 @@ object SparkEntry {
     "q358_theil_sen"       -> Relational56.q358TheilSen _,
     "q359_mad_outliers"    -> Relational56.q359MadOutliers _,
     "q360_sssp_minplus"    -> Relational56.q360SsspMinplus _,
+    "q361_graftsource_pushdown" -> Relational57.q361GraftsourcePushdown _,
+    "q362_stream_histogram" -> graft.streaming.Streaming.q362StreamHistogram _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -412,7 +414,7 @@ object SparkEntry {
     "q270_graftsink_roundtrip", "q274_timer_sessions", "q276_stream_anti",
     "q284_graftsink_stream", "q290_graftsink_restart", "q291_stream_observe",
     "q300_stream_semi_join", "q301_union_ingest",
-    "q334_three_way_stream_join")
+    "q334_three_way_stream_join", "q362_stream_histogram")
 
   /** Shared by q46 (window-composed as-of join) and q61 (native custom
     * operator) — both implement the same contract. */
@@ -808,6 +810,8 @@ object SparkEntry {
     "q358_theil_sen"        -> Relational56.q358Sql,
     "q359_mad_outliers"     -> Relational56.q359Sql,
     "q360_sssp_minplus"     -> Relational56.q360Sql,
+    "q361_graftsource_pushdown" -> Relational57.q361Sql,
+    "q362_stream_histogram" -> graft.streaming.Streaming.q362Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,

@@ -114,9 +114,42 @@ private[sources] class GraftTable(tableSchema: StructType, path: String)
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftScan(tableSchema, path)
-    }
+    new GraftScanBuilder(tableSchema, path)
+}
+
+/** Scan builder with the two operator pushdowns a V2 connector owes
+  * Catalyst: REQUIRED-COLUMN pruning (the scan's readSchema shrinks to
+  * what the query references, so downstream operators never see dead
+  * columns) and FILTER pushdown (supported predicates are evaluated
+  * executor-side against the raw stored rows BEFORE any row enters the
+  * Spark plan; whatever this builder accepts is NOT re-evaluated by
+  * Spark — the returned residual array is the contract). Only
+  * stateless single-column comparisons on primitive/string columns are
+  * accepted; everything else stays a residual and Spark applies it
+  * post-scan, so correctness never depends on the connector guessing. */
+private[sources] class GraftScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) =
+      filters.partition(GraftFilterEval.supports(_, fullSchema))
+    pushed = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GraftScan(fullSchema, required, pushed, path)
 }
 
 private[sources] case class GraftCommitMessage(stagedPath: String, rows: Long)
@@ -263,47 +296,150 @@ private[sources] class GraftDataWriter(schema: StructType, stagingRoot: String,
   override def close(): Unit = out.close()
 }
 
-private[sources] class GraftScan(schema: StructType, path: String)
+/** Compilation of pushed-down v1 source filters into an executor-side
+  * Catalyst predicate over the connector's STORED row layout. The
+  * supported set (null tests and single-column comparisons against
+  * literals, on primitive/string columns) is deliberately the set
+  * [[GraftScanBuilder.pushFilters]] accepts — `supports` and `toExpr`
+  * must agree, because an accepted filter is never re-checked by
+  * Spark. */
+private[sources] object GraftFilterEval {
+  import org.apache.spark.sql.catalyst.{expressions => ce}
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  private def pushableColumn(name: String, schema: StructType): Boolean =
+    schema.fieldNames.indexOf(name) match {
+      case -1 => false
+      case i => schema(i).dataType match {
+        case LongType | IntegerType | DoubleType | FloatType |
+             StringType | BooleanType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+
+  def supports(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _)            => pushableColumn(a, schema)
+    case GreaterThan(a, _)        => pushableColumn(a, schema)
+    case GreaterThanOrEqual(a, _) => pushableColumn(a, schema)
+    case LessThan(a, _)           => pushableColumn(a, schema)
+    case LessThanOrEqual(a, _)    => pushableColumn(a, schema)
+    case IsNotNull(a)             => pushableColumn(a, schema)
+    case IsNull(a)                => pushableColumn(a, schema)
+    case And(l, r)                => supports(l, schema) && supports(r, schema)
+    case Or(l, r)                 => supports(l, schema) && supports(r, schema)
+    case _                        => false
+  }
+
+  private def bound(name: String, schema: StructType): ce.BoundReference = {
+    val i = schema.fieldIndex(name)
+    ce.BoundReference(i, schema(i).dataType, schema(i).nullable)
+  }
+
+  private def toExpr(f: Filter, schema: StructType): ce.Expression = f match {
+    case EqualTo(a, v) =>
+      val b = bound(a, schema); ce.EqualTo(b, ce.Literal.create(v, b.dataType))
+    case GreaterThan(a, v) =>
+      val b = bound(a, schema); ce.GreaterThan(b, ce.Literal.create(v, b.dataType))
+    case GreaterThanOrEqual(a, v) =>
+      val b = bound(a, schema)
+      ce.GreaterThanOrEqual(b, ce.Literal.create(v, b.dataType))
+    case LessThan(a, v) =>
+      val b = bound(a, schema); ce.LessThan(b, ce.Literal.create(v, b.dataType))
+    case LessThanOrEqual(a, v) =>
+      val b = bound(a, schema)
+      ce.LessThanOrEqual(b, ce.Literal.create(v, b.dataType))
+    case IsNotNull(a) => ce.IsNotNull(bound(a, schema))
+    case IsNull(a)    => ce.IsNull(bound(a, schema))
+    case And(l, r)    => ce.And(toExpr(l, schema), toExpr(r, schema))
+    case Or(l, r)     => ce.Or(toExpr(l, schema), toExpr(r, schema))
+    case other => throw new IllegalStateException(
+      s"unsupported pushed filter escaped the supports() gate: $other")
+  }
+
+  /** Conjunction of all pushed filters as one evaluable predicate
+    * (None when nothing was pushed). Built on the EXECUTOR from the
+    * serialized (filters, schema) pair. */
+  def compile(filters: Array[Filter],
+      schema: StructType): Option[ce.BasePredicate] =
+    if (filters.isEmpty) None
+    else Some(ce.Predicate.create(
+      filters.map(toExpr(_, schema)).reduce(ce.And(_, _))))
+}
+
+private[sources] class GraftScan(fullSchema: StructType,
+    requiredSchema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter], path: String)
     extends Scan with Batch {
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftScan path=$path, " +
+      s"pushedFilters=[${pushed.mkString(", ")}], " +
+      s"readColumns=[${requiredSchema.fieldNames.mkString(", ")}]"
+
+  /** The spec hooks (plan-asserted pushdown contract). */
+  private[graft] def pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
+    pushed
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftSinkProvider.listParts(path)
       .map(f => GraftInputPartition(f.getAbsolutePath): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema.length)
+    new GraftReaderFactory(fullSchema, requiredSchema, pushed)
 }
 
 private[sources] case class GraftInputPartition(file: String) extends InputPartition
 
-private[sources] class GraftReaderFactory(numFields: Int)
+private[sources] class GraftReaderFactory(fullSchema: StructType,
+    requiredSchema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].file, numFields)
+      partition.asInstanceOf[GraftInputPartition].file,
+      fullSchema, requiredSchema, pushed)
 }
 
-private[sources] class GraftPartitionReader(file: String, numFields: Int)
+/** Executor-side reader: streams full stored rows, drops the ones the
+  * pushed predicate rejects (pushdown = fewer rows ever reach the
+  * plan), and projects survivors to the pruned column set (pruning =
+  * narrower rows in every downstream operator). */
+private[sources] class GraftPartitionReader(file: String,
+    fullSchema: StructType, requiredSchema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file), 1 << 16))
+  private val numFields = fullSchema.length
+  private val predicate = GraftFilterEval.compile(pushed, fullSchema)
+  private val project = UnsafeProjection.create(
+    requiredSchema.fieldNames.toIndexedSeq.map { n =>
+      val i = fullSchema.fieldIndex(n)
+      BoundReference(i, fullSchema(i).dataType, fullSchema(i).nullable)
+    })
   private var current: UnsafeRow = _
 
   override def next(): Boolean = {
-    val len =
-      try in.readInt()
-      catch { case _: EOFException => -1 }
-    if (len < 0) false
-    else {
+    while (true) {
+      val len =
+        try in.readInt()
+        catch { case _: EOFException => -1 }
+      if (len < 0) return false
       val bytes = new Array[Byte](len)
       in.readFully(bytes)
       val row = new UnsafeRow(numFields)
       row.pointTo(bytes, len)
-      current = row
-      true
+      if (predicate.forall(_.eval(row))) {
+        current = project(row)
+        return true
+      }
     }
+    false
   }
 
   override def get(): InternalRow = current

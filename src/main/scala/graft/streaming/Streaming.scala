@@ -1790,6 +1790,85 @@ object Streaming {
          FROM events)
        WHERE rn <= 5 ORDER BY event_type, rank"""
 
+  /** q362 — STREAMING VALUE HISTOGRAM → QUANTILES: per event_type,
+    * fixed-grid bucket counts (cents div 2500 — the value domain caps
+    * the grid at ⌈max_value/25⌉ buckets, so state AND output are
+    * domain-bounded, independent of row count) maintained across the
+    * 4-chunk disordered replay in complete mode; the drained
+    * histogram yields exact-on-the-grid p50/p99 (smallest bucket
+    * whose cumulative count reaches the rank) — the streaming-latency
+    * -percentile pattern where the sketch is a deterministic grid, so
+    * streamed == batch EXACTLY and the oracle can gate it (the
+    * q227/q233/q237 exactly-mergeable-state discipline; counts
+    * commute across batches trivially).
+    *
+    * Scale posture: state is one counter per (type, bucket) —
+    * domain-bounded; each micro-batch ships partial counts, not rows.
+    * The drained frame is tiny, so its cumulative window (PARTITIONED
+    * by type) is a bounded frame, not a funnel. */
+  def q362StreamHistogram(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = disorderedChunks(spark, sfDir)
+    val agg = spark.readStream
+      .schema(eventsNormSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 2500")
+          .as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      // BOUNDED memory drain: ≤ ⌈max_value/25⌉ buckets per event_type
+      .format("memory")
+      .queryName("stream_histogram")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val h = spark.table("stream_histogram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    graft.engine.TempIo.materialize(spark,
+      h.withColumn("cum", sum($"n").over(w))
+        .withColumn("total", sum($"n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+        .groupBy($"event_type")
+        .agg(max($"total").as("n_events"),
+          min(when($"cum" >= expr("(total + 1) div 2"), $"bucket"))
+            .as("p50_bucket"),
+          min(when($"cum" >= expr("(99 * total + 99) div 100"), $"bucket"))
+            .as("p99_bucket"),
+          max($"bucket").as("max_bucket"))
+        .orderBy($"event_type"))
+  }
+
+  /** Batch twin: identical grid, identical rank rule — streamed counts
+    * commute, so the quantiles are bit-equal. */
+  def q362Sql: String =
+    """WITH b AS (
+         SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       c AS (
+         SELECT event_type, bucket, n,
+           sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n) OVER (PARTITION BY event_type) AS total
+         FROM b)
+       SELECT event_type, CAST(max(total) AS BIGINT) AS n_events,
+         CAST(min(CASE WHEN cum >= (total + 1) // 2 THEN bucket END)
+           AS BIGINT) AS p50_bucket,
+         CAST(min(CASE WHEN cum >= (99 * total + 99) // 100 THEN bucket
+           END) AS BIGINT) AS p99_bucket,
+         CAST(max(bucket) AS BIGINT) AS max_bucket
+       FROM c GROUP BY event_type ORDER BY event_type"""
+
   /** q237 — STREAMING EXACT BITMAP: q236's presence bitmaps maintained
     * per event_type across the disordered 4-chunk replay in complete
     * mode, set algebra applied to the DRAINED words — completing the
