@@ -371,6 +371,9 @@ object SparkEntry {
     "q360_sssp_minplus"    -> Relational56.q360SsspMinplus _,
     "q361_graftsource_pushdown" -> Relational57.q361GraftsourcePushdown _,
     "q362_stream_histogram" -> graft.streaming.Streaming.q362StreamHistogram _,
+    "q363_kendall_tau"     -> Relational58.q363KendallTau _,
+    "q364_rule_attribution" -> Relational58.q364RuleAttribution _,
+    "q365_loo_ablation"    -> Relational58.q365LooAblation _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -812,6 +815,9 @@ object SparkEntry {
     "q360_sssp_minplus"     -> Relational56.q360Sql,
     "q361_graftsource_pushdown" -> Relational57.q361Sql,
     "q362_stream_histogram" -> graft.streaming.Streaming.q362Sql,
+    "q363_kendall_tau"      -> Relational58.q363Sql,
+    "q364_rule_attribution" -> Relational58.q364Sql,
+    "q365_loo_ablation"     -> Relational58.q365Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
