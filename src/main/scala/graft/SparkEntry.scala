@@ -374,6 +374,9 @@ object SparkEntry {
     "q363_kendall_tau"     -> Relational58.q363KendallTau _,
     "q364_rule_attribution" -> Relational58.q364RuleAttribution _,
     "q365_loo_ablation"    -> Relational58.q365LooAblation _,
+    "q366_kaplan_meier"    -> Relational59.q366KaplanMeier _,
+    "q367_max_drawdown"    -> Relational59.q367MaxDrawdown _,
+    "q368_kcore_peel"      -> Relational59.q368KcorePeel _,
     "q207_dynamic_gap"     -> graft.streaming.Sessionize.q207DynamicGap _,
     "q208_stream_asof"     -> graft.streaming.Streaming.q208StreamAsofEnrich _,
     "q209_cdc_deletes"     -> Relational21.q209CdcDeletes _,
@@ -818,6 +821,9 @@ object SparkEntry {
     "q363_kendall_tau"      -> Relational58.q363Sql,
     "q364_rule_attribution" -> Relational58.q364Sql,
     "q365_loo_ablation"     -> Relational58.q365Sql,
+    "q366_kaplan_meier"     -> Relational59.q366Sql,
+    "q367_max_drawdown"     -> Relational59.q367Sql,
+    "q368_kcore_peel"       -> Relational59.q368Sql,
     "q87_repetition"        -> TextQueries.q87Sql,
     "q88_seq_pack"          -> TextQueries.q88Sql,
     "q89_stream_static"     -> graft.streaming.Streaming.q89Sql,
