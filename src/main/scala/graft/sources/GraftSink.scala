@@ -130,11 +130,13 @@ private[sources] class GraftTable(tableSchema: StructType, path: String)
 private[sources] class GraftScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.Filter
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[GraftAggPushdown] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -148,8 +150,112 @@ private[sources] class GraftScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GraftScan(fullSchema, required, pushed, path)
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays
+    * false): the connector folds each part file to one row per group
+    * executor-side — count/min/max partials over the stored rows that
+    * survive the pushed filters — and Spark's final aggregate merges
+    * the per-partition partials (SUM of counts, MIN of mins, MAX of
+    * maxes). Partial, not complete, because the table is many
+    * independently committed part files: cross-file merging is
+    * exactly what Spark's final agg already does, and correctness
+    * never depends on the connector seeing global state. Scan output
+    * layout is Catalyst's partial-agg contract: group columns first,
+    * then one column per aggregate function. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    GraftAggPushdown.compile(agg, fullSchema) match {
+      case Some(p) => pushedAgg = Some(p); true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(p) => new GraftAggScan(fullSchema, pushed, p, path)
+    case None => new GraftScan(fullSchema, required, pushed, path)
+  }
+}
+
+/** Compiled, serializable form of a pushed-down aggregation:
+  * `groups` are (ordinal, type) pairs into the STORED schema;
+  * `aggs` are (kind, ordinal, result type) with kind ∈
+  * {count_star, count, min, max} (ordinal −1 for count_star). */
+private[sources] case class GraftAggPushdown(
+    groups: Seq[(Int, DataType)],
+    aggs: Seq[(String, Int, DataType)]) {
+  def readSchema(fullSchema: StructType): StructType = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    StructType(
+      groups.map { case (i, dt) =>
+        StructField(fullSchema(i).name, dt, fullSchema(i).nullable) } ++
+      aggs.zipWithIndex.map {
+        case (("count_star", _, _), j) =>
+          StructField(s"agg_$j", LongType, nullable = false)
+        case (("count", _, _), j) =>
+          StructField(s"agg_$j", LongType, nullable = false)
+        case ((_, _, dt), j) => StructField(s"agg_$j", dt, nullable = true)
+      })
+  }
+  def describe: String =
+    groups.map(g => s"group(#${g._1})").mkString(", ") + "; " +
+      aggs.map(a => s"${a._1}(#${a._2})").mkString(", ")
+}
+
+private[sources] object GraftAggPushdown {
+  import org.apache.spark.sql.connector.expressions.{Expression, FieldReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  /** Group keys avoid float/double columns (−0.0/NaN normalization is
+    * Catalyst's job, not the connector's); min/max accept any
+    * pushable orderable type; count accepts anything stored. */
+  private def groupable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType | BooleanType |
+         ShortType | ByteType => true
+    case _ => false
+  }
+  private def orderable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType |
+         StringType | BooleanType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def ordinalOf(e: Expression, schema: StructType): Option[Int] =
+    e match {
+      case fr: org.apache.spark.sql.connector.expressions.NamedReference
+          if fr.fieldNames.length == 1 =>
+        schema.fieldNames.indexOf(fr.fieldNames()(0)) match {
+          case -1 => None
+          case i => Some(i)
+        }
+      case _ => None
+    }
+
+  def compile(agg: Aggregation, schema: StructType)
+      : Option[GraftAggPushdown] = {
+    val groups = agg.groupByExpressions.toSeq.map { e =>
+      ordinalOf(e, schema)
+        .filter(i => groupable(schema(i).dataType))
+        .map(i => (i, schema(i).dataType))
+    }
+    val aggs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(("count_star", -1, LongType: DataType))
+      case c: Count if !c.isDistinct =>
+        ordinalOf(c.column, schema).map(i => ("count", i, LongType: DataType))
+      case m: Min =>
+        ordinalOf(m.column, schema)
+          .filter(i => orderable(schema(i).dataType))
+          .map(i => ("min", i, schema(i).dataType))
+      case m: Max =>
+        ordinalOf(m.column, schema)
+          .filter(i => orderable(schema(i).dataType))
+          .map(i => ("max", i, schema(i).dataType))
+      case _ => None
+    }
+    if (groups.exists(_.isEmpty) || aggs.exists(_.isEmpty) || aggs.isEmpty)
+      None
+    else Some(GraftAggPushdown(groups.map(_.get), aggs.map(_.get)))
+  }
 }
 
 private[sources] case class GraftCommitMessage(stagedPath: String, rows: Long)
@@ -444,4 +550,128 @@ private[sources] class GraftPartitionReader(file: String,
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+/** Scan variant carrying a pushed-down aggregation: readSchema is the
+  * partial-agg layout (group columns, then one column per aggregate),
+  * and every partition emits its own folded partials. */
+private[sources] class GraftAggScan(fullSchema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    agg: GraftAggPushdown, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = agg.readSchema(fullSchema)
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftAggScan path=$path, " +
+      s"pushedFilters=[${pushed.mkString(", ")}], " +
+      s"pushedAggregation=[${agg.describe}]"
+
+  private[graft] def pushedAggregation: GraftAggPushdown = agg
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftSinkProvider.listParts(path)
+      .map(f => GraftInputPartition(f.getAbsolutePath): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory(fullSchema, pushed, agg)
+}
+
+private[sources] class GraftAggReaderFactory(fullSchema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    agg: GraftAggPushdown) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new GraftAggPartitionReader(
+      partition.asInstanceOf[GraftInputPartition].file,
+      fullSchema, pushed, agg)
+}
+
+/** Executor-side aggregating reader: streams the part file ONCE,
+  * drops rows the pushed predicate rejects, folds survivors into a
+  * per-group accumulator map, then emits one row per group. Memory is
+  * bounded by this partition's group cardinality — the connector-side
+  * mirror of a partial hash aggregate. For a global aggregation
+  * (no group columns) exactly one row is emitted even when the file
+  * holds zero surviving rows, so COUNT partials are zeros, never
+  * missing. */
+private[sources] class GraftAggPartitionReader(file: String,
+    fullSchema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    agg: GraftAggPushdown) extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.TypeUtils
+
+  private val orderings: Seq[Ordering[Any]] = agg.aggs.map {
+    case (_, _, dt) => TypeUtils.getInterpretedOrdering(dt)
+  }
+
+  private val results: Iterator[InternalRow] = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(file), 1 << 16))
+    val numFields = fullSchema.length
+    val predicate = GraftFilterEval.compile(pushed, fullSchema)
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], Array[Any]]
+    def newBuf(): Array[Any] = agg.aggs.map {
+      case ("count_star", _, _) => 0L: Any
+      case ("count", _, _) => 0L: Any
+      case _ => null: Any
+    }.toArray
+    try {
+      var done = false
+      while (!done) {
+        val len =
+          try in.readInt()
+          catch { case _: EOFException => -1 }
+        if (len < 0) done = true
+        else {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val row = new UnsafeRow(numFields)
+          row.pointTo(bytes, len)
+          if (predicate.forall(_.eval(row))) {
+            val key: Seq[Any] = agg.groups.map { case (i, dt) =>
+              if (row.isNullAt(i)) null else row.get(i, dt)
+            }
+            val buf = acc.getOrElseUpdate(key, newBuf())
+            var j = 0
+            while (j < agg.aggs.length) {
+              val (kind, ord, dt) = agg.aggs(j)
+              kind match {
+                case "count_star" =>
+                  buf(j) = buf(j).asInstanceOf[Long] + 1L
+                case "count" =>
+                  if (!row.isNullAt(ord))
+                    buf(j) = buf(j).asInstanceOf[Long] + 1L
+                case "min" =>
+                  if (!row.isNullAt(ord)) {
+                    val v = row.get(ord, dt)
+                    if (buf(j) == null || orderings(j).compare(v, buf(j)) < 0)
+                      buf(j) = v
+                  }
+                case "max" =>
+                  if (!row.isNullAt(ord)) {
+                    val v = row.get(ord, dt)
+                    if (buf(j) == null || orderings(j).compare(v, buf(j)) > 0)
+                      buf(j) = v
+                  }
+              }
+              j += 1
+            }
+          }
+        }
+      }
+    } finally in.close()
+    if (agg.groups.isEmpty && acc.isEmpty) acc(Seq.empty) = newBuf()
+    acc.iterator.map { case (key, buf) =>
+      new GenericInternalRow((key ++ buf).toArray)
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (results.hasNext) { current = results.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
