@@ -2828,4 +2828,68 @@ object Streaming {
        JOIN events e ON p.user_id = e.user_id AND e.event_type = 'error'
          AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 2 HOUR
        ORDER BY s.user_id, s_id, p_id, e_id"""
+
+  /** q377 — THROTTLED BACKFILL AUDIT: replay the disordered 4-chunk
+    * carve with `maxFilesPerTrigger = 1` under AvailableNow and record,
+    * per micro-batch, the row count and distinct-user count the batch
+    * carried. Because chunk mtimes are PINNED strictly increasing
+    * (the replay-order contract), batch i processes exactly chunk i+1,
+    * so the per-batch census equals the per-chunk census the oracle
+    * recomputes from the chunk-assignment formula — truncating
+    * division and all. This is the knob a production backfill turns
+    * (bounded work per trigger) and the audit proves the throttle
+    * yields the declared batch boundaries, not an arbitrary re-split.
+    *
+    * Scale: each batch is one file-partition scan folded to two
+    * scalars plus a distinct-user aggregate; the driver accumulates
+    * exactly one 3-long tuple per batch (4 total) — bounded by the
+    * chunk count, never by rows. */
+  def q377ThrottledBackfill(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = disorderedChunks(spark, sfDir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = spark.readStream
+      .schema(eventsNormSchema)
+      .option("pathGlobFilter", "chunk*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        val r = batch.agg(count(lit(1)), countDistinct(col("user_id")))
+          .head()
+        buf.synchronized { buf += ((epochId, r.getLong(0), r.getLong(1))) }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.engine.TempIo.materialize(spark,
+      buf.toSeq.toDF("batch_id", "n_rows", "n_users")
+        .orderBy($"batch_id"))
+  }
+
+  /** Batch twin: re-derives each chunk's membership from the
+    * displacement formula in [[writeDisorderedChunks]], emulating
+    * Spark's TRUNCATING integer division (DuckDB `//` floors; the
+    * displaced offset goes negative for small ids, where the two
+    * disagree — the repo's floor-division rule, applied in reverse). */
+  def q377Sql: String =
+    """WITH n AS (SELECT max(event_id) AS n FROM events),
+       x AS (
+         SELECT event_id, user_id,
+           (event_id - 1 +
+             ((event_id * event_id) % 97 - 48) * (n // 96)) * 4 AS x4,
+           n
+         FROM events, n),
+       assigned AS (
+         SELECT user_id,
+           least(4, greatest(1,
+             (CASE WHEN x4 >= 0 THEN x4 // n
+                   ELSE -((-x4) // n) END) + 1)) AS c
+         FROM x)
+       SELECT CAST(c - 1 AS BIGINT) AS batch_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM assigned GROUP BY c ORDER BY batch_id"""
 }
