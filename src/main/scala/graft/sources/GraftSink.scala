@@ -258,7 +258,8 @@ private[sources] object GraftAggPushdown {
   }
 }
 
-private[sources] case class GraftCommitMessage(stagedPath: String, rows: Long)
+private[sources] case class GraftCommitMessage(stagedPath: String, rows: Long,
+    stats: Seq[(String, Long, Long)])
     extends WriterCommitMessage
 
 private[sources] class GraftBatchWrite(schema: StructType, path: String,
@@ -277,11 +278,12 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
     val dest = new File(path)
     dest.mkdirs()
     messages.foreach {
-      case GraftCommitMessage(staged, _) =>
+      case GraftCommitMessage(staged, rows, stats) =>
         val name = GraftSinkProvider.PartPrefix + UUID.randomUUID().toString +
           GraftSinkProvider.PartSuffix
         Files.move(Paths.get(staged), Paths.get(path, name),
           StandardCopyOption.ATOMIC_MOVE)
+        GraftStats.writeSidecar(new File(path, name), rows, stats)
       case other => throw new IllegalStateException(s"alien commit message: $other")
     }
     val schemaFile = new File(dest, GraftSinkProvider.SchemaFile)
@@ -336,11 +338,12 @@ private[graft] class GraftStreamingWrite(schema: StructType, path: String,
       return
     }
     messages.foreach {
-      case GraftCommitMessage(staged, _) =>
+      case GraftCommitMessage(staged, rows, stats) =>
         val name = GraftSinkProvider.PartPrefix + UUID.randomUUID().toString +
           GraftSinkProvider.PartSuffix
         Files.move(Paths.get(staged), Paths.get(path, name),
           StandardCopyOption.ATOMIC_MOVE)
+        GraftStats.writeSidecar(new File(path, name), rows, stats)
       case other => throw new IllegalStateException(s"alien commit message: $other")
     }
     val schemaFile = new File(dest, GraftSinkProvider.SchemaFile)
@@ -380,17 +383,42 @@ private[sources] class GraftDataWriter(schema: StructType, stagingRoot: String,
   private val proj = UnsafeProjection.create(schema)
   private var rows = 0L
 
+  // zone-map accumulators for integral columns: (ordinal, name, isLong)
+  private val statCols: Array[(Int, String, Boolean)] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType => (i, f.name, true)
+      case (f, i) if f.dataType == IntegerType => (i, f.name, false)
+    }
+  }
+  private val mins = Array.fill(statCols.length)(Long.MaxValue)
+  private val maxs = Array.fill(statCols.length)(Long.MinValue)
+
   override def write(row: InternalRow): Unit = {
     val u = proj(row)
     val bytes = u.getBytes
     out.writeInt(bytes.length)
     out.write(bytes)
     rows += 1
+    var j = 0
+    while (j < statCols.length) {
+      val (i, _, isLong) = statCols(j)
+      if (!u.isNullAt(i)) {
+        val v = if (isLong) u.getLong(i) else u.getInt(i).toLong
+        if (v < mins(j)) mins(j) = v
+        if (v > maxs(j)) maxs(j) = v
+      }
+      j += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftCommitMessage(file.getAbsolutePath, rows)
+    val st = statCols.indices.collect {
+      case j if mins(j) <= maxs(j) =>
+        (statCols(j)._2, mins(j), maxs(j))
+    }.toSeq
+    GraftCommitMessage(file.getAbsolutePath, rows, st)
   }
 
   /** Task abort: delete this task's staged file — nothing else. */
@@ -473,12 +501,118 @@ private[sources] object GraftFilterEval {
       filters.map(toExpr(_, schema)).reduce(ce.And(_, _))))
 }
 
+/** Per-file ZONE MAP sidecars (`part-*.graft.stats`): row count plus
+  * min/max of every integral column, written by the commit step from
+  * the task writers\' accumulators. Scans consult them twice: to SKIP
+  * whole files whose [min,max] cannot satisfy the pushed filters
+  * (partition pruning at the connector, the q167/q140 discipline moved
+  * inside the source), and to answer `SupportsReportStatistics` so
+  * Catalyst\'s join planning sees real row counts. A missing or
+  * unparsable sidecar degrades to "may match" / "unknown" — pruning is
+  * an optimization, never a correctness dependency (the row-level
+  * pushed predicate still runs). */
+private[sources] object GraftStats {
+  import org.apache.spark.sql.sources._
+
+  def sidecarFor(part: File): File =
+    new File(part.getParentFile, part.getName + ".stats")
+
+  def writeSidecar(part: File, rows: Long,
+      stats: Seq[(String, Long, Long)]): Unit = {
+    val body = (s"rows\t$rows" +: stats.map { case (c, mn, mx) =>
+      s"$c\t$mn\t$mx" }).mkString("\n")
+    Files.write(sidecarFor(part).toPath, body.getBytes("UTF-8"))
+  }
+
+  /** (rows, col → (min, max)); None when the sidecar is absent/bad. */
+  def readSidecar(part: File): Option[(Long, Map[String, (Long, Long)])] = {
+    val f = sidecarFor(part)
+    if (!f.isFile) None
+    else try {
+      val lines = new String(Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty)
+      val rows = lines.head.split("\t") match {
+        case Array("rows", n) => n.toLong
+        case _ => return None
+      }
+      val cols = lines.tail.map { l =>
+        val Array(c, mn, mx) = l.split("\t")
+        c -> (mn.toLong, mx.toLong)
+      }.toMap
+      Some((rows, cols))
+    } catch { case _: Exception => None }
+  }
+
+  private def lit(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Conservative may-match of one pushed filter against the zone map:
+    * true unless the [min, max] band PROVES no stored row can pass. */
+  def mayMatch(f: Filter, cols: Map[String, (Long, Long)]): Boolean =
+    f match {
+      case EqualTo(a, v) => (cols.get(a), lit(v)) match {
+        case (Some((mn, mx)), Some(x)) => x >= mn && x <= mx
+        case _ => true
+      }
+      case GreaterThan(a, v) => (cols.get(a), lit(v)) match {
+        case (Some((_, mx)), Some(x)) => mx > x
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, v) => (cols.get(a), lit(v)) match {
+        case (Some((_, mx)), Some(x)) => mx >= x
+        case _ => true
+      }
+      case LessThan(a, v) => (cols.get(a), lit(v)) match {
+        case (Some((mn, _)), Some(x)) => mn < x
+        case _ => true
+      }
+      case LessThanOrEqual(a, v) => (cols.get(a), lit(v)) match {
+        case (Some((mn, _)), Some(x)) => mn <= x
+        case _ => true
+      }
+      case And(l, r) => mayMatch(l, cols) && mayMatch(r, cols)
+      case Or(l, r) => mayMatch(l, cols) || mayMatch(r, cols)
+      case _ => true
+    }
+
+  /** Part files surviving zone-map pruning under the pushed filters. */
+  def pruneParts(path: String,
+      pushed: Array[Filter]): Array[File] = {
+    val parts = GraftSinkProvider.listParts(path)
+    if (pushed.isEmpty) parts
+    else parts.filter { p =>
+      readSidecar(p) match {
+        case Some((_, cols)) => pushed.forall(mayMatch(_, cols))
+        case None => true
+      }
+    }
+  }
+}
+
 private[sources] class GraftScan(fullSchema: StructType,
     requiredSchema: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter], path: String)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Table statistics from the sidecars: exact when every committed
+    * part carries one, size-only otherwise. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val parts = GraftSinkProvider.listParts(path)
+      private val cars = parts.map(GraftStats.readSidecar)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(parts.map(_.length()).sum)
+      override def numRows(): java.util.OptionalLong =
+        if (cars.nonEmpty && cars.forall(_.isDefined))
+          java.util.OptionalLong.of(cars.flatten.map(_._1).sum)
+        else java.util.OptionalLong.empty()
+    }
 
   override def description(): String =
     s"GraftScan path=$path, " +
@@ -490,7 +624,7 @@ private[sources] class GraftScan(fullSchema: StructType,
     pushed
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftSinkProvider.listParts(path)
+    GraftStats.pruneParts(path, pushed)
       .map(f => GraftInputPartition(f.getAbsolutePath): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -570,7 +704,7 @@ private[sources] class GraftAggScan(fullSchema: StructType,
   private[graft] def pushedAggregation: GraftAggPushdown = agg
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftSinkProvider.listParts(path)
+    GraftStats.pruneParts(path, pushed)
       .map(f => GraftInputPartition(f.getAbsolutePath): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
