@@ -1,0 +1,218 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Eighty-fourth query wave: q385 multi-window SLO burn-rate alerts
+  * (the 1h/6h double-window rule), q386 exact quadrangle census of
+  * the part co-order graph (the 4-cycle analogue of q124's
+  * triangles), and q387 exponential-backoff chain mining over
+  * per-user inter-event gap ratios.
+  */
+object Relational65 {
+
+  /** q385 thresholds (permille): short window must burn faster than
+    * long — the standard multi-window page rule. */
+  val Q385HourUs = 3600000000L
+  val Q385Short = 400L
+  val Q385Long = 300L
+
+  /** q385 — MULTI-WINDOW BURN-RATE ALERTS: per hour, the error share
+    * of events in that hour (short window) and in the trailing six
+    * hours (long window); an hour ALERTS when BOTH exceed their
+    * permille thresholds — the two-window rule that suppresses blips
+    * (short-only spikes) and stale pages (long-only residue) at once.
+    * Emits the per-day alert census — what an SLO dashboard renders.
+    *
+    * Scale: events fold to the hour grid map-side; the 6-hour
+    * trailing sums are a BAND JOIN on the calendar-bounded hour frame
+    * (fan-out 6, never row-scale); no windows, no driver state. */
+  def q385BurnRateAlerts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hours = Tables.events(spark, sfDir)
+      .select(expr(s"unix_micros(ts) div $Q385HourUs").as("h"),
+        ($"event_type" === "error").cast("long").as("is_err"))
+      .groupBy($"h")
+      .agg(count(lit(1)).as("t1"), sum($"is_err").as("e1"))
+      .localCheckpoint()
+    val win = hours.as("a").join(hours.as("b"),
+        $"b.h" >= $"a.h" - 5L && $"b.h" <= $"a.h")
+      .groupBy($"a.h".as("h"), $"a.t1".as("t1"), $"a.e1".as("e1"))
+      .agg(sum($"b.t1").as("t6"), sum($"b.e1").as("e6"))
+    win.select($"h", expr("h div 24").as("day"),
+        (lit(1000L) * $"e1" > lit(Q385Short) * $"t1" &&
+          lit(1000L) * $"e6" > lit(Q385Long) * $"t6")
+          .cast("long").as("alert"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_hours"), sum($"alert").as("n_alerts"))
+      .orderBy($"day")
+  }
+
+  def q385Sql: String =
+    s"""WITH hours AS (
+         SELECT epoch_us(ts) // $Q385HourUs AS h,
+           CAST(count(*) AS BIGINT) AS t1,
+           CAST(count(*) FILTER (WHERE event_type = 'error')
+             AS BIGINT) AS e1
+         FROM events GROUP BY 1),
+       win AS (
+         SELECT a.h, a.t1, a.e1,
+           CAST(sum(b.t1) AS BIGINT) AS t6,
+           CAST(sum(b.e1) AS BIGINT) AS e6
+         FROM hours a JOIN hours b ON b.h BETWEEN a.h - 5 AND a.h
+         GROUP BY 1, 2, 3)
+       SELECT h // 24 AS day,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(CASE WHEN 1000 * e1 > $Q385Short * t1
+             AND 1000 * e6 > $Q385Long * t6 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_alerts
+       FROM win GROUP BY 1 ORDER BY day"""
+
+  /** q386 — QUADRANGLE (4-CYCLE) CENSUS: over the thresholded part
+    * co-order graph, count nodes, edges, wedges (paths of length 2)
+    * and EXACT 4-cycles via the common-neighbor identity — each
+    * 4-cycle has two diagonal pairs, so C4 = Σ_{u<v} C(c_uv, 2) / 2
+    * where c_uv is the pair's common-neighbor count. Quadrangles are
+    * the smallest non-trivial motif bipartite-ish co-occurrence
+    * graphs are rich in (two parts sharing two distinct orders), and
+    * the C4 density is the clustering signal triangle counts (q124)
+    * miss on near-bipartite structure.
+    *
+    * Scale: the wedge join fans Σ deg² — the exact cost every
+    * triangle/4-cycle counter pays, bounded by the cnt≥2 edge
+    * threshold; everything else is a fold to ONE row. */
+  def q386QuadrangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .distinct()
+    val pairs = li.as("a")
+      .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2L)
+      .select($"u", $"v")
+    val und = pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint()
+    val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    val common = und.as("x").join(und.as("y"),
+        $"x.u" === $"y.u" && $"x.v" < $"y.v")
+      .groupBy($"x.v".as("a"), $"y.v".as("b"))
+      .agg(count(lit(1)).as("c"))
+    val base = deg.agg(count(lit(1)).as("n"),
+      expr("sum(deg) div 2").as("m"),
+      expr("sum(deg * (deg - 1) div 2)").as("wedges"))
+    val c4 = common.agg(
+      coalesce(expr("sum(c * (c - 1) div 2)"), lit(0L)).as("sum_c2"))
+    TempIo.materialize(spark,
+      base.crossJoin(broadcast(c4))
+        .select($"n", $"m", $"wedges", $"sum_c2",
+          expr("sum_c2 div 2").as("c4")))
+  }
+
+  def q386Sql: String =
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem),
+       p AS (
+         SELECT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+       und AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+       deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+               FROM und GROUP BY u),
+       base AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(deg) // 2 AS BIGINT) AS m,
+           CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+         FROM deg),
+       common AS (
+         SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS c
+         FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+         GROUP BY 1, 2),
+       c4 AS (
+         SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+           AS sum_c2
+         FROM common)
+       SELECT n, m, wedges, sum_c2,
+         CAST(sum_c2 // 2 AS BIGINT) AS c4
+       FROM base, c4"""
+
+  /** q387 packing radix for the (current run, max run) fold. */
+  val Q387Pack = 1000000L
+
+  /** q387 — BACKOFF CHAIN MINING: per user, consecutive inter-event
+    * gap RATIOS; a pair of adjacent gaps is a backoff step when the
+    * second is 1.5×–2.5× the first (cross-multiplied integer test:
+    * 3·g ≤ 2·g′ ≤ 5·g), and the statistic is each user's longest
+    * unbroken chain of backoff steps — the signature of client retry
+    * loops inside an event stream, which an ingestion pipeline wants
+    * to separate from organic traffic before rate modeling. Emits
+    * the max-chain histogram.
+    *
+    * Scale: gaps and gap pairs come from lag windows partitioned by
+    * user; the run-length fold is the packed-accumulator list fold
+    * (q381's contract) over each user's own bounded flag list. */
+  def q387BackoffChains(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val gaps = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .select($"user_id", $"us", $"event_id",
+        ($"us" - lag($"us", 1).over(w)).as("g"))
+      .filter($"g".isNotNull)
+    val flags = gaps
+      .select($"user_id", $"us", $"event_id", $"g",
+        lag($"g", 1).over(w).as("pg"))
+      .filter($"pg".isNotNull)
+      .select($"user_id", $"us", $"event_id",
+        ($"pg" > 0L && lit(3L) * $"pg" <= lit(2L) * $"g" &&
+          lit(2L) * $"g" <= lit(5L) * $"pg").cast("long").as("f"))
+    val folded = flags.groupBy($"user_id")
+      .agg(expr(
+        s"""aggregate(
+              array_sort(collect_list(struct(us, event_id, f))),
+              CAST(0 AS BIGINT),
+              (acc, x) -> CASE WHEN x.f = 1
+                THEN (acc div $Q387Pack + 1) * $Q387Pack +
+                  greatest(acc div $Q387Pack + 1, acc % $Q387Pack)
+                ELSE acc % $Q387Pack END)""").as("acc"))
+      .select($"user_id", expr(s"acc % $Q387Pack").as("max_chain"))
+    folded.groupBy(least($"max_chain", lit(10L)).as("chain_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"chain_bucket")
+  }
+
+  def q387Sql: String =
+    s"""WITH gaps AS (
+         SELECT user_id, epoch_us(ts) AS us, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             AS g
+         FROM events),
+       g2 AS (SELECT * FROM gaps WHERE g IS NOT NULL),
+       flags AS (
+         SELECT user_id, us, event_id,
+           CASE WHEN pg > 0 AND 3 * pg <= 2 * g AND 2 * g <= 5 * pg
+             THEN 1 ELSE 0 END AS f
+         FROM (
+           SELECT user_id, us, event_id, g,
+             lag(g) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS pg
+           FROM g2)
+         WHERE pg IS NOT NULL),
+       folded AS (
+         SELECT user_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list(f ORDER BY us, event_id)),
+             (acc, x) -> CASE WHEN x = 1
+               THEN (acc // $Q387Pack + 1) * $Q387Pack +
+                 greatest(acc // $Q387Pack + 1, acc % $Q387Pack)
+               ELSE acc % $Q387Pack END) AS acc
+         FROM flags GROUP BY user_id)
+       SELECT least(acc % $Q387Pack, 10) AS chain_bucket,
+         CAST(count(*) AS BIGINT) AS n_users
+       FROM folded GROUP BY 1 ORDER BY chain_bucket"""
+}
