@@ -1,0 +1,288 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Eighty-sixth query wave — the fingerprint/blocking trio: q390
+  * sorted-neighborhood dedup blocking with an exact recall audit,
+  * q391 winnowing (MOSS) document fingerprints, and q392
+  * content-defined chunking with cross-document chunk dedup.
+  */
+object Relational67 {
+
+  /** q390 window width and the near-dup ground-truth threshold. */
+  val Q390W = 5L
+  val Q390Tau = 600L
+
+  /** q390 — SORTED-NEIGHBORHOOD BLOCKING AUDIT: sort the corpus by a
+    * cheap surrogate key (the text's first 8 chars), take every pair
+    * within [[Q390W]] rank positions as a candidate, and score the
+    * blocking against the EXACT near-dup ground truth (3-shingle
+    * Jaccard ≥ [[Q390Tau]]‰, the q102 arithmetic). Sorted
+    * neighborhood is the classic alternative to LSH banding (q21):
+    * one sort, W·n candidates, no hashing — and this audit emits
+    * exactly the recall/economics trade a curator needs to choose
+    * between them.
+    *
+    * Scale: the rank is ONE [[DistRank.withRank]] pass; candidates
+    * are a rank band join (fan W); the ground truth here is the
+    * all-pairs shingle join, affordable because the document corpus
+    * is fixture-bounded — at 100 TB the truth side IS the audit's
+    * cost, which is the point the output makes. */
+  def q390SortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // The surrogate sort key is the text's first 8 chars PACKED into
+    // a BIGINT (7-bit radix — the corpus is ASCII, asserted by the
+    // fixture contract), because DistRank buckets by numeric
+    // percentiles; for ASCII the packing is order-identical to the
+    // string sort the oracle runs.
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        expr("aggregate(sequence(1, 8), CAST(0 AS BIGINT), " +
+          "(acc, i) -> acc * 128 + coalesce(ascii(substr(text, i, 1)), 0))")
+          .as("k"))
+    val ranked = DistRank.withRank(docs, "k", "doc_id", "rk", desc = false)
+      .select($"doc_id", $"rk")
+    val cand = ranked.as("a").join(ranked.as("b"),
+        $"b.rk" > $"a.rk" && $"b.rk" <= $"a.rk" + Q390W)
+      .select(least($"a.doc_id", $"b.doc_id").as("da"),
+        greatest($"a.doc_id", $"b.doc_id").as("db"))
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text")
+        .as("t"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 2), " +
+          "i -> concat_ws(' ', slice(t, i, 3)))")).as("g"))
+      .distinct()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("s"))
+    val truth = sh.as("x").join(sh.as("y"),
+        $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("da"), $"y.doc_id".as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select($"doc_id".as("da"), $"s".as("sa")), Seq("da"))
+      .join(sz.select($"doc_id".as("db"), $"s".as("sb")), Seq("db"))
+      .filter(expr(s"(1000 * i) div (sa + sb - i) >= $Q390Tau"))
+      .select($"da", $"db")
+    val nTruth = truth.count()
+    val nCand = cand.count()
+    val hits = truth.join(cand.distinct(), Seq("da", "db")).count()
+    TempIo.materialize(spark, Seq(
+      (nTruth, nCand, hits,
+        if (nTruth == 0) 1000L else 1000L * hits / nTruth))
+      .toDF("n_truth_pairs", "n_candidates", "n_hits", "recall_permille"))
+  }
+
+  def q390Sql: String =
+    s"""WITH docs AS (
+         SELECT doc_id, text, substring(text, 1, 8) AS k
+         FROM documents),
+       ranked AS (
+         SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rk
+         FROM docs),
+       cand AS (
+         SELECT DISTINCT least(a.doc_id, b.doc_id) AS da,
+           greatest(a.doc_id, b.doc_id) AS db
+         FROM ranked a JOIN ranked b
+           ON b.rk > a.rk AND b.rk <= a.rk + $Q390W),
+       toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+         FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
+       sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+              FROM sh GROUP BY 1),
+       truth AS (
+         SELECT x.doc_id AS da, y.doc_id AS db
+         FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+         GROUP BY 1, 2
+         HAVING (1000 * count(*)) //
+           ((SELECT s FROM sz WHERE doc_id = x.doc_id) +
+            (SELECT s FROM sz WHERE doc_id = y.doc_id) - count(*))
+           >= $Q390Tau),
+       agg AS (
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth t
+            JOIN cand c ON t.da = c.da AND t.db = c.db) AS n_hits)
+       SELECT n_truth_pairs, n_candidates, n_hits,
+         CAST(CASE WHEN n_truth_pairs = 0 THEN 1000
+           ELSE (1000 * n_hits) // n_truth_pairs END AS BIGINT)
+           AS recall_permille
+       FROM agg"""
+
+  /** q391 k-gram size and winnowing window. */
+  val Q391K = 3
+  val Q391W = 4
+
+  /** q391 — WINNOWING FINGERPRINTS (the MOSS scheme): hash every
+    * [[Q391K]]-gram, slide a [[Q391W]]-window over the hash sequence,
+    * keep each window's minimum — the guarantee is every shared
+    * substring of length ≥ k+w−1 leaves at least one shared
+    * fingerprint, at ~2/(w+1) the density of full k-gram sets.
+    * Emits the corpus fingerprint economics: totals, density, the
+    * most-shared fingerprint's spread, and the candidate-pair mass
+    * Σ C(docs_per_fp, 2) a plagiarism/contamination pass would
+    * verify.
+    *
+    * Scale: grams and window minima are per-document windows
+    * (doc-partitioned, text-length bounded); the share census is one
+    * fingerprint-keyed aggregate. */
+  def q391Winnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(spark, sfDir)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text")
+        .as("t"))
+      .filter(size($"t") >= Q391K + Q391W - 1)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, size(t) - ${Q391K - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $Q391K)))"))
+        .as(Seq("p", "gram")))
+      .select($"doc_id", ($"p" + 1).as("pos"),
+        expr("CAST(conv(substr(md5(gram), 1, 12), 16, 10) AS BIGINT)")
+          .as("h"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(0, Q391W - 1)
+    val maxPos = Window.partitionBy($"doc_id")
+    val fps = grams
+      .select($"doc_id", $"pos", min($"h").over(w).as("mh"),
+        max($"pos").over(maxPos).as("np"))
+      .filter($"pos" <= $"np" - (Q391W - 1))
+      .select($"doc_id", $"mh").distinct()
+    val perFp = fps.groupBy($"mh").agg(count(lit(1)).as("nd"))
+    val a = fps.agg(count(lit(1)).as("total_fp"),
+      countDistinct($"mh").as("distinct_fp"),
+      countDistinct($"doc_id").as("n_docs"))
+    val b = perFp.agg(max($"nd").as("max_doc_spread"),
+      sum(expr("nd * (nd - 1) div 2")).as("cand_pairs"))
+    TempIo.materialize(spark,
+      a.crossJoin(broadcast(b))
+        .select($"n_docs", $"total_fp", $"distinct_fp",
+          $"max_doc_spread", $"cand_pairs"))
+  }
+
+  def q391Sql: String =
+    s"""WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         FROM documents),
+       grams AS (
+         SELECT doc_id, i AS pos,
+           CAST('0x' || substr(md5(
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12) AS BIGINT)
+             AS h
+         FROM toks, unnest(range(1, len(t) - ${Q391K - 2})) AS r(i)
+         WHERE len(t) >= ${Q391K + Q391W - 1}),
+       wins AS (
+         SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND ${Q391W - 1} FOLLOWING)
+             AS mh,
+           max(pos) OVER (PARTITION BY doc_id) AS np
+         FROM grams),
+       fps AS (
+         SELECT DISTINCT doc_id, mh FROM wins
+         WHERE pos <= np - ${Q391W - 1}),
+       per_fp AS (SELECT mh, CAST(count(*) AS BIGINT) AS nd
+                  FROM fps GROUP BY 1),
+       a AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS total_fp,
+               CAST(count(DISTINCT mh) AS BIGINT) AS distinct_fp
+             FROM fps),
+       b AS (SELECT CAST(max(nd) AS BIGINT) AS max_doc_spread,
+               CAST(sum(nd * (nd - 1) // 2) AS BIGINT) AS cand_pairs
+             FROM per_fp)
+       SELECT n_docs, total_fp, distinct_fp, max_doc_spread, cand_pairs
+       FROM a, b"""
+
+  /** q392 digram modulus (expected chunk length ≈ the modulus). */
+  val Q392Mod = 8L
+
+  /** q392 — CONTENT-DEFINED CHUNKING + CHUNK DEDUP: cut every
+    * document where the rolling digram hash ≡ 0 (mod [[Q392Mod]]) —
+    * boundaries follow CONTENT, so an insertion early in a document
+    * shifts no later chunk (the rsync/LBFS property fixed-size
+    * chunking lacks, and the reason CDC is the storage layer under
+    * every dedup store). Chunks are then hashed and deduplicated
+    * corpus-wide; emits the chunk economics (counts, dedup ratio,
+    * length profile).
+    *
+    * Scale: boundary flags and segment ids are per-document windows;
+    * the chunk rebuild is a grouped ordered fold; dedup is one
+    * hash-keyed aggregate — every stage document- or chunk-keyed. */
+  def q392CdcChunking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text")
+        .as("t"))
+      .select($"doc_id", posexplode($"t").as(Seq("p", "tok")))
+      .select($"doc_id", ($"p" + 1).as("pos"), $"tok")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val flagged = toks
+      .select($"doc_id", $"pos", $"tok",
+        lag($"tok", 1).over(w).as("pt"))
+      .select($"doc_id", $"pos", $"tok",
+        when($"pt".isNotNull &&
+          expr(s"CAST(conv(substr(md5(concat(pt, ' ', tok)), 1, 12)," +
+            s" 16, 10) AS BIGINT) % $Q392Mod") === 0L, 1L)
+          .otherwise(0L).as("b"))
+    val seg = flagged.select($"doc_id", $"pos", $"tok",
+      sum($"b").over(w).as("seg"))
+    val chunks = seg.groupBy($"doc_id", $"seg")
+      .agg(md5(expr(
+        "array_join(transform(array_sort(collect_list(" +
+          "struct(pos, tok))), x -> x.tok), ' ')")).as("h"),
+        count(lit(1)).as("len"))
+    val a = chunks.agg(count(lit(1)).as("n_chunks"),
+      countDistinct($"h").as("n_distinct"),
+      max($"len").as("max_len"), sum($"len").as("total_tokens"))
+    TempIo.materialize(spark,
+      a.select($"n_chunks", $"n_distinct",
+        expr("1000 * (n_chunks - n_distinct) div n_chunks")
+          .as("dup_permille"),
+        expr("(1000 * total_tokens) div n_chunks").as("avg_len_permille"),
+        $"max_len"))
+  }
+
+  def q392Sql: String =
+    s"""WITH toks AS (
+         SELECT doc_id, i AS pos, t[i] AS tok
+         FROM (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS t
+           FROM documents), unnest(range(1, len(t) + 1)) AS r(i)),
+       flagged AS (
+         SELECT doc_id, pos, tok,
+           CASE WHEN pt IS NOT NULL AND
+             CAST('0x' || substr(md5(pt || ' ' || tok), 1, 12)
+               AS BIGINT) % $Q392Mod = 0 THEN 1 ELSE 0 END AS b
+         FROM (
+           SELECT doc_id, pos, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS pt
+           FROM toks)),
+       seg AS (
+         SELECT doc_id, pos, tok,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS seg
+         FROM flagged),
+       chunks AS (
+         SELECT doc_id, seg,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
+           CAST(count(*) AS BIGINT) AS len
+         FROM seg GROUP BY 1, 2),
+       a AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           CAST(max(len) AS BIGINT) AS max_len,
+           CAST(sum(len) AS BIGINT) AS total_tokens
+         FROM chunks)
+       SELECT n_chunks, n_distinct,
+         CAST(1000 * (n_chunks - n_distinct) // n_chunks AS BIGINT)
+           AS dup_permille,
+         CAST((1000 * total_tokens) // n_chunks AS BIGINT)
+           AS avg_len_permille,
+         max_len
+       FROM a"""
+}
