@@ -2892,4 +2892,60 @@ object Streaming {
          CAST(count(*) AS BIGINT) AS n_rows,
          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
        FROM assigned GROUP BY c ORDER BY batch_id"""
+
+  /** q396 — STREAMED TABLE, PUSHED-DOWN READ: the ingest stream
+    * writes through the connector's STREAMING half (q284's
+    * exactly-once epoch publish), and the read-back aggregate then
+    * engages the connector's AGGREGATE PUSHDOWN (q375) — per-file
+    * count/min/max partials folded inside the readers over the very
+    * part files the streaming epochs committed. The two halves
+    * compose because the storage contract (part files + stats
+    * sidecars) is identical on both write paths; Wave89Spec asserts
+    * the read plan swaps to GraftAggScan. This is the full lifecycle
+    * a connector-backed store runs: stream in, analytic read out,
+    * nothing row-scale crossing the wire on either side.
+    *
+    * Scale: write side is per-epoch distributed staging; read side
+    * moves one row per (file, group). */
+  def q396StreamAggPushdown(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val out = graft.engine.TempIo.createTempDir("graft-sagg-")
+    val ckpt = graft.engine.TempIo.createTempDir("graft-sagg-ckpt-")
+    try {
+      val q = graft.engine.Tables.normalizeTs(
+          readEventsStream(spark, sfDir))
+        .select($"event_type".as("etype"), $"user_id".as("uid"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .writeStream
+        .format("graftsink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.engine.TempIo.materialize(spark,
+        spark.read.format("graftsink").load(out)
+          .groupBy($"etype")
+          .agg(count(lit(1)).as("n_events"),
+            count($"uid").as("n_uid"),
+            min($"cents").as("min_cents"),
+            max($"cents").as("max_cents"))
+          .orderBy($"etype"))
+    } finally {
+      graft.engine.TempIo.deleteRecursively(out)
+      graft.engine.TempIo.deleteRecursively(ckpt)
+    }
+  }
+
+  def q396Sql: String =
+    """SELECT event_type AS etype,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(user_id) AS BIGINT) AS n_uid,
+         min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS min_cents,
+         max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS max_cents
+       FROM events GROUP BY 1 ORDER BY etype"""
 }
