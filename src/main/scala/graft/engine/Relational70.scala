@@ -1,0 +1,228 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Eighty-ninth query wave: q399 forecast backtest (seasonal-naive vs
+  * naive, MASE factored in exact integers) and q400 — the capstone
+  * curation pipeline: quality + language + length + near-dup
+  * filtering composed into one per-source decision matrix, the
+  * query a user of this library runs to turn a raw crawl into a
+  * training corpus.
+  */
+object Relational70 {
+
+  /** q399 — FORECAST BACKTEST (factored MASE): over the daily order
+    * count series, score two zero-parameter forecasters on every day
+    * that has both references — NAIVE (yesterday's count) and
+    * SEASONAL-NAIVE (same weekday last week). Emits per method the
+    * exact absolute-error mass and the permille ratio against the
+    * naive denominator — the MASE numerator/denominator FACTORED so
+    * the fraction never touches floats. The eval every forecasting
+    * model must beat before it ships, on the exact integers the
+    * decision deserves.
+    *
+    * Scale: the series is the gap-filled calendar grid; lags are
+    * grid equi-joins (d−1, d−7) — no windows; output is 2 rows. */
+  def q399BacktestMase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.orders(spark, sfDir)
+      .select(datediff(to_date($"o_orderdate"), lit("1995-01-01"))
+        .cast("long").as("d"))
+    val bounds = days.agg(min($"d").as("mn"), max($"d").as("mx"))
+    val grid = bounds.select(explode(expr("sequence(mn, mx)")).as("d"))
+    val daily = days.groupBy($"d").agg(count(lit(1)).as("y"))
+    val series = grid.join(daily, Seq("d"), "left_outer")
+      .na.fill(0L, Seq("y")).localCheckpoint()
+    val scored = series.as("t")
+      .join(series.as("l1"), col("l1.d") === col("t.d") - 1)
+      .join(series.as("l7"), col("l7.d") === col("t.d") - 7)
+      .select(col("t.d").as("d"), col("t.y").as("y"),
+        col("l1.y").as("p_naive"), col("l7.y").as("p_seasonal"))
+    val agg = scored.agg(count(lit(1)).as("n_days"),
+      sum(abs($"y" - $"p_naive")).as("ae_naive"),
+      sum(abs($"y" - $"p_seasonal")).as("ae_seasonal"))
+    TempIo.materialize(spark,
+      agg.select(
+        explode(array(
+          struct(lit("naive").as("method"), $"n_days",
+            $"ae_naive".as("abs_err")),
+          struct(lit("seasonal_naive").as("method"), $"n_days",
+            $"ae_seasonal".as("abs_err")))).as("r"), $"ae_naive")
+        .select($"r.method", $"r.n_days", $"r.abs_err",
+          expr("(1000 * r.abs_err) div ae_naive").as("mase_permille"))
+        .orderBy($"method"))
+  }
+
+  def q399Sql: String =
+    """WITH days AS (
+         SELECT CAST(date_diff('day', DATE '1995-01-01',
+           CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+         FROM orders),
+       bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM days),
+       grid AS (SELECT unnest(generate_series(mn, mx)) AS d FROM bounds),
+       daily AS (SELECT d, CAST(count(*) AS BIGINT) AS y
+                 FROM days GROUP BY d),
+       series AS (SELECT g.d, coalesce(y, 0) AS y
+                  FROM grid g LEFT JOIN daily USING (d)),
+       scored AS (
+         SELECT t.y, l1.y AS p_naive, l7.y AS p_seasonal
+         FROM series t
+           JOIN series l1 ON l1.d = t.d - 1
+           JOIN series l7 ON l7.d = t.d - 7),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(y - p_naive)) AS BIGINT) AS ae_naive,
+           CAST(sum(abs(y - p_seasonal)) AS BIGINT) AS ae_seasonal
+         FROM scored)
+       SELECT 'naive' AS method, n_days, ae_naive AS abs_err,
+         CAST(1000 AS BIGINT) AS mase_permille FROM agg
+       UNION ALL
+       SELECT 'seasonal_naive', n_days, ae_seasonal,
+         CAST((1000 * ae_seasonal) // ae_naive AS BIGINT) FROM agg
+       ORDER BY method"""
+
+  /** q400 label-propagation unroll for the tiny near-dup components
+    * (fixture cluster diameter ≤ 3; fixpoint asserted in the spec). */
+  val Q400LpRounds = 3
+  val Q400MinTokens = 60L
+
+  /** q400 — THE CURATION PIPELINE: the library's text operators
+    * composed into the one query a corpus curator actually runs.
+    * Every document is judged by FOUR filters in a fixed precedence:
+    * too short (< [[Q400MinTokens]] tokens), wrong language (q17's
+    * heuristic ≠ 'en'), low quality (q18's score < 0.5), and
+    * NEAR-DUP NON-REPRESENTATIVE — a member of a 3-shingle near-dup
+    * cluster (q390's exact truth pairs, components labeled by
+    * [[Q400LpRounds]] min-label-propagation rounds) that is not the
+    * cluster's min doc_id. Emits the per-source decision matrix
+    * (kept + one column per rejection reason) with kept token mass —
+    * the table a data recipe (q264) consumes.
+    *
+    * Scale: filters are map-side projections; the dedup component
+    * labeling runs on the truth-pair frame only (candidates, not
+    * corpus); the census is |sources| rows. */
+  def q400CurationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text",
+        size(TextFunctions.tokens($"text")).cast("long").as("wc"),
+        TextFunctions.langId($"text").as("lang"),
+        TextFunctions.qualityScore($"text").as("q"))
+    // exact near-dup pairs (q390 truth) → min-label components
+    val sh = docs.select($"doc_id",
+        TextFunctions.tokens($"text").as("t"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 2), " +
+          "i -> concat_ws(' ', slice(t, i, 3)))")).as("g"))
+      .distinct()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("s"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("da"), $"y.doc_id".as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select($"doc_id".as("da"), $"s".as("sa")), Seq("da"))
+      .join(sz.select($"doc_id".as("db"), $"s".as("sb")), Seq("db"))
+      .filter(expr(s"(1000 * i) div (sa + sb - i) >= ${Relational67.Q390Tau}"))
+      .select($"da", $"db").localCheckpoint()
+    val und = pairs.select($"da".as("u"), $"db".as("v"))
+      .unionAll(pairs.select($"db".as("u"), $"da".as("v")))
+    var labels = und.select($"u".as("node"), $"u".as("lab"))
+      .unionAll(und.select($"u".as("node"), $"v".as("lab")))
+      .groupBy($"node").agg(min($"lab").as("lab"))
+    for (_ <- 2 to Q400LpRounds) {
+      labels = und
+        .join(labels.select($"node".as("v2"), $"lab"), $"v" === $"v2")
+        .select($"u".as("node"), $"lab")
+        .unionAll(labels)
+        .groupBy($"node").agg(min($"lab").as("lab"))
+        .localCheckpoint()
+    }
+    val judged = docs
+      .join(labels.select($"node".as("doc_id"), $"lab"),
+        Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"source", $"wc",
+        when($"wc" < Q400MinTokens, "too_short")
+          .when($"lang" =!= "en", "wrong_lang")
+          .when($"q" < 0.5, "low_quality")
+          .when($"lab".isNotNull && $"lab" =!= $"doc_id", "near_dup")
+          .otherwise("kept").as("verdict"))
+    judged.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"verdict" === "kept").cast("long")).as("kept"),
+        sum(($"verdict" === "too_short").cast("long")).as("too_short"),
+        sum(($"verdict" === "wrong_lang").cast("long")).as("wrong_lang"),
+        sum(($"verdict" === "low_quality").cast("long")).as("low_quality"),
+        sum(($"verdict" === "near_dup").cast("long")).as("near_dup"),
+        sum(when($"verdict" === "kept", $"wc").otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy($"source")
+  }
+
+  def q400Sql: String = {
+    import graft.functions.TextFunctions._
+    val lp = (2 to Q400LpRounds).map { r =>
+      s"""lab$r AS (
+           SELECT node, min(lab) AS lab FROM (
+             SELECT u.u AS node, l.lab
+             FROM und u JOIN lab${r - 1} l ON u.v = l.node
+             UNION ALL SELECT node, lab FROM lab${r - 1})
+           GROUP BY node)"""
+    }.mkString(",\n")
+    s"""WITH docs AS (
+         SELECT doc_id, source, text,
+           CAST(${tokenCountSql("text")} AS BIGINT) AS wc,
+           ${langIdSql("text")} AS lang,
+           ${qualityScoreSql("text")} AS q
+         FROM documents),
+       toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+         FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
+       sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+              FROM sh GROUP BY 1),
+       pairs AS (
+         SELECT x.doc_id AS da, y.doc_id AS db
+         FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+         GROUP BY 1, 2
+         HAVING (1000 * count(*)) //
+           ((SELECT s FROM sz WHERE doc_id = x.doc_id) +
+            (SELECT s FROM sz WHERE doc_id = y.doc_id) - count(*))
+           >= ${Relational67.Q390Tau}),
+       und AS (SELECT da AS u, db AS v FROM pairs
+               UNION ALL SELECT db AS u, da AS v FROM pairs),
+       lab1 AS (
+         SELECT node, min(lab) AS lab FROM (
+           SELECT u AS node, u AS lab FROM und
+           UNION ALL SELECT u AS node, v AS lab FROM und)
+         GROUP BY node),
+       $lp,
+       judged AS (
+         SELECT d.doc_id, d.source, d.wc,
+           CASE WHEN d.wc < $Q400MinTokens THEN 'too_short'
+             WHEN d.lang <> 'en' THEN 'wrong_lang'
+             WHEN d.q < 0.5 THEN 'low_quality'
+             WHEN l.lab IS NOT NULL AND l.lab <> d.doc_id
+               THEN 'near_dup'
+             ELSE 'kept' END AS verdict
+         FROM docs d LEFT JOIN lab$Q400LpRounds l ON d.doc_id = l.node)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+           AS BIGINT) AS kept,
+         CAST(sum(CASE WHEN verdict = 'too_short' THEN 1 ELSE 0 END)
+           AS BIGINT) AS too_short,
+         CAST(sum(CASE WHEN verdict = 'wrong_lang' THEN 1 ELSE 0 END)
+           AS BIGINT) AS wrong_lang,
+         CAST(sum(CASE WHEN verdict = 'low_quality' THEN 1 ELSE 0 END)
+           AS BIGINT) AS low_quality,
+         CAST(sum(CASE WHEN verdict = 'near_dup' THEN 1 ELSE 0 END)
+           AS BIGINT) AS near_dup,
+         CAST(sum(CASE WHEN verdict = 'kept' THEN wc ELSE 0 END)
+           AS BIGINT) AS kept_tokens
+       FROM judged GROUP BY source ORDER BY source"""
+  }
+}
