@@ -91,14 +91,23 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // A failed detail write must advertise detail:null — a stale
+    // previous-round file at outPath would otherwise be silently parsed
+    // as THIS run's per-query data (ADVICE r9).
+    val detailJson =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (fullLine + "\n").getBytes("UTF-8"))
+        "\"" + outPath + "\""
+      } catch {
+        case t: Throwable =>
+          println(s"WARNING: BENCH_FULL write to $outPath failed: ${t.getMessage}")
+          "null"
+      }
     println(fullLine)
     val slow5 = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"queries":$slow5,"errors":$errJson,"sf":"$sfDir","detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"queries":$slow5,"errors":$errJson,"sf":"$sfDir","detail":$detailJson}""")
   }
 }

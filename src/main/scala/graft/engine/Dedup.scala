@@ -573,6 +573,56 @@ object Dedup {
         WHERE 3 * n_common >= sa.n + sb.n
         ORDER BY doc_a, doc_b"""
 
+  /** EXACT near-dup ground truth at τ = 600‰ (3-shingle Jaccard ≥ 3/5)
+    * — the truth side of q390's blocking audit and q393's cross-modal
+    * agreement, routed through the SAME prefix-filter machinery as
+    * q102 instead of the unfiltered `g === g` shingle self-join both
+    * queries originally ran (a quadratic blowup on any hot shingle).
+    * The AllPairs/PPJoin lemma with per-set prefix length
+    * |S| − ⌈τ·|S|⌉ + 1 under one global rarest-first order yields the
+    * IDENTICAL pair set: any pair with J ≥ τ must share a prefix
+    * element, so candidates → exact verification loses nothing. For
+    * τ = 3/5 the integer forms are: prefix length
+    * sz − (3·sz + 4) div 5 + 1, length bound 5·min ≥ 3·max (J ≥ 3/5
+    * forces i ≥ (3/8)(sa+sb) ≤ min), and the verification
+    * 8·i ≥ 3·(sa+sb) ⟺ the oracle's (1000·i) div (sa+sb−i) ≥ 600.
+    * Inputs come from the session-validated memoized shingle caches
+    * ([[distinctShingles]]/[[docShingleSets]]); the result is itself
+    * memoized + localCheckpoint'ed because q390 and q393 both consume
+    * it with multi-action tails (and bench runs each twice). */
+  private val truth600Cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[engine] def exactTruthPairs600(spark: SparkSession, sfDir: String): DataFrame =
+    memoByDir(truth600Cache, spark, sfDir) {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sh = distinctShingles(spark, sfDir)
+      val freq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy($"doc_id")
+      val ordered = sh.join(freq, "sh")
+        .withColumn("pos", row_number().over(byDoc.orderBy($"df", $"sh")))
+        .withColumn("sz", count(lit(1)).over(byDoc))
+      val prefix = ordered
+        .filter($"pos" <= $"sz" - expr("(3 * sz + 4) div 5") + 1)
+        .select($"doc_id", $"sh", $"sz")
+        .localCheckpoint()
+      val cand = prefix.as("a").join(prefix.as("b"),
+          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+            least($"a.sz", $"b.sz") * 5 >= greatest($"a.sz", $"b.sz") * 3)
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+          $"a.sz".as("sa"), $"b.sz".as("sb"))
+        .distinct()
+      val docSets = docShingleSets(spark, sfDir)
+      cand
+        .join(docSets.select($"doc_id".as("da"), $"set".as("set_a")), "da")
+        .join(docSets.select($"doc_id".as("db"), $"set".as("set_b")), "db")
+        .withColumn("i",
+          graft.functions.VectorExpressions.sorted_intersect_count(
+            $"set_a", $"set_b"))
+        .filter($"i" * 8 >= ($"sa" + $"sb") * 3)
+        .select($"da", $"db")
+        .localCheckpoint()
+    }
+
   /** Train/test leakage audit: the q21 MinHash near-dup candidate pairs
     * crossed with q80's deterministic md5 split assignment — every
     * (split, split) cell counts near-dup pairs landing in it. Off-

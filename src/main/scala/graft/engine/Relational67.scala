@@ -25,10 +25,12 @@ object Relational67 {
     * between them.
     *
     * Scale: the rank is ONE [[DistRank.withRank]] pass; candidates
-    * are a rank band join (fan W); the ground truth here is the
-    * all-pairs shingle join, affordable because the document corpus
-    * is fixture-bounded — at 100 TB the truth side IS the audit's
-    * cost, which is the point the output makes. */
+    * are a rank band join (fan W); the ground truth is
+    * [[Dedup.exactTruthPairs600]] — the PPJoin prefix-filtered exact
+    * join (identical pair set, near-linear candidate fan) over the
+    * memoized shingle index, so even the truth side survives a
+    * corpus-scale audit. Both frames are checkpointed before the
+    * multi-action tail (two counts + a hit join). */
   def q390SortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // The surrogate sort key is the text's first 8 chars PACKED into
@@ -47,25 +49,12 @@ object Relational67 {
         $"b.rk" > $"a.rk" && $"b.rk" <= $"a.rk" + Q390W)
       .select(least($"a.doc_id", $"b.doc_id").as("da"),
         greatest($"a.doc_id", $"b.doc_id").as("db"))
-    val sh = Tables.documents(spark, sfDir)
-      .select($"doc_id", graft.functions.TextFunctions.tokens($"text")
-        .as("t"))
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(t) - 2), " +
-          "i -> concat_ws(' ', slice(t, i, 3)))")).as("g"))
       .distinct()
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("s"))
-    val truth = sh.as("x").join(sh.as("y"),
-        $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("da"), $"y.doc_id".as("db"))
-      .agg(count(lit(1)).as("i"))
-      .join(sz.select($"doc_id".as("da"), $"s".as("sa")), Seq("da"))
-      .join(sz.select($"doc_id".as("db"), $"s".as("sb")), Seq("db"))
-      .filter(expr(s"(1000 * i) div (sa + sb - i) >= $Q390Tau"))
-      .select($"da", $"db")
+      .localCheckpoint()
+    val truth = Dedup.exactTruthPairs600(spark, sfDir)
     val nTruth = truth.count()
     val nCand = cand.count()
-    val hits = truth.join(cand.distinct(), Seq("da", "db")).count()
+    val hits = truth.join(cand, Seq("da", "db")).count()
     TempIo.materialize(spark, Seq(
       (nTruth, nCand, hits,
         if (nTruth == 0) 1000L else 1000L * hits / nTruth))

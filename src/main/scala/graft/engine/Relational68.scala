@@ -26,26 +26,15 @@ object Relational68 {
     * (q26) for this corpus. Emits per group: pair count, share with
     * cosine ≥ 0.8, and the min/max cosine band.
     *
-    * Scale: the truth side is the shingle join (document-bounded);
-    * cosines are two broadcast-free equi joins into the embedding
-    * table keyed by doc id; output is 2 rows. */
+    * Scale: the truth side is [[Dedup.exactTruthPairs600]] — the
+    * PPJoin prefix-filtered exact join (identical pair set) over the
+    * memoized shingle index, shared with q390 and already
+    * checkpointed for multi-action reuse; cosines are two
+    * broadcast-free equi joins into the embedding table keyed by doc
+    * id; output is 2 rows. */
   def q393CrossModalAgreement(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables.documents(spark, sfDir)
-      .select($"doc_id", graft.functions.TextFunctions.tokens($"text")
-        .as("t"))
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(t) - 2), " +
-          "i -> concat_ws(' ', slice(t, i, 3)))")).as("g"))
-      .distinct()
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("s"))
-    val neardup = sh.as("x").join(sh.as("y"),
-        $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("da"), $"y.doc_id".as("db"))
-      .agg(count(lit(1)).as("i"))
-      .join(sz.select($"doc_id".as("da"), $"s".as("sa")), Seq("da"))
-      .join(sz.select($"doc_id".as("db"), $"s".as("sb")), Seq("db"))
-      .filter(expr(s"(1000 * i) div (sa + sb - i) >= ${Relational67.Q390Tau}"))
+    val neardup = Dedup.exactTruthPairs600(spark, sfDir)
       .select($"da", $"db", lit("neardup").as("grp"))
     val n = Tables.documents(spark, sfDir).count()
     val half = n / 2

@@ -110,22 +110,9 @@ object Relational70 {
         size(TextFunctions.tokens($"text")).cast("long").as("wc"),
         TextFunctions.langId($"text").as("lang"),
         TextFunctions.qualityScore($"text").as("q"))
-    // exact near-dup pairs (q390 truth) → min-label components
-    val sh = docs.select($"doc_id",
-        TextFunctions.tokens($"text").as("t"))
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(t) - 2), " +
-          "i -> concat_ws(' ', slice(t, i, 3)))")).as("g"))
-      .distinct()
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("s"))
-    val pairs = sh.as("x").join(sh.as("y"),
-        $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("da"), $"y.doc_id".as("db"))
-      .agg(count(lit(1)).as("i"))
-      .join(sz.select($"doc_id".as("da"), $"s".as("sa")), Seq("da"))
-      .join(sz.select($"doc_id".as("db"), $"s".as("sb")), Seq("db"))
-      .filter(expr(s"(1000 * i) div (sa + sb - i) >= ${Relational67.Q390Tau}"))
-      .select($"da", $"db").localCheckpoint()
+    // exact near-dup pairs (q390 truth, PPJoin prefix-filtered and
+    // memoized in Dedup — identical pair set) → min-label components
+    val pairs = Dedup.exactTruthPairs600(spark, sfDir)
     val und = pairs.select($"da".as("u"), $"db".as("v"))
       .unionAll(pairs.select($"db".as("u"), $"da".as("v")))
     var labels = und.select($"u".as("node"), $"u".as("lab"))

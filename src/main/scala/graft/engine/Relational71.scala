@@ -63,15 +63,9 @@ object Relational71 {
       .select($"a.cfg".as("cfg"), $"a.doc_id".as("da"),
         $"b.doc_id".as("db"))
       .distinct()
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("s"))
-    val truth = sh.as("x").join(sh.as("y"),
-        $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("da"), $"y.doc_id".as("db"))
-      .agg(count(lit(1)).as("i"))
-      .join(sz.select($"doc_id".as("da"), $"s".as("sa")), Seq("da"))
-      .join(sz.select($"doc_id".as("db"), $"s".as("sb")), Seq("db"))
-      .filter(expr(s"(1000 * i) div (sa + sb - i) >= ${Relational67.Q390Tau}"))
-      .select($"da", $"db").localCheckpoint()
+    // exact τ≥600‰ truth pairs — the PPJoin prefix-filtered shared
+    // helper (identical pair set to the inline shingle self-join)
+    val truth = Dedup.exactTruthPairs600(spark, sfDir)
     val nTruth = truth.agg(count(lit(1)).as("truth_pairs"))
     val perCfg = cand
       .join(truth.withColumn("isT", lit(1L)), Seq("da", "db"), "left_outer")

@@ -170,15 +170,24 @@ object Tables {
     val domainProblems =
       if (problems.nonEmpty) Nil // schema already broken; don't scan
       else {
-        val evMin = events(spark, sfDir).agg(min(col("value"))).head.getDouble(0)
-        val shipMin = lineitem(spark, sfDir)
-          .agg(min(to_date(col("l_shipdate")))).head.getDate(0)
-        (if (evMin < 0.0)
-          Seq(s"events.value: min $evMin < 0 — truncating vs flooring " +
-            "integer division diverge; audit every div/`//` site") else Nil) ++
-        (if (shipMin.before(java.sql.Date.valueOf("1995-01-01")))
-          Seq(s"lineitem.l_shipdate: min $shipMin precedes 1995-01-01 — " +
-            "ship_day (q251/q257) goes negative; audit its div sites") else Nil)
+        // min() over an EMPTY table is NULL — an empty fixture is its own
+        // contract drift, and must flag by name here rather than NPE in
+        // the getDouble/getDate extraction.
+        val evRow = events(spark, sfDir).agg(min(col("value"))).head
+        val shipRow = lineitem(spark, sfDir)
+          .agg(min(to_date(col("l_shipdate")))).head
+        (if (evRow.isNullAt(0))
+          Seq("events: table is empty — value-domain pins cannot be checked")
+        else if (evRow.getDouble(0) < 0.0)
+          Seq(s"events.value: min ${evRow.getDouble(0)} < 0 — truncating vs " +
+            "flooring integer division diverge; audit every div/`//` site")
+        else Nil) ++
+        (if (shipRow.isNullAt(0))
+          Seq("lineitem: table is empty — value-domain pins cannot be checked")
+        else if (shipRow.getDate(0).before(java.sql.Date.valueOf("1995-01-01")))
+          Seq(s"lineitem.l_shipdate: min ${shipRow.getDate(0)} precedes " +
+            "1995-01-01 — ship_day (q251/q257) goes negative; audit its div sites")
+        else Nil)
       }
     val allProblems = problems ++ domainProblems
     if (allProblems.nonEmpty) throw new IllegalStateException(

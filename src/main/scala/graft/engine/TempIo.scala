@@ -42,13 +42,25 @@ object TempIo {
     exitPaths.add(path): Unit
   }
 
+  /** Hard ceiling on [[materialize]] — the "small result" contract was
+    * prose until round 10; now it is an assertion, so a future wave
+    * cannot silently route a row-scale frame through the driver. Every
+    * existing call site is a post-aggregation output well under this. */
+  val MaterializeMaxRows = 100000
+
   /** Force a small result to driver memory and re-wrap it as a local
     * DataFrame, so scratch directories backing the lazy plan can be
     * deleted before the caller consumes the result. Only for
     * post-aggregation outputs (the roundtrip queries reduce to at most a
-    * few thousand rows); never for row-scale data. */
+    * few thousand rows); never for row-scale data — enforced by the
+    * [[MaterializeMaxRows]] assertion. */
   def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
-    val rows = java.util.Arrays.asList(df.collect(): _*)
-    spark.createDataFrame(rows, df.schema)
+    val rows = df.collect()
+    require(rows.length <= MaterializeMaxRows,
+      s"TempIo.materialize drew ${rows.length} rows through the driver " +
+        s"(limit $MaterializeMaxRows) — this helper is for post-aggregation " +
+        "results only; write row-scale frames to scratch parquet and " +
+        "deleteAtExit instead")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 }

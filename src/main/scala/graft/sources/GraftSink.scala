@@ -60,9 +60,21 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = GraftSinkProvider.requirePath(options.asScala.toMap)
     val f = new File(path, GraftSinkProvider.SchemaFile)
-    require(f.isFile,
-      s"graftsink table at $path has no ${GraftSinkProvider.SchemaFile} " +
-        "(nothing committed yet) and no user schema was supplied")
+    // Distinguish "nothing committed yet" from "parts present but the
+    // schema sidecar is missing" — the latter means the sidecar was
+    // lost (it is written BEFORE the first part becomes visible, so
+    // normal operation cannot produce this state) and the misleading
+    // nothing-committed message would send the user the wrong way.
+    require(f.isFile, {
+      val nParts = GraftSinkProvider.listParts(path).length
+      if (nParts > 0)
+        s"graftsink table at $path has $nParts committed part files but " +
+          s"no ${GraftSinkProvider.SchemaFile} sidecar — the sidecar was " +
+          "deleted or lost; supply a user schema to read this table"
+      else
+        s"graftsink table at $path has no ${GraftSinkProvider.SchemaFile} " +
+          "(nothing committed yet) and no user schema was supplied"
+    })
     DataType.fromJson(new String(Files.readAllBytes(f.toPath), "UTF-8"))
       .asInstanceOf[StructType]
   }
@@ -79,18 +91,44 @@ object GraftSinkProvider {
   val StagingDir = "_staging"
   val PartPrefix = "part-"
   val PartSuffix = ".graft"
+  /** Streaming epochs publish as whole directories `epoch-<qid>-<id>/`
+    * whose EXISTENCE is the commit marker (one atomic rename = the
+    * entire publish; see [[GraftStreamingWrite.commit]]). */
+  val EpochPrefix = "epoch-"
 
   private[sources] def requirePath(opts: Map[String, String]): String =
     opts.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .getOrElse(throw new IllegalArgumentException(
         "graftsink requires a 'path' option"))
 
+  private def isPart(f: File): Boolean =
+    f.isFile && f.getName.startsWith(PartPrefix) && f.getName.endsWith(PartSuffix)
+
+  /** Committed part files: loose `part-*.graft` at the table root
+    * (batch appends) plus the contents of every published
+    * `epoch-*` directory (streaming epochs). Staging is invisible. */
   private[graft] def listParts(path: String): Array[File] = {
-    val d = new File(path)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(PartPrefix) &&
-        f.getName.endsWith(PartSuffix))
-      .sortBy(_.getName)
+    val top = Option(new File(path).listFiles()).getOrElse(Array.empty[File])
+    val epochParts = top
+      .filter(f => f.isDirectory && f.getName.startsWith(EpochPrefix))
+      .flatMap(e => Option(e.listFiles()).getOrElse(Array.empty[File]))
+    (top ++ epochParts).filter(isPart).sortBy(_.getAbsolutePath)
+  }
+
+  /** Atomic, ordered schema publication: temp file + rename, called
+    * BEFORE the first part file becomes visible in both commit paths,
+    * so no crash window can leave readable parts without a schema
+    * sidecar (ADVICE r9). Concurrent/replayed writers racing the
+    * rename are harmless — the content is identical. */
+  private[sources] def writeSchemaIfAbsent(dir: File, schema: StructType): Unit = {
+    val f = new File(dir, SchemaFile)
+    if (f.isFile) return
+    val tmp = new File(dir, "." + SchemaFile + ".tmp-" + UUID.randomUUID())
+    Files.write(tmp.toPath, schema.json.getBytes("UTF-8"))
+    try Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => tmp.delete(): Unit
+    }
   }
 }
 
@@ -270,13 +308,16 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema, stagingRoot.getAbsolutePath)
 
-  /** Publish: same-filesystem rename of each sealed staging file into
-    * the table dir, then the schema sidecar, then staging reclamation.
-    * A crash between renames can duplicate no data (each file moves
-    * once) and a crash before any rename publishes nothing. */
+  /** Publish: the schema sidecar FIRST (atomic temp+rename — no crash
+    * window can leave visible parts without a readable schema), then a
+    * same-filesystem rename of each sealed staging file into the table
+    * dir, then staging reclamation. A crash between renames can
+    * duplicate no data (each file moves once) and a crash before any
+    * rename publishes nothing. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dest = new File(path)
     dest.mkdirs()
+    GraftSinkProvider.writeSchemaIfAbsent(dest, schema)
     messages.foreach {
       case GraftCommitMessage(staged, rows, stats) =>
         val name = GraftSinkProvider.PartPrefix + UUID.randomUUID().toString +
@@ -286,9 +327,6 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
         GraftStats.writeSidecar(new File(path, name), rows, stats)
       case other => throw new IllegalStateException(s"alien commit message: $other")
     }
-    val schemaFile = new File(dest, GraftSinkProvider.SchemaFile)
-    if (!schemaFile.isFile)
-      Files.write(schemaFile.toPath, schema.json.getBytes("UTF-8"))
     graft.engine.TempIo.deleteRecursively(stagingRoot.getAbsolutePath)
   }
 
@@ -307,14 +345,20 @@ private[sources] class GraftWriterFactory(schema: StructType, stagingRoot: Strin
 /** The STREAMING half of the append commit protocol: per micro-batch
   * (epoch), task writers stage exactly like the batch path — under
   * `_staging/<queryId>/epoch-<id>/` — and the driver publishes the
-  * epoch with the same atomic renames PLUS an epoch marker file. The
-  * marker is what makes the sink EXACTLY-ONCE on top of Structured
-  * Streaming's at-least-once replay: a failed-then-replayed epoch
-  * finds its marker already present, discards its re-staged files, and
-  * publishes nothing twice (the same epoch-keyed idempotence contract
-  * q86's foreachBatch models; here it lives INSIDE the connector,
-  * which is where the reference's external-store sink needs it —
-  * consumer.scala:176-181 appends to MongoDB from a streaming query). */
+  * WHOLE EPOCH with a single atomic directory rename into the table as
+  * `epoch-<queryId>-<epochId>/`. The directory's existence is itself
+  * the commit marker, which is what makes the sink EXACTLY-ONCE on top
+  * of Structured Streaming's at-least-once replay: there is no window
+  * in which some part files are visible but the marker is absent (the
+  * round-9 per-file-renames-then-marker protocol had exactly that
+  * window — a crash inside it followed by epoch replay duplicated the
+  * epoch, and the marker files accumulated one per epoch forever). A
+  * failed-then-replayed epoch finds its directory already published,
+  * discards its re-staged files, and publishes nothing twice (the same
+  * epoch-keyed idempotence contract q86's foreachBatch models; here it
+  * lives INSIDE the connector, which is where the reference's
+  * external-store sink needs it — consumer.scala:176-181 appends to
+  * MongoDB from a streaming query). */
 private[graft] class GraftStreamingWrite(schema: StructType, path: String,
     queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -322,35 +366,50 @@ private[graft] class GraftStreamingWrite(schema: StructType, path: String,
   private def stagingRoot(epochId: Long) =
     new File(new File(new File(path, GraftSinkProvider.StagingDir), queryId),
       s"epoch-$epochId")
-  private def marker(epochId: Long) =
-    new File(path, s"_epoch-$queryId-$epochId.committed")
+  private[graft] def epochDir(epochId: Long) =
+    new File(path, s"${GraftSinkProvider.EpochPrefix}$queryId-$epochId")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(schema, path, queryId)
 
+  /** Idempotent publish. Steps, in crash-safe order:
+    *   1. replayed epoch (directory already published) → discard the
+    *      re-staged files, publish nothing;
+    *   2. rename each committed task's staged file to its final
+    *      deterministic `part-<idx>.graft` name INSIDE the staging dir
+    *      and write its zone-map sidecar there; drop stray files from
+    *      never-committed (speculative/failed) task attempts;
+    *   3. publish the schema sidecar (atomic, BEFORE any row is
+    *      visible);
+    *   4. ONE atomic rename of the staging dir into the table. A crash
+    *      anywhere before step 4 publishes nothing (replay re-stages
+    *      and re-publishes cleanly); after step 4 the epoch is fully
+    *      visible and replay is a no-op via step 1. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dest = new File(path)
     dest.mkdirs()
-    if (marker(epochId).isFile) {
-      // replayed epoch: already published — discard the re-staged files
-      graft.engine.TempIo.deleteRecursively(stagingRoot(epochId).getAbsolutePath)
+    val staging = stagingRoot(epochId)
+    if (epochDir(epochId).isDirectory) {
+      graft.engine.TempIo.deleteRecursively(staging.getAbsolutePath)
       return
     }
-    messages.foreach {
-      case GraftCommitMessage(staged, rows, stats) =>
-        val name = GraftSinkProvider.PartPrefix + UUID.randomUUID().toString +
-          GraftSinkProvider.PartSuffix
-        Files.move(Paths.get(staged), Paths.get(path, name),
-          StandardCopyOption.ATOMIC_MOVE)
-        GraftStats.writeSidecar(new File(path, name), rows, stats)
-      case other => throw new IllegalStateException(s"alien commit message: $other")
-    }
-    val schemaFile = new File(dest, GraftSinkProvider.SchemaFile)
-    if (!schemaFile.isFile)
-      Files.write(schemaFile.toPath, schema.json.getBytes("UTF-8"))
-    Files.write(marker(epochId).toPath, Array.emptyByteArray)
-    graft.engine.TempIo.deleteRecursively(stagingRoot(epochId).getAbsolutePath)
+    staging.mkdirs() // a zero-row epoch still publishes its (empty) marker dir
+    val keep = messages.zipWithIndex.map {
+      case (GraftCommitMessage(staged, rows, stats), j) =>
+        val part = new File(staging,
+          GraftSinkProvider.PartPrefix + j + GraftSinkProvider.PartSuffix)
+        Files.move(Paths.get(staged), part.toPath, StandardCopyOption.ATOMIC_MOVE)
+        GraftStats.writeSidecar(part, rows, stats)
+        Seq(part.getName, GraftStats.sidecarFor(part).getName)
+      case (other, _) =>
+        throw new IllegalStateException(s"alien commit message: $other")
+    }.flatten.toSet
+    Option(staging.listFiles()).getOrElse(Array.empty[File])
+      .filterNot(f => keep(f.getName)).foreach(_.delete())
+    GraftSinkProvider.writeSchemaIfAbsent(dest, schema)
+    Files.move(staging.toPath, epochDir(epochId).toPath,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -85,8 +85,10 @@ class GraftSinkSpec extends SparkTestBase {
     } finally TempIo.deleteRecursively(dir)
   }
 
-  test("streaming write commits per-epoch markers; a replayed epoch publishes nothing twice") {
-    import graft.sources.GraftStreamingWrite
+  test("streaming epochs publish as atomic epoch dirs; a replayed epoch publishes nothing twice") {
+    import graft.sources.{GraftStreamingWrite, GraftStreamingWriterFactory}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val dir = TempIo.createTempDir("graftsink-spec-")
     try {
@@ -94,8 +96,9 @@ class GraftSinkSpec extends SparkTestBase {
       val src = TempIo.createTempDir("graftsink-spec-src-")
       val ckpt = TempIo.createTempDir("graftsink-spec-ckpt-")
       spark.range(0, 50).select($"id").write.parquet(s"$src/data")
+      val schema = StructType(Seq(StructField("id", LongType)))
       val q = spark.readStream
-        .schema(StructType(Seq(StructField("id", LongType))))
+        .schema(schema)
         .parquet(s"$src/data")
         .writeStream.format("graftsink")
         .option("path", dir).option("checkpointLocation", ckpt)
@@ -105,22 +108,36 @@ class GraftSinkSpec extends SparkTestBase {
       q.awaitTermination()
       val back = spark.read.format("graftsink").load(dir)
       assert(back.count() === 50)
-      val markers = new File(dir).listFiles()
-        .filter(_.getName.matches("_epoch-.*\\.committed"))
-      assert(markers.nonEmpty, "each committed epoch must leave a marker")
+      // the epoch DIRECTORY is the commit marker (one atomic rename =
+      // the whole publish) — no separate marker files may accumulate
+      val epochDirs = new File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch-"))
+      assert(epochDirs.nonEmpty, "each committed epoch must publish its dir")
+      assert(new File(dir).listFiles()
+        .forall(f => !f.getName.matches("_epoch-.*\\.committed")),
+        "marker files must not accumulate — the epoch dir IS the marker")
       assert(stagingLeftovers(dir).isEmpty)
-      // replay idempotence at the protocol level: re-commit an epoch
-      // that already carries a marker — nothing may publish
-      val qid = markers.head.getName.stripPrefix("_epoch-")
-        .stripSuffix(".committed").reverse.dropWhile(_ != '-').drop(1).reverse
-      val epoch = markers.head.getName.stripSuffix(".committed")
+      // replay idempotence at the protocol level: re-stage REAL rows for
+      // an already-published epoch (what Structured Streaming's replay
+      // does after a driver crash) and re-commit — nothing may publish,
+      // and the re-staged files must be reclaimed
+      val qid = epochDirs.head.getName.stripPrefix("epoch-")
+        .reverse.dropWhile(_ != '-').drop(1).reverse
+      val epoch = epochDirs.head.getName
         .reverse.takeWhile(_ != '-').reverse.toLong
-      val before = parts(dir).map(_.getName).toSet
-      val sw = new GraftStreamingWrite(
-        StructType(Seq(StructField("id", LongType))), dir, qid)
-      sw.commit(epoch, Array.empty)
-      assert(parts(dir).map(_.getName).toSet === before,
-        "a replayed (already-markered) epoch must publish nothing")
+      val before = parts(dir).map(_.getAbsolutePath).toSet
+      val w = new GraftStreamingWriterFactory(schema, dir, qid)
+        .createWriter(partitionId = 0, taskId = 0L, epochId = epoch)
+      val proj = UnsafeProjection.create(schema)
+      (0L until 50L).foreach(i => w.write(proj(InternalRow(i))))
+      val msg = w.commit()
+      val sw = new GraftStreamingWrite(schema, dir, qid)
+      sw.commit(epoch, Array(msg))
+      assert(parts(dir).map(_.getAbsolutePath).toSet === before,
+        "a replayed (already-published) epoch must publish nothing")
+      assert(stagingLeftovers(dir).isEmpty,
+        "replay must reclaim its re-staged files")
+      assert(spark.read.format("graftsink").load(dir).count() === 50)
       TempIo.deleteRecursively(src); TempIo.deleteRecursively(ckpt)
     } finally TempIo.deleteRecursively(dir)
   }
