@@ -1035,7 +1035,7 @@ object Similarity {
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-      .writeStream
+      .transform(graft.plans.PlanProbe.record).writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val byCell = Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("cell"))

@@ -196,7 +196,7 @@ object Streaming {
       partitionCols: Seq[String] = Seq("date", "hour")): String = {
     val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
     val q = projectIngest(readEventsStreamConfigured(spark, sfDir))
-      .writeStream
+      .transform(graft.plans.PlanProbe.record).writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
@@ -268,7 +268,7 @@ object Streaming {
     val out = Files.createTempDirectory("graft-fes-").toString
     val checkpoint = Files.createTempDirectory("graft-fes-ckpt-").toString
     val q = projectIngest(readEventsStream(spark, sfDir))
-      .writeStream
+      .transform(graft.plans.PlanProbe.record).writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.write.mode("overwrite").parquet(s"$out/epoch=$epochId")
       }
@@ -301,7 +301,7 @@ object Streaming {
     val ckpt = TempIo.createTempDir("graft-dsv2-ckpt-")
     try {
       val q = projectIngest(readEventsStream(spark, sfDir))
-        .writeStream
+        .transform(graft.plans.PlanProbe.record).writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.format("graftsink").mode("append")
             .option("path", out).save()
@@ -337,7 +337,7 @@ object Streaming {
     val ckpt = TempIo.createTempDir("graft-dsv2s-ckpt-")
     try {
       val q = projectIngest(readEventsStream(spark, sfDir))
-        .writeStream
+        .transform(graft.plans.PlanProbe.record).writeStream
         .format("graftsink")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -384,7 +384,7 @@ object Streaming {
           .select($"event_id", $"user_id",
             date_format($"ts", "yyyy-MM-dd").as("date"),
             date_format($"ts", "HH").as("hour"))
-          .writeStream
+          .transform(graft.plans.PlanProbe.record).writeStream
           .format("graftsink")
           .option("path", out)
           .option("checkpointLocation", ckpt)
@@ -446,7 +446,7 @@ object Streaming {
           count(lit(1)).as("n_rows"),
           count(when($"value" > 100, 1)).as("high_value"),
           sum(graft.engine.Exact.cents($"value")).as("cents"))
-        .writeStream
+        .transform(graft.plans.PlanProbe.record).writeStream
         .format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)
@@ -533,7 +533,7 @@ object Streaming {
         .schema(eventsNormSchema)
         .option("pathGlobFilter", "chunk*.parquet")
         .parquet(src)
-        .writeStream
+        .transform(graft.plans.PlanProbe.record).writeStream
         .foreachBatch { (batch: DataFrame, epochId: Long) =>
           val parsed = batch.withColumn("k",
             from_json(col("props"), propsSchema).getField("k"))
@@ -593,7 +593,7 @@ object Streaming {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("counts"),
         first($"hv_share").as("hv_share"))
-    val q = enriched.writeStream
+    val q = graft.plans.PlanProbe.record(enriched).writeStream
       .outputMode("complete")
       // BOUNDED memory drain: one row per event_type (complete mode) — O(|types|), data-volume-free
       .format("memory")
@@ -625,7 +625,7 @@ object Streaming {
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("counts"),
         graft.engine.Exact.sumExact($"value", 2).as("sum_value"))
-    val q = agg.writeStream
+    val q = graft.plans.PlanProbe.record(agg).writeStream
       .outputMode("complete")
       // BOUNDED memory drain: |hour grid| x |event types| rows (complete mode) — grows with the time horizon, not row count
       .format("memory")
@@ -822,7 +822,7 @@ object Streaming {
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("counts"),
         graft.engine.Exact.sumExact($"value", 2).as("sum_value"))
-    val q = agg.writeStream
+    val q = graft.plans.PlanProbe.record(agg).writeStream
       .outputMode("append")
       // BOUNDED memory drain: |hour grid| x |event types| rows — time-grid-bounded, not row-scale
       .format("memory")
@@ -891,7 +891,7 @@ object Streaming {
       .parquet(src)
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("counts"))
-    val q = agg.writeStream
+    val q = graft.plans.PlanProbe.record(agg).writeStream
       .outputMode("update")
       // BOUNDED memory drain: |hour grid| x |event types| update rows — time-grid-bounded
       .format("memory")
@@ -960,7 +960,7 @@ object Streaming {
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-      .writeStream
+      .transform(graft.plans.PlanProbe.record).writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val partial = batch.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -1085,7 +1085,7 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("counts"))
-    val q = agg.writeStream
+    val q = graft.plans.PlanProbe.record(agg).writeStream
       .outputMode("append")
       // BOUNDED memory drain: |hour grid| x |event types| rows per flush — time-grid-bounded
       .format("memory")
@@ -1153,7 +1153,7 @@ object Streaming {
   private[graft] def drainToFileSink(spark: SparkSession, df: DataFrame): DataFrame = {
     val sink = TempIo.createTempDir("graft-ssink-")
     val ckpt = TempIo.createTempDir("graft-ssink-ckpt-")
-    val q = df.writeStream
+    val q = graft.plans.PlanProbe.record(df).writeStream
       .format("parquet")
       .option("path", sink)
       .option("checkpointLocation", ckpt)
@@ -1179,7 +1179,7 @@ object Streaming {
     val sink = TempIo.createTempDir("graft-usink-")
     val ckpt = TempIo.createTempDir("graft-usink-ckpt-")
     val cols = df.schema.fieldNames.map(col).toSeq
-    val q = df.writeStream
+    val q = graft.plans.PlanProbe.record(df).writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.write.mode("overwrite").parquet(s"$sink/epoch=$epochId")
@@ -1461,7 +1461,7 @@ object Streaming {
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("counts"))
         .select($"window.start".as("ws_ts"), $"event_type", $"counts")
-      val q = agg.writeStream
+      val q = graft.plans.PlanProbe.record(agg).writeStream
         .format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)
@@ -1549,7 +1549,7 @@ object Streaming {
     val agg = joined
       .groupBy(window($"e_ts", "1 hour"))
       .agg(count(lit(1)).as("pairs"))
-    val q = agg.writeStream
+    val q = graft.plans.PlanProbe.record(agg).writeStream
       .outputMode("append")
       // BOUNDED memory drain: |hour grid| windowed aggregate rows — time-grid-bounded
       .format("memory")
@@ -1614,7 +1614,7 @@ object Streaming {
     val daily = hourly
       .groupBy(window(window_time($"window"), "1 day"), $"event_type")
       .agg(sum($"hourly_n").as("counts"), count(lit(1)).as("n_hours"))
-    val q = daily.writeStream
+    val q = graft.plans.PlanProbe.record(daily).writeStream
       .outputMode("append")
       // BOUNDED memory drain: |day grid| rollup rows — time-grid-bounded
       .format("memory")
@@ -1666,7 +1666,7 @@ object Streaming {
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("counts"))
-      val q = agg.writeStream
+      val q = graft.plans.PlanProbe.record(agg).writeStream
         .outputMode("append")
         .format("noop")
         .option("checkpointLocation", ckpt)
@@ -1722,7 +1722,7 @@ object Streaming {
           .cast("long").as("hv"))
       .groupBy($"event_type")
       .agg(graft.functions.KmvAggregate.kmvDistinct($"hv", 32).as("kmv_est"))
-    val q = agg.writeStream
+    val q = graft.plans.PlanProbe.record(agg).writeStream
       .outputMode("complete")
       // BOUNDED memory drain: K KMV register rows per event_type — sketch-bounded
       .format("memory")
@@ -1763,7 +1763,7 @@ object Streaming {
       .groupBy($"event_type")
       .agg(graft.functions.TopKAggregator.top_k(5)($"value", $"event_id")
         .as("top"))
-    val q = agg.writeStream
+    val q = graft.plans.PlanProbe.record(agg).writeStream
       .outputMode("complete")
       // BOUNDED memory drain: k rows per event_type (bounded top-k aggregate)
       .format("memory")
@@ -1819,7 +1819,7 @@ object Streaming {
           .as("bucket"))
       .groupBy($"event_type", $"bucket")
       .agg(count(lit(1)).as("n"))
-    val q = agg.writeStream
+    val q = graft.plans.PlanProbe.record(agg).writeStream
       .outputMode("complete")
       // BOUNDED memory drain: ≤ ⌈max_value/25⌉ buckets per event_type
       .format("memory")
@@ -1891,7 +1891,7 @@ object Streaming {
       .filter($"event_type".isin("purchase", "error"))
       .groupBy($"event_type")
       .agg(bitmapBits($"user_id", 16384).as("bm"))
-    val q = agg.writeStream
+    val q = graft.plans.PlanProbe.record(agg).writeStream
       .outputMode("complete")
       // BOUNDED memory drain: one fixed-width bitmap row per event_type
       .format("memory")
@@ -1962,7 +1962,7 @@ object Streaming {
     }.toDF("w", "valid_from", "valid_to")
     val dim = graft.engine.Tables.events(spark, sfDir)
       .select($"user_id".as("d_user")).distinct()
-      .crossJoin(weeks)
+      .crossJoin(broadcast(weeks))
       .withColumn("tier", ($"d_user" * 7 + $"w") % 3)
     val enriched = projectIngest(readEventsStream(spark, sfDir))
       .filter($"event_type" === "purchase")
@@ -1972,7 +1972,7 @@ object Streaming {
       .groupBy($"tier")
       .agg(count(lit(1)).as("n"),
         sum(graft.engine.Exact.cents($"value")).as("cents"))
-    val q = enriched.writeStream
+    val q = graft.plans.PlanProbe.record(enriched).writeStream
       .outputMode("complete")
       // BOUNDED memory drain: one row per tier (3) — complete-mode aggregate over a closed domain
       .format("memory")
@@ -2853,7 +2853,7 @@ object Streaming {
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-      .writeStream
+      .transform(graft.plans.PlanProbe.record).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         val r = batch.agg(count(lit(1)), countDistinct(col("user_id")))
@@ -2917,7 +2917,7 @@ object Streaming {
         .select($"event_type".as("etype"), $"user_id".as("uid"),
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents"))
-        .writeStream
+        .transform(graft.plans.PlanProbe.record).writeStream
         .format("graftsink")
         .option("path", out)
         .option("checkpointLocation", ckpt)

@@ -210,6 +210,72 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  /** The STREAMING plan sweep — closing the coverage gap the two batch
+    * sweeps left: streaming constructors drain internally, so their
+    * pre-start plans are only observable through [[graft.plans.PlanProbe]],
+    * which every `.writeStream` site in the library feeds. Runs EVERY
+    * streaming query once, captures the optimized logical plan of every
+    * stream it starts, and applies the same two scale rules as the batch
+    * sweeps: no condition-less/cross join without a broadcast hint or a
+    * provably single-row side, and no unpartitioned `Window` over an
+    * unbounded frame. A probed query that starts zero captured streams
+    * also fails — that means a new start site skipped the probe, which
+    * would silently shrink this sweep. With this test, 100% of
+    * SparkEntry.queries is covered by a plan sweep (batch sweeps above +
+    * this one). */
+  test("no streaming query plans an unhinted cross join or unpartitioned data-scale window") {
+    import org.apache.spark.sql.catalyst.plans.Cross
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    // No allowlist needed today: streaming plans support no window
+    // functions and every stream-side join in the library is keyed —
+    // an entry here would need the same citation discipline as the
+    // batch allowlist above.
+    val problems = SparkEntry.streamingQueries.toSeq.sorted.flatMap { name =>
+      graft.plans.PlanProbe.arm()
+      val runErr =
+        try { SparkEntry.queries(name)(spark, sf); None }
+        catch { case e: Exception =>
+          Some(s"$name: failed to run — ${e.getMessage}") }
+      val qes = graft.plans.PlanProbe.disarm()
+      val noCapture =
+        if (runErr.isEmpty && qes.isEmpty)
+          Seq(s"$name: started no probed stream — a start site is " +
+            "missing PlanProbe.record")
+        else Nil
+      val planProblems = qes.flatMap { qe =>
+        try {
+          // optimizedPlan would trip UnsupportedOperationChecker on a
+          // pre-start streaming frame; the ANALYZED plan carries the
+          // same join/window shape once ResolvedHint wrappers are
+          // folded into the Join nodes (the one optimizer step the
+          // hint check depends on).
+          val opt = org.apache.spark.sql.catalyst.optimizer
+            .EliminateResolvedHint(qe.analyzed)
+          val badCross = opt.collect {
+            case j: Join if j.condition.isEmpty || j.joinType == Cross =>
+              val hinted = j.hint.leftHint.exists(_.strategy.isDefined) ||
+                j.hint.rightHint.exists(_.strategy.isDefined)
+              val singleRow = j.left.maxRows.exists(_ <= 1) ||
+                j.right.maxRows.exists(_ <= 1)
+              if (hinted || singleRow) None
+              else Some(s"$name: unhinted cross join in a streaming plan")
+          }.flatten
+          val badWin = opt.collect {
+            case w: LWindow if w.partitionSpec.isEmpty &&
+              !w.child.maxRows.exists(_ <= 4096) =>
+              s"$name: unpartitioned window in a streaming plan"
+          }
+          badCross ++ badWin
+        } catch {
+          case e: Exception =>
+            Seq(s"$name: captured plan failed to optimize — ${e.getMessage}")
+        }
+      }
+      runErr.toSeq ++ noCapture ++ planProblems.distinct
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
   test("DistRank bucketed rank equals the exact global-window rank") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
