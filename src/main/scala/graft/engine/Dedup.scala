@@ -167,10 +167,10 @@ object Dedup {
     import spark.implicits._
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .localCheckpoint()
+      .transform(Loops.cut)
     var labels = edges.select($"doc_a".as("doc")).distinct()
       .withColumn("label", $"doc")
-      .localCheckpoint()
+      .transform(Loops.cut)
     var changed = 1L
     while (changed > 0) {
       val prop = labels.join(edges, $"doc" === $"doc_a")
@@ -179,7 +179,7 @@ object Dedup {
         .withColumnRenamed("doc_b", "doc")
       val next = labels.join(prop, Seq("doc"), "left_outer")
         .select($"doc", least($"label", coalesce($"nlabel", $"label")).as("label"))
-        .localCheckpoint()
+        .transform(Loops.cut)
       changed = next
         .join(labels.withColumnRenamed("label", "old"), Seq("doc"))
         .filter($"label" < $"old").count()

@@ -186,13 +186,13 @@ object GraphQueries {
   def alternatingStar(edges0: DataFrame): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    var edges = edges0.localCheckpoint()
+    var edges = edges0.transform(Loops.cut)
     var signature = (-1L, -1L)
     var converged = false
     var rounds = 0
     val MaxRounds = 20
     while (!converged && rounds < MaxRounds) {
-      val next = starRound(edges).localCheckpoint()
+      val next = starRound(edges).transform(Loops.cut)
       val sig = next.agg(count(lit(1)),
           coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
         .as[(Long, Long)].head()

@@ -154,10 +154,10 @@ object Relational25 {
       .distinct()
     val edges = pairs.select($"c".as("src"), $"s".as("dst"))
       .unionByName(pairs.select($"s".as("src"), $"c".as("dst")))
-      .localCheckpoint()
+      .transform(Loops.cut)
     val deg = edges.groupBy($"src".as("node"))
       .agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .transform(Loops.cut)
     var ranks = deg.select($"node", lit(1000000L).as("r"))
     (1 to Q242Iters).foreach { _ =>
       // localCheckpoint per iteration: plan depth stays constant across
@@ -172,7 +172,7 @@ object Relational25 {
         .agg(sum($"contrib").as("in_sum"))
         .select($"dst".as("node"),
           (lit(150000L) + expr("850L * in_sum div 1000")).as("r"))
-        .localCheckpoint()
+        .transform(Loops.cut)
     }
     ranks.filter($"node".startsWith("s"))
       .join(deg, "node")

@@ -100,9 +100,9 @@ object Relational49 {
         TextFunctions.tokens($"text").as("tk"))
       .select($"doc_id", $"shard", explode(Dedup.shinglesOf($"tk")).as("t"))
     val u = toks.filter($"doc_id" % 10 === 0).select($"t").distinct()
-      .localCheckpoint()
+      .transform(Loops.cut)
     val m = toks.select($"shard", $"t").distinct()
-      .join(u, Seq("t")).localCheckpoint()
+      .join(u, Seq("t")).transform(Loops.cut)
     val uTotal = u.count()
     var covered = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], u.schema)
@@ -122,7 +122,7 @@ object Relational49 {
         val src = best.getAs[String]("shard")
         covered = covered
           .union(m.filter($"shard" === src).select($"t"))
-          .distinct().localCheckpoint()
+          .distinct().transform(Loops.cut)
         picks += ((step, src, best.getAs[Long]("gain"), covered.count()))
         step += 1
       }

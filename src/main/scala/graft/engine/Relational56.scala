@@ -213,18 +213,18 @@ object Relational56 {
       .select($"u".as("src"), $"v".as("dst"), $"cnt")
       .unionAll(pairs.select($"v".as("src"), $"u".as("dst"), $"cnt"))
       .select($"src", $"dst", expr("1 + (1000 div cnt)").as("w"))
-      .localCheckpoint()
+      .transform(Loops.cut)
     val seeds = Tables.part(spark, sfDir)
       .filter($"p_size" === 50)
       .select($"p_partkey".as("node"), lit(0L).as("dist"))
-    var dist = seeds.localCheckpoint()
+    var dist = seeds.transform(Loops.cut)
     for (_ <- 1 to Q360Rounds) {
       dist = dist
         .unionAll(dist.join(edges, $"node" === $"src")
           .select($"dst".as("node"), ($"dist" + $"w").as("dist")))
         .groupBy($"node")
         .agg(min($"dist").as("dist"))
-        .localCheckpoint()
+        .transform(Loops.cut)
     }
     dist.groupBy(expr("dist div 500").as("band"))
       .agg(count(lit(1)).as("n_parts"),

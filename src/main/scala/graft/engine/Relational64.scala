@@ -103,11 +103,11 @@ object Relational64 {
       .filter($"cnt" >= 2L)
     val und = pairs.select($"u".as("src"), $"v".as("dst"))
       .unionAll(pairs.select($"v".as("src"), $"u".as("dst")))
-      .localCheckpoint()
+      .transform(Loops.cut)
     val deg = und.groupBy($"src".as("node"))
       .agg(count(lit(1)).as("deg"))
     var colors = deg.select($"node", $"deg", $"deg".as("c"))
-      .localCheckpoint()
+      .transform(Loops.cut)
     def stats(r: Int, cf: DataFrame): DataFrame =
       cf.agg(lit(r.toLong).as("round"),
         countDistinct($"c").as("n_colors"),
@@ -123,7 +123,7 @@ object Relational64 {
           "concat(CAST(pc AS STRING), ':', CAST(s AS STRING), ':', " +
             "CAST(deg AS STRING))"))
           .as("c"))
-        .localCheckpoint()
+        .transform(Loops.cut)
       acc = acc.unionAll(stats(r, colors))
     }
     TempIo.materialize(spark, acc.orderBy($"round"))

@@ -47,7 +47,7 @@ object Relational66 {
       .crossJoin(centerEmb(qid))
       .select($"vec_id", $"embedding",
         cos($"embedding", $"c_emb").as("rel"))
-      .localCheckpoint()
+      .transform(Loops.cut)
     val first = base
       .agg(max(struct($"rel", (-$"vec_id").as("nv"))).as("m"))
       .select($"m.rel", $"m.nv").head()
@@ -57,7 +57,7 @@ object Relational66 {
       .crossJoin(centerEmb(id1))
       .select($"vec_id", $"embedding", $"rel",
         cos($"embedding", $"c_emb").as("ms"))
-      .localCheckpoint()
+      .transform(Loops.cut)
     for (i <- 2 to Q388K) {
       val pick = pool
         .agg(max(struct((lit(Lam) * $"rel" - lit(OneMinusLam) * $"ms")
@@ -70,7 +70,7 @@ object Relational66 {
         .crossJoin(centerEmb(fid))
         .select($"vec_id", $"embedding", $"rel",
           greatest($"ms", cos($"embedding", $"c_emb")).as("ms"))
-        .localCheckpoint()
+        .transform(Loops.cut)
     }
     selected.toDF("sel_order", "vec_id", "rel", "ms")
       .select($"sel_order", $"vec_id", round($"rel", 6).as("rel"),

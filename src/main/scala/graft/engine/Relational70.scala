@@ -124,7 +124,7 @@ object Relational70 {
         .select($"u".as("node"), $"lab")
         .unionAll(labels)
         .groupBy($"node").agg(min($"lab").as("lab"))
-        .localCheckpoint()
+        .transform(Loops.cut)
     }
     val judged = docs
       .join(labels.select($"node".as("doc_id"), $"lab"),
