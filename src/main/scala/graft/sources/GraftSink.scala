@@ -138,7 +138,7 @@ private[sources] class GraftTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -152,7 +152,8 @@ private[sources] class GraftTable(tableSchema: StructType, path: String)
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableSchema, path)
+    new GraftScanBuilder(tableSchema, path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
 /** Scan builder with the two operator pushdowns a V2 connector owes
@@ -165,7 +166,8 @@ private[sources] class GraftTable(tableSchema: StructType, path: String)
   * stateless single-column comparisons on primitive/string columns are
   * accepted; everything else stays a residual and Spark applies it
   * post-scan, so correctness never depends on the connector guessing. */
-private[sources] class GraftScanBuilder(fullSchema: StructType, path: String)
+private[sources] class GraftScanBuilder(fullSchema: StructType, path: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -209,7 +211,8 @@ private[sources] class GraftScanBuilder(fullSchema: StructType, path: String)
 
   override def build(): Scan = pushedAgg match {
     case Some(p) => new GraftAggScan(fullSchema, pushed, p, path)
-    case None => new GraftScan(fullSchema, required, pushed, path)
+    case None =>
+      new GraftScan(fullSchema, required, pushed, path, maxFilesPerTrigger)
   }
 }
 
@@ -652,11 +655,21 @@ private[sources] object GraftStats {
 
 private[sources] class GraftScan(fullSchema: StructType,
     requiredSchema: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter], path: String)
+    pushed: Array[org.apache.spark.sql.sources.Filter], path: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** The STREAMING half of the read path — see [[GraftMicroBatchStream]].
+    * Column pruning and filter pushdown compose: the same builder ran
+    * before this call, so micro-batch readers are as narrow as batch
+    * ones. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, fullSchema, requiredSchema, pushed,
+      checkpointLocation, maxFilesPerTrigger)
 
   /** Table statistics from the sidecars: exact when every committed
     * part carries one, size-only otherwise. */
@@ -700,6 +713,124 @@ private[sources] class GraftReaderFactory(fullSchema: StructType,
     new GraftPartitionReader(
       partition.asInstanceOf[GraftInputPartition].file,
       fullSchema, requiredSchema, pushed)
+}
+
+/** A micro-batch OFFSET over a graftsink table: the count of committed
+  * part files in FIRST-SEEN order (the durable arrival log below), so
+  * offset ranges replay to the identical file set after any restart. */
+private[sources] case class GraftOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** The STREAMING READ half of the connector — what makes graftsink a
+  * live in-sandbox streaming SOURCE with exactly-once replay, the
+  * closest physically-possible stand-in for the reference's Kafka
+  * source (spark-app/src/main/scala/streamingConsumer/consumer.scala:56-62):
+  * an external system where new data keeps arriving and a consumer
+  * tracks its own resumable position.
+  *
+  * Offsets must replay identically across restarts, but the table's
+  * sorted file listing is NOT append-stable (a new batch append's
+  * random part name, or streaming epoch dir `epoch-10` vs `epoch-2`,
+  * can sort BEFORE already-consumed files). So the source keeps its
+  * own durable ARRIVAL LOG under the query's checkpoint dir — one line
+  * per table-relative part path, appended in first-seen order, exactly
+  * the discipline Spark's own FileStreamSource uses. An offset is a
+  * count into that log; `planInputPartitions(start, end)` slices it,
+  * so a replayed batch reads byte-identical files. Admission control
+  * (`maxFilesPerTrigger`) bounds each micro-batch, and
+  * AvailableNow snapshots the target up front so a drain terminates
+  * even while a writer keeps appending. One part file = one input
+  * partition = one executor task; pruning/pushdown arrive via the same
+  * ScanBuilder as the batch read. */
+private[sources] class GraftMicroBatchStream(path: String,
+    fullSchema: StructType, requiredSchema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    checkpointLocation: String, maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  private val logFile = {
+    val d = new File(checkpointLocation.stripPrefix("file:"), "graft-arrival-log")
+    d.mkdirs()
+    new File(d, "seen.log")
+  }
+
+  private def readLog(): IndexedSeq[String] =
+    if (!logFile.isFile) IndexedSeq.empty
+    else new String(Files.readAllBytes(logFile.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toIndexedSeq
+
+  /** List the table, append unseen part files to the arrival log
+    * (first-seen order), return the total logged count. Runs on the
+    * DRIVER once per trigger — file NAMES only, never data. */
+  private def syncLog(): Long = {
+    val seen = readLog()
+    val seenSet = seen.toSet
+    val tableRoot = Paths.get(path).toAbsolutePath
+    val fresh = GraftSinkProvider.listParts(path)
+      .map(f => tableRoot.relativize(f.toPath.toAbsolutePath).toString)
+      .filterNot(seenSet)
+    if (fresh.nonEmpty) {
+      val out = new FileOutputStream(logFile, true)
+      try out.write(fresh.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    seen.length.toLong + fresh.length
+  }
+
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(syncLog())
+
+  override def initialOffset(): Offset = GraftOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles(_))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "graftsink implements SupportsAdmissionControl — use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val discovered = availableNowTarget.getOrElse(syncLog())
+    val s = start.asInstanceOf[GraftOffset].n
+    val end = limit match {
+      case mf: ReadMaxFiles => math.min(discovered, s + mf.maxFiles())
+      case _ => discovered
+    }
+    GraftOffset(math.max(s, end))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftOffset(availableNowTarget.getOrElse(readLog().length.toLong))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].n.toInt
+    val e = end.asInstanceOf[GraftOffset].n.toInt
+    val log = readLog()
+    require(e <= log.length,
+      s"offset $e beyond the arrival log (${log.length} files) — the " +
+        "checkpoint and arrival log disagree; was the log deleted?")
+    log.slice(s, e)
+      .map(rel => GraftInputPartition(
+        new File(path, rel).getAbsolutePath): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(fullSchema, requiredSchema, pushed)
+
+  /** Spark calls this once `end` is durably committed to ITS offset
+    * log; the arrival log is append-only and never truncated, so
+    * nothing to reclaim. */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Executor-side reader: streams full stored rows, drops the ones the

@@ -356,6 +356,58 @@ object Streaming {
     }
   }
 
+  /** q413 — CONNECTOR→CONNECTOR ingest loop: the q63 shape run
+    * entirely inside the custom DataSourceV2 — stream FROM a graftsink
+    * table (the [[graft.sources.GraftMicroBatchStream]] read path: a
+    * durable first-seen arrival log under the checkpoint dir, offset =
+    * file index, `maxFilesPerTrigger = 1` admission control so the
+    * 4-part source becomes four micro-batches) INTO a second graftsink
+    * table (the atomic epoch-dir streaming write). The read-back
+    * aggregate equals the batch aggregate over raw events iff the
+    * source's offset ranges partition the file set exactly — no file
+    * dropped, none replayed — across every micro-batch boundary. This
+    * is the reference's Kafka→store loop (consumer.scala:56-82) with
+    * both endpoints swapped for the engine's own connector, which is
+    * as close as a no-egress sandbox gets to a live broker.
+    *
+    * Scale: the arrival log is driver-side file NAMES only; rows move
+    * executor→executor through both connectors; one part file = one
+    * task on the read side, staged files + one atomic rename per epoch
+    * on the write side. */
+  def q413ConnectorLoop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = TempIo.createTempDir("graft-cloop-src-")
+    val dst = TempIo.createTempDir("graft-cloop-dst-")
+    val ckpt = TempIo.createTempDir("graft-cloop-ckpt-")
+    try {
+      projectIngest(graft.engine.Tables.events(spark, sfDir))
+        .repartition(4)
+        .write.format("graftsink").mode("append")
+        .option("path", src).save()
+      val q = spark.readStream.format("graftsink")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .transform(graft.plans.PlanProbe.record)
+        .writeStream
+        .format("graftsink")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      TempIo.materialize(spark,
+        spark.read.format("graftsink").load(dst)
+          .groupBy($"date", $"hour")
+          .agg(count(lit(1)).as("counts"), countDistinct($"key").as("n_keys"))
+          .orderBy($"date", $"hour"))
+    } finally {
+      TempIo.deleteRecursively(src)
+      TempIo.deleteRecursively(dst)
+      TempIo.deleteRecursively(ckpt)
+    }
+  }
+
   /** q290 — CHECKPOINT RESTART THROUGH THE CUSTOM CONNECTOR: the
     * T3/T7 fault-tolerance contract (q205 proves it for the built-in
     * parquet sink) driven through graftsink's STREAMING_WRITE — two

@@ -142,6 +142,64 @@ class GraftSinkSpec extends SparkTestBase {
     } finally TempIo.deleteRecursively(dir)
   }
 
+  test("micro-batch read: offsets survive restart, appends stream exactly once, batches honor maxFilesPerTrigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    val table = TempIo.createTempDir("graftsrc-spec-")
+    val sink = TempIo.createTempDir("graftsrc-spec-sink-")
+    val ckpt = TempIo.createTempDir("graftsrc-spec-ckpt-")
+    try {
+      def append(lo: Long, hi: Long, parts: Int): Unit =
+        spark.range(lo, hi).select($"id", ($"id" % 5).as("m"))
+          .repartition(parts)
+          .write.format("graftsink").mode("append").option("path", table).save()
+      def drain(): Unit = {
+        val q = spark.readStream.format("graftsink")
+          .option("maxFilesPerTrigger", "1")
+          .load(table)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      append(0, 100, 3)
+      drain()
+      val afterFirst = spark.read.parquet(sink)
+      assert(afterFirst.count() === 100)
+      assert(afterFirst.select(countDistinct($"id")).as[Long].head() === 100,
+        "no row may be duplicated across micro-batches")
+      // maxFilesPerTrigger=1 over 3 part files ⇒ 3 committed batches
+      val batches = new File(s"$ckpt/commits").listFiles()
+        .count(_.getName.forall(_.isDigit))
+      assert(batches === 3,
+        s"3 part files at 1 file/trigger must commit 3 batches, got $batches")
+      // RESTART against the same checkpoint after more data lands: only
+      // the new files may stream — exactly-once across the restart
+      append(100, 150, 2)
+      drain()
+      val afterSecond = spark.read.parquet(sink)
+      assert(afterSecond.count() === 150)
+      assert(afterSecond.select(countDistinct($"id")).as[Long].head() === 150,
+        "a restarted stream must not replay already-committed files")
+      // idle restart: nothing new ⇒ nothing appended
+      drain()
+      assert(spark.read.parquet(sink).count() === 150)
+      // the durable arrival log pins first-seen order across restarts
+      // (Spark scopes each source to <ckpt>/sources/<i>)
+      val log = new File(s"$ckpt/sources/0/graft-arrival-log/seen.log")
+      assert(log.isFile)
+      val logged = new String(java.nio.file.Files.readAllBytes(log.toPath),
+        "UTF-8").split("\n").filter(_.nonEmpty)
+      assert(logged.length === 5 && logged.distinct.length === 5,
+        "arrival log must hold each committed part exactly once")
+    } finally {
+      TempIo.deleteRecursively(table)
+      TempIo.deleteRecursively(sink)
+      TempIo.deleteRecursively(ckpt)
+    }
+  }
+
   test("wide-type roundtrip: timestamp, decimal, array, struct, nulls survive the wire format") {
     val dir = TempIo.createTempDir("graftsink-spec-")
     try {
