@@ -1615,6 +1615,18 @@ object Streaming {
         .orderBy($"ws"))
   }
 
+  /** Closure model: the aggregate emits a window when its end clears
+    * the JOIN'S OUTPUT watermark, which Spark propagates as the input
+    * watermark minus the join's event-time bound — the purchase side
+    * is retained while p_ts + 2 h ≥ wm, so an output's e_ts can trail
+    * the input watermark by up to the 2 h interval. Gate = ms-truncated
+    * min(max p_ts, max e_ts) − 3 h delay − 2 h interval = −18000000 ms.
+    * Round 8 calibrated −4 h from fixtures whose trailing hours had no
+    * pairs (any gate in a ±1 h bracket was green by vacuity); the
+    * round-10 SKEWED carve (hot user ⇒ pairs in every trailing hour)
+    * pinned the true position one window lower — exactly the
+    * miscalibration class the skew-stress validation exists to
+    * surface. */
   def q206Sql: String =
     """WITH pairs AS (
          SELECT b.ts AS e_ts
@@ -1626,7 +1638,7 @@ object Streaming {
          SELECT least(
              (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'),
              (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'error'))
-           - 14400000 AS wm_final)
+           - 18000000 AS wm_final)
        SELECT strftime(date_trunc('hour', e_ts), '%Y-%m-%d %H:%M:%S') AS ws,
          count(*) AS pairs
        FROM pairs CROSS JOIN wm

@@ -11,7 +11,18 @@ event-time distribution triples in density over the same range. Every
 other table is symlinked unchanged so tools/check.py can resolve the full
 oracle catalog.
 
-Usage: make_carve.py <srcSfDir> <k> <outDir>
+Usage: make_carve.py <srcSfDir> <k> <outDir> [--skew FRAC]
+
+--skew FRAC (VERDICT r9 item 4) additionally makes the carve
+DELIBERATELY SKEWED: one hot key carries ~FRAC of the rows on the two
+join/group keys the heavy families shuffle on — events.user_id (stream
+joins, sessionizers, per-user aggregates) is reassigned to the min
+user for event_id % round(1/FRAC) == 0, and lineitem.l_suppkey
+(supplier join/agg families) to the min supplier for
+l_orderkey % round(1/FRAC) == 0 (whole orders, so multi-row orders
+stay internally consistent). Everything stays oracle-checkable: the
+DuckDB oracle reads the same skewed parquet, so tools/check.py gates
+the skewed run exactly like a normal one.
 """
 import os
 import sys
@@ -19,21 +30,46 @@ import sys
 import duckdb
 
 src, k, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+skew = None
+if len(sys.argv) > 4:
+    assert sys.argv[4] == "--skew", f"unknown flag {sys.argv[4]}"
+    skew = float(sys.argv[5])
+    assert 0.0 < skew <= 0.5, "--skew FRAC must be in (0, 0.5]"
 os.makedirs(out, exist_ok=True)
 
-n, u = duckdb.sql(
-    f"SELECT max(event_id) + 1, max(user_id) + 1 FROM '{src}/events.parquet'"
+n, u, umin = duckdb.sql(
+    f"SELECT max(event_id) + 1, max(user_id) + 1, min(user_id) "
+    f"FROM '{src}/events.parquet'"
 ).fetchone()
 copies = ",".join(f"({i})" for i in range(k))
+mod = round(1 / skew) if skew else 0
+user_expr = (
+    f"CASE WHEN event_id % {mod} = 0 THEN CAST({umin} AS BIGINT) "
+    f"ELSE user_id + i * {u} END" if skew else f"user_id + i * {u}")
 duckdb.sql(f"""
   COPY (
     SELECT event_id + i * {n} AS event_id, ts,
-           user_id + i * {u} AS user_id, event_type, value, props
+           {user_expr} AS user_id, event_type, value, props
     FROM read_parquet('{src}/events.parquet')
     CROSS JOIN (VALUES {copies}) t(i)
     ORDER BY event_id
   ) TO '{out}/events.parquet' (FORMAT PARQUET)
 """)
+
+if skew:
+    smin = duckdb.sql(
+        f"SELECT min(l_suppkey) FROM '{src}/lineitem.parquet'").fetchone()[0]
+    duckdb.sql(f"""
+      COPY (
+        SELECT l_orderkey, l_partkey,
+               CASE WHEN l_orderkey % {mod} = 0
+                 THEN CAST({smin} AS BIGINT) ELSE l_suppkey END AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM read_parquet('{src}/lineitem.parquet')
+        ORDER BY l_orderkey, l_linenumber
+      ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
 
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "embeddings"):
@@ -42,4 +78,11 @@ for t in ("region", "nation", "customer", "supplier", "part", "orders",
         os.symlink(f"{src}/{t}.parquet", dst)
 
 rows = duckdb.sql(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
-print(f"carve ready: {out} events={rows} (k={k} from {src})")
+if skew:
+    hot = duckdb.sql(
+        f"SELECT count(*) FILTER (user_id = {umin}) * 1000 // count(*) "
+        f"FROM '{out}/events.parquet'").fetchone()[0]
+    print(f"carve ready: {out} events={rows} (k={k} from {src}, "
+          f"skew: hot user carries {hot}permille)")
+else:
+    print(f"carve ready: {out} events={rows} (k={k} from {src})")
