@@ -95,6 +95,9 @@ object GraftSinkProvider {
     * whose EXISTENCE is the commit marker (one atomic rename = the
     * entire publish; see [[GraftStreamingWrite.commit]]). */
   val EpochPrefix = "epoch-"
+  /** Batch appends publish the same way — `batch-<queryId>/` in one
+    * atomic rename (see [[GraftBatchWrite.commit]]). */
+  val BatchPrefix = "batch-"
 
   private[sources] def requirePath(opts: Map[String, String]): String =
     opts.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
@@ -105,14 +108,16 @@ object GraftSinkProvider {
     f.isFile && f.getName.startsWith(PartPrefix) && f.getName.endsWith(PartSuffix)
 
   /** Committed part files: loose `part-*.graft` at the table root
-    * (batch appends) plus the contents of every published
-    * `epoch-*` directory (streaming epochs). Staging is invisible. */
+    * (legacy layout, still readable) plus the contents of every
+    * published `epoch-*` (streaming) and `batch-*` (batch append)
+    * commit directory. Staging is invisible. */
   private[graft] def listParts(path: String): Array[File] = {
     val top = Option(new File(path).listFiles()).getOrElse(Array.empty[File])
-    val epochParts = top
-      .filter(f => f.isDirectory && f.getName.startsWith(EpochPrefix))
+    val commitParts = top
+      .filter(f => f.isDirectory && (f.getName.startsWith(EpochPrefix) ||
+        f.getName.startsWith(BatchPrefix)))
       .flatMap(e => Option(e.listFiles()).getOrElse(Array.empty[File]))
-    (top ++ epochParts).filter(isPart).sortBy(_.getAbsolutePath)
+    (top ++ commitParts).filter(isPart).sortBy(_.getAbsolutePath)
   }
 
   /** Atomic, ordered schema publication: temp file + rename, called
@@ -311,24 +316,41 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema, stagingRoot.getAbsolutePath)
 
-  /** Publish: the schema sidecar FIRST (atomic temp+rename — no crash
-    * window can leave visible parts without a readable schema), then a
-    * same-filesystem rename of each sealed staging file into the table
-    * dir, then staging reclamation. A crash between renames can
-    * duplicate no data (each file moves once) and a crash before any
-    * rename publishes nothing. */
+  /** Publish, all-or-nothing: the schema sidecar FIRST (atomic
+    * temp+rename — no crash window can leave visible parts without a
+    * readable schema), then every sealed staging file renamed to its
+    * final deterministic name INSIDE a publish-staging dir (sidecars
+    * written there too), then ONE atomic rename of that dir into the
+    * table as `batch-<queryId>/`. A crash anywhere before the final
+    * rename publishes nothing; a duplicate commit of the same query id
+    * finds the dir already present and publishes nothing twice — the
+    * same discipline as the streaming epoch publish. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dest = new File(path)
     dest.mkdirs()
     GraftSinkProvider.writeSchemaIfAbsent(dest, schema)
-    messages.foreach {
-      case GraftCommitMessage(staged, rows, stats) =>
-        val name = GraftSinkProvider.PartPrefix + UUID.randomUUID().toString +
-          GraftSinkProvider.PartSuffix
-        Files.move(Paths.get(staged), Paths.get(path, name),
-          StandardCopyOption.ATOMIC_MOVE)
-        GraftStats.writeSidecar(new File(path, name), rows, stats)
-      case other => throw new IllegalStateException(s"alien commit message: $other")
+    if (messages.nonEmpty) {
+      val published = new File(path, GraftSinkProvider.BatchPrefix + queryId)
+      val stage = new File(stagingRoot, "_publish")
+      stage.mkdirs()
+      messages.zipWithIndex.foreach {
+        case (GraftCommitMessage(staged, rows, stats), j) =>
+          val part = new File(stage,
+            GraftSinkProvider.PartPrefix + j + GraftSinkProvider.PartSuffix)
+          Files.move(Paths.get(staged), part.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          GraftStats.writeSidecar(part, rows, stats)
+        case (other, _) =>
+          throw new IllegalStateException(s"alien commit message: $other")
+      }
+      try Files.move(stage.toPath, published.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException if published.isDirectory =>
+          // duplicate commit of an already-published write: keep the
+          // published data, discard the re-staged copy
+          ()
+      }
     }
     graft.engine.TempIo.deleteRecursively(stagingRoot.getAbsolutePath)
   }
@@ -663,9 +685,13 @@ private[sources] class GraftScan(fullSchema: StructType,
   override def toBatch: Batch = this
 
   /** The STREAMING half of the read path — see [[GraftMicroBatchStream]].
-    * Column pruning and filter pushdown compose: the same builder ran
-    * before this call, so micro-batch readers are as narrow as batch
-    * ones. */
+    * Note: Catalyst's V2ScanRelationPushDown matches only BATCH
+    * relations, so in a streaming read this scan is built with the
+    * full schema and no pushed filters (the same limitation every OSS
+    * streaming source has, Kafka included) — Spark applies filters and
+    * projection after the scan. The per-file reader machinery is
+    * shared, so pushdown engages the moment Spark grows streaming-side
+    * negotiation (a GraftSinkSpec canary flags that day). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, fullSchema, requiredSchema, pushed,
@@ -742,8 +768,8 @@ private[sources] case class GraftOffset(n: Long)
   * (`maxFilesPerTrigger`) bounds each micro-batch, and
   * AvailableNow snapshots the target up front so a drain terminates
   * even while a writer keeps appending. One part file = one input
-  * partition = one executor task; pruning/pushdown arrive via the same
-  * ScanBuilder as the batch read. */
+  * partition = one executor task. (Pruning/pushdown: batch reads only —
+  * see [[GraftScan.toMicroBatchStream]].) */
 private[sources] class GraftMicroBatchStream(path: String,
     fullSchema: StructType, requiredSchema: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],

@@ -1661,9 +1661,10 @@ object Streaming {
     * batch recomputation). Calibration: the downstream gate is the
     * upstream watermark itself (ms-truncated max ts − 1 h delay) — a
     * day emits iff day-end ≤ wm, bit-exact at sf0.001/0.01/0.1; no
-    * extra propagation hour appears because the no-data flush batch
+    * extra propagation lag appears because the no-data flush batch
     * re-evaluates BOTH operators with the final watermark (unlike
-    * q206, whose join holds its output back one hour).
+    * q206, whose JOIN lowers its output watermark by the join's 2 h
+    * interval bound — see q206Sql's closure-model scaladoc).
     *
     * Scale: state is O(types × open hours) + O(types × open days) —
     * the rollup never re-keys raw events (the first shuffle reduces
