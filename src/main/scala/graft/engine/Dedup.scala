@@ -591,7 +591,7 @@ object Dedup {
     * memoized + localCheckpoint'ed because q390 and q393 both consume
     * it with multi-action tails (and bench runs each twice). */
   private val truth600Cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private[engine] def exactTruthPairs600(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def exactTruthPairs600(spark: SparkSession, sfDir: String): DataFrame =
     memoByDir(truth600Cache, spark, sfDir) {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
