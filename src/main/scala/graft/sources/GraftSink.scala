@@ -792,7 +792,12 @@ private[sources] class GraftMicroBatchStream(path: String,
 
   /** List the table, append unseen part files to the arrival log
     * (first-seen order), return the total logged count. Runs on the
-    * DRIVER once per trigger — file NAMES only, never data. */
+    * DRIVER once per trigger — file NAMES only, never data. The log is
+    * rewritten wholesale via temp + atomic rename, never appended in
+    * place: a driver crash mid-append would otherwise leave a torn
+    * final line, silently shifting every later offset→file mapping —
+    * the one corruption an offset-indexed log cannot tolerate. The
+    * rewrite is prefix-preserving, so committed offsets stay valid. */
   private def syncLog(): Long = {
     val seen = readLog()
     val seenSet = seen.toSet
@@ -801,9 +806,11 @@ private[sources] class GraftMicroBatchStream(path: String,
       .map(f => tableRoot.relativize(f.toPath.toAbsolutePath).toString)
       .filterNot(seenSet)
     if (fresh.nonEmpty) {
-      val out = new FileOutputStream(logFile, true)
-      try out.write(fresh.mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
+      val tmp = new File(logFile.getParentFile, "seen.log.tmp")
+      Files.write(tmp.toPath,
+        (seen ++ fresh).mkString("", "\n", "\n").getBytes("UTF-8"))
+      Files.move(tmp.toPath, logFile.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
     }
     seen.length.toLong + fresh.length
   }
