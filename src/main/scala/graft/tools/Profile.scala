@@ -35,6 +35,55 @@ object Profile {
         time(s"q42 again (warm, parts=$parts)",
           graft.streaming.Streaming.q42StreamStreamJoin(spark, sfDir).count())
       },
+      "q239" -> { () =>
+        import graft.functions.TextFunctions
+        import org.apache.spark.sql.expressions.Window
+        val docs = graft.engine.Tables.documents(spark, sfDir)
+        val toks = TextFunctions.tokens($"text")
+        val shingles = when(size(toks) >= 3,
+          transform(sequence(lit(1), size(toks) - 2), i =>
+            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+              element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        val sh = docs.select($"doc_id", explode(shingles).as("sh"))
+          .distinct().localCheckpoint()
+        time("sh build+ckpt", sh.count())
+        val freq = sh.groupBy($"sh").agg(count(lit(1)).as("df")).localCheckpoint()
+        time("freq", freq.count())
+        val docSets = sh.groupBy($"doc_id")
+          .agg(sort_array(collect_set($"sh")).as("set")).localCheckpoint()
+        time("docSets", docSets.count())
+        val probes = docs.filter($"doc_id" % 101 === 0)
+          .select($"doc_id".as("probe_id"), toks.as("tk"))
+          .select($"probe_id", sort_array(array_distinct(slice(
+            when(size($"tk") >= 3,
+              transform(sequence(lit(1), size($"tk") - 2), i =>
+                concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1),
+                  element_at($"tk", i + 2))))
+              .otherwise(array().cast("array<string>")), 1, 5))).as("qset"))
+          .filter(size($"qset") > 0)
+          .withColumn("qsize", size($"qset").cast("long"))
+        time("probes", probes.count())
+        val probeKeys = probes
+          .select($"probe_id", $"qsize", $"qset", explode($"qset").as("sh"))
+          .join(freq, "sh")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"probe_id").orderBy($"df", $"sh")))
+          .filter($"rk" === 1)
+          .select($"sh", $"probe_id", $"qsize", $"qset")
+        time("probeKeys", probeKeys.count())
+        val cand = sh.join(broadcast(probeKeys), "sh")
+          .select($"probe_id", $"qsize", $"qset", $"doc_id")
+        time("cand", cand.count())
+        val verified = cand.join(docSets, "doc_id")
+          .withColumn("n_common",
+            graft.functions.VectorExpressions.sorted_intersect_count(
+              $"qset", $"set"))
+          .filter($"n_common" === $"qsize")
+        time("verify", verified.count())
+        time("full q239", graft.engine.Dedup.q239ContainmentJoin(spark, sfDir).count())
+        time("full q239 again", graft.engine.Dedup.q239ContainmentJoin(spark, sfDir).count())
+      },
       "minhash" -> { () =>
         import graft.functions.TextFunctions
         val docs = graft.engine.Tables.documents(spark, sfDir)
