@@ -408,6 +408,67 @@ object Streaming {
     }
   }
 
+  /** q414 — STATEFUL AGGREGATION OVER THE CUSTOM STREAMING SOURCE: a
+    * windowed aggregate whose state must accumulate ACROSS the
+    * micro-batches the graftsink source's admission control produces —
+    * the source table is written time-range-partitioned into four part
+    * files, `maxFilesPerTrigger = 1` makes each file its own batch, so
+    * every (day, type) cell's count is only correct if the aggregate
+    * state carried over all four batches and the final complete-mode
+    * emission reflects the union. Complete mode keeps the oracle exact
+    * with zero watermark calibration: at AvailableNow termination the
+    * sink holds every window = the batch aggregate, bit for bit. This
+    * is the reference's Kafka→windowed-agg consumer loop
+    * (consumer.scala:56-82, 126-140) with the source swapped for the
+    * engine's own connector.
+    *
+    * Scale: state is O(|days| × |types|) — time-grid bounded; rows
+    * move executor-side through the connector's per-file tasks; the
+    * memory drain holds only the grid-bounded complete frame. */
+  def q414ConnectorStatefulAgg(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = TempIo.createTempDir("graft-csagg-src-")
+    val ckpt = TempIo.createTempDir("graft-csagg-ckpt-")
+    try {
+      graft.engine.Tables.events(spark, sfDir)
+        .select($"event_id", $"ts", $"event_type",
+          graft.engine.Exact.cents($"value").as("cents"))
+        .repartitionByRange(4, $"ts")
+        .write.format("graftsink").mode("append").option("path", src).save()
+      val agg = spark.readStream.format("graftsink")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      val q = graft.plans.PlanProbe.record(agg).writeStream
+        .outputMode("complete")
+        // BOUNDED memory drain: |days|×|types| complete-mode windows —
+        // time-grid bounded at any corpus size
+        .format("memory")
+        .queryName("connector_stateful_agg")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.engine.TempIo.materialize(spark,
+        spark.table("connector_stateful_agg")
+          .select(graft.engine.Exact.tsString($"window.start").as("day"),
+            $"event_type", $"n", $"cents")
+          .orderBy($"day", $"event_type"))
+    } finally {
+      TempIo.deleteRecursively(src)
+      TempIo.deleteRecursively(ckpt)
+    }
+  }
+
+  def q414Sql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS cents
+       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+
   /** q290 — CHECKPOINT RESTART THROUGH THE CUSTOM CONNECTOR: the
     * T3/T7 fault-tolerance contract (q205 proves it for the built-in
     * parquet sink) driven through graftsink's STREAMING_WRITE — two
