@@ -12,8 +12,20 @@ import org.apache.spark.sql.SparkSession
   * in build.sbt).
   */
 object Bench {
+  /** Cumulative (stealJiffies, totalJiffies) from /proc/stat — the
+    * host-contention counter that explains inflated readings. (0, 0)
+    * where /proc/stat is unavailable. */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Exception => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (steal0, total0) = cpuStat()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,10 +55,18 @@ object Bench {
                catch { case _: Throwable => false }
       if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
+    // Opt-in subset for targeted measurements (scale-exponent carves,
+    // reliable-cut re-timings): comma-separated short names, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q242,q302. Default: every query.
+    def short(n: String) = n.takeWhile(_ != '_')
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(o => o(n) || o(short(n))) }
     def pass(): Map[String, Option[Double]] =
-      SparkEntry.queries.map { case (name, fn) => name -> time(fn) }
+      selected.map { case (name, fn) => name -> time(fn) }
     val (p1, p2) = (pass(), pass())
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = selected.keys.toSeq.sorted
     // Contention-burst recovery: a noisy-neighbor spike lasting minutes
     // can cover the SAME query region in both passes (BENCH_r03 recorded
     // 48-64s for queries that cost <2.5s on a quiet host), so best-of-2
@@ -73,13 +93,20 @@ object Bench {
     val ok = best.collect { case (n, Some(v)) => n -> v }
     val errors = best.collect { case (n, None) => n }
     // "q01_flag_share_count" -> "q01": keys are unique by construction.
-    def short(n: String) = n.takeWhile(_ != '_')
     def f3(v: Double) = "%.3f".formatLocal(Locale.ROOT, v)
     val qs = ok.map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val total = f3(ok.map(_._2).sum)
     spark.stop()
+    // Steal-time annotation (VERDICT r10 item 6): the fraction of this
+    // run's host CPU time stolen by the hypervisor/noisy neighbors, so
+    // round-over-round ratios carry their own noise context instead of
+    // needing prose caveats. -1 when /proc/stat is unavailable.
+    val (steal1, total1) = cpuStat()
+    val stealPct =
+      if (total1 > total0) f3((steal1 - steal0) * 100.0 / (total1 - total0))
+      else "-1"
     // Truncation-proofing (BENCH_r08 lost 113 per-query times because the
     // single giant line outgrew the driver's ~2.5 kB stdout tail): the
     // FULL per-query map goes to a file in the repo, the full line is
@@ -88,7 +115,7 @@ object Bench {
     // self-contained headline (total, count, errors, slowest-5) that can
     // never outgrow the tail window.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","steal_pct":$stealPct,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
     // A failed detail write must advertise detail:null — a stale
@@ -108,6 +135,6 @@ object Bench {
     val slow5 = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"queries":$slow5,"errors":$errJson,"sf":"$sfDir","detail":$detailJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"steal_pct":$stealPct,"queries":$slow5,"errors":$errJson,"sf":"$sfDir","detail":$detailJson}""")
   }
 }

@@ -30,9 +30,9 @@ object SkewProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // carve-sized skew thresholds: flag a partition ≥5× the median
-      // and ≥64 KB (the default FACTOR with the byte floor scaled
-      // ~4000× down, matching the carve being ~1000× below cluster
-      // shuffle sizes); split to ~64 KB advisory chunks
+      // and ≥8 KB (the default FACTOR with the 256 MB byte floor scaled
+      // ~32000× down, matching the carve being orders of magnitude
+      // below cluster shuffle sizes); split to ~8 KB advisory chunks
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")

@@ -1,0 +1,239 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.TempIo
+import graft.sources.ArrivalLog
+
+/** The segmented/compacted arrival log behind the graftsink streaming
+  * source (VERDICT r10 item 1): per-trigger log I/O must be bounded by
+  * the SEGMENT (this trigger's fresh files), never the table's
+  * lifetime; compaction must fold the directory back to O(1) files at
+  * the configured interval; and NO crash point inside compaction — or
+  * restart across one — may lose or shift an offset. */
+class ArrivalLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def entriesOf(log: ArrivalLog): Seq[String] =
+    log.slice(0, log.size.toInt)
+
+  private def names(dir: File): Seq[String] =
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .map(_.getName).filterNot(_.endsWith(".tmp")).sorted.toSeq
+
+  test("per-trigger log work is bounded by the segment, not the table: old files stay byte-identical") {
+    val dir = new File(TempIo.createTempDir("alog-spec-"))
+    try {
+      val log = new ArrivalLog(dir, compactInterval = 1000)
+      // simulate a long-running stream: 50 triggers, 3 fresh files each
+      var snapshots = Map.empty[String, Long] // name -> size at creation
+      (0 until 50).foreach { t =>
+        val fresh = (0 until 3).map(i => s"epoch-q-$t/part-$i.graft")
+        log.append(fresh)
+        val now = Option(dir.listFiles()).get
+          .filterNot(_.getName.endsWith(".tmp"))
+          .map(f => f.getName -> f.length()).toMap
+        val added = now.keySet -- snapshots.keySet
+        assert(added === Set(s"seg-${t * 3}.log"),
+          s"trigger $t must add exactly its own segment, got $added")
+        // every pre-existing log file untouched — the r10 wholesale
+        // rewrite would change seg sizes/mtimes every trigger
+        snapshots.foreach { case (n, sz) =>
+          assert(now(n) === sz, s"$n was rewritten on trigger $t")
+        }
+        // the new segment holds ONLY this trigger's entries
+        assert(Files.readAllLines(new File(dir, s"seg-${t * 3}.log").toPath)
+          .size === 3)
+        snapshots = now
+      }
+      assert(log.size === 150)
+      // offsets map 1:1 to append order
+      assert(log.slice(42, 45) ===
+        Seq("epoch-q-14/part-0.graft", "epoch-q-14/part-1.graft",
+          "epoch-q-14/part-2.graft"))
+    } finally TempIo.deleteRecursively(dir.getAbsolutePath)
+  }
+
+  test("compaction folds the directory at the interval and a reload sees identical entries") {
+    val dir = new File(TempIo.createTempDir("alog-spec-"))
+    try {
+      val log = new ArrivalLog(dir, compactInterval = 4)
+      (0 until 11).foreach(t => log.append(Seq(s"f-$t.graft")))
+      // 11 appends at interval 4 → compactions after t=3 and t=7;
+      // since then 3 more segments (t=8..10)
+      assert(names(dir) ===
+        Seq("compact-8.log", "seg-10.log", "seg-8.log", "seg-9.log"),
+        "covered segments and superseded compacts must be reclaimed")
+      val reloaded = new ArrivalLog(dir, compactInterval = 4)
+      assert(entriesOf(reloaded) === (0 until 11).map(t => s"f-$t.graft"))
+      // one more append hits the interval → everything folds to one file
+      reloaded.append(Seq("f-11.graft"))
+      assert(names(dir) === Seq("compact-12.log"))
+      assert(entriesOf(new ArrivalLog(dir, 4)) ===
+        (0 until 12).map(t => s"f-$t.graft"))
+    } finally TempIo.deleteRecursively(dir.getAbsolutePath)
+  }
+
+  test("restart mid-compaction loses no offsets at any crash point") {
+    // crash point A: compact file published, covered segments and the
+    // older compact NOT yet deleted (the rename happened, cleanup
+    // didn't) — loader must prefer the newest compact, ignore and
+    // reclaim the stale files, and keep tail segments beyond coverage
+    val a = new File(TempIo.createTempDir("alog-spec-"))
+    try {
+      def put(name: String, lines: Seq[String]): Unit =
+        Files.write(new File(a, name).toPath,
+          lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      put("compact-2.log", Seq("f0", "f1"))          // older compact
+      put("seg-0.log", Seq("f0", "f1"))              // stale (covered)
+      put("seg-2.log", Seq("f2", "f3"))              // stale (covered)
+      put("compact-4.log", Seq("f0", "f1", "f2", "f3")) // the new compact
+      put("seg-4.log", Seq("f4"))                    // tail beyond coverage
+      val log = new ArrivalLog(a, 10)
+      assert(entriesOf(log) === Seq("f0", "f1", "f2", "f3", "f4"),
+        "every offset must survive a crash between compact-rename and cleanup")
+      assert(names(a) === Seq("compact-4.log", "seg-4.log"),
+        "stale covered segments and superseded compacts are reclaimed on load")
+    } finally TempIo.deleteRecursively(a.getAbsolutePath)
+
+    // crash point B: compaction died BEFORE the atomic rename — only a
+    // .tmp exists; the segments remain authoritative and the torn tmp
+    // is never read
+    val b = new File(TempIo.createTempDir("alog-spec-"))
+    try {
+      Files.write(new File(b, "seg-0.log").toPath, "f0\nf1\n".getBytes("UTF-8"))
+      Files.write(new File(b, "seg-2.log").toPath, "f2\n".getBytes("UTF-8"))
+      Files.write(new File(b, "compact-3.log.tmp").toPath,
+        "f0\nf1\nTORN".getBytes("UTF-8"))
+      val log = new ArrivalLog(b, 10)
+      assert(entriesOf(log) === Seq("f0", "f1", "f2"))
+    } finally TempIo.deleteRecursively(b.getAbsolutePath)
+
+    // a GAP (a deleted segment) must fail loudly, never remap offsets
+    val c = new File(TempIo.createTempDir("alog-spec-"))
+    try {
+      Files.write(new File(c, "seg-0.log").toPath, "f0\n".getBytes("UTF-8"))
+      Files.write(new File(c, "seg-5.log").toPath, "f5\n".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException](new ArrivalLog(c, 10))
+      assert(e.getMessage.contains("gap"))
+    } finally TempIo.deleteRecursively(c.getAbsolutePath)
+  }
+
+  test("legacy single-file seen.log checkpoints load and fold into the segmented form") {
+    val dir = new File(TempIo.createTempDir("alog-spec-"))
+    try {
+      Files.write(new File(dir, "seen.log").toPath,
+        "old-0.graft\nold-1.graft\n".getBytes("UTF-8"))
+      val log = new ArrivalLog(dir, compactInterval = 1)
+      assert(entriesOf(log) === Seq("old-0.graft", "old-1.graft"),
+        "pre-segmentation offsets must stay valid")
+      log.append(Seq("new-2.graft")) // interval 1 → immediate compaction
+      assert(names(dir) === Seq("compact-3.log"),
+        "compaction must retire the legacy file")
+      assert(entriesOf(new ArrivalLog(dir, 1)) ===
+        Seq("old-0.graft", "old-1.graft", "new-2.graft"))
+    } finally TempIo.deleteRecursively(dir.getAbsolutePath)
+  }
+
+  test("end-to-end: restart replay stays exactly-once with an aggressively compacted log") {
+    val table = TempIo.createTempDir("alog-e2e-table-")
+    val sink = TempIo.createTempDir("alog-e2e-sink-")
+    val ckpt = TempIo.createTempDir("alog-e2e-ckpt-")
+    try {
+      def append(lo: Long, hi: Long, parts: Int): Unit =
+        spark.range(lo, hi).select($"id").repartition(parts)
+          .write.format("graftsink").mode("append").option("path", table).save()
+      def drain(): Unit = {
+        val q = spark.readStream.format("graftsink")
+          .option("maxFilesPerTrigger", "1")
+          .option("logCompactInterval", "1") // compact on EVERY discovery
+          .load(table)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      append(0, 60, 3); drain()
+      append(60, 100, 2); drain()
+      drain() // idle restart
+      val got = spark.read.parquet(sink)
+      assert(got.count() === 100)
+      assert(got.select(countDistinct($"id")).as[Long].head() === 100,
+        "no duplicates across compacted-log restarts")
+      val logDir = new File(s"$ckpt/sources/0/graft-arrival-log")
+      assert(names(logDir) === Seq("compact-5.log"),
+        "interval-1 compaction must fold the log to exactly one file")
+    } finally {
+      TempIo.deleteRecursively(table)
+      TempIo.deleteRecursively(sink)
+      TempIo.deleteRecursively(ckpt)
+    }
+  }
+
+  test("non-local checkpoint schemes are rejected loudly (local-FS arrival log posture)") {
+    import graft.sources.GraftMicroBatchStream
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val table = TempIo.createTempDir("alog-scheme-table-")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new GraftMicroBatchStream(table, schema, schema, Array.empty,
+          "hdfs://nn:8020/ckpt/alog-spec", None)
+      }
+      assert(e.getMessage.contains("LOCAL filesystem"),
+        s"expected the arrival-log scheme guard to fire, got: ${e.getMessage}")
+      // the local schemes both work: bare path and file: URI
+      new GraftMicroBatchStream(table, schema, schema, Array.empty,
+        TempIo.createTempDir("alog-scheme-ck1-"), None)
+      new GraftMicroBatchStream(table, schema, schema, Array.empty,
+        "file:" + TempIo.createTempDir("alog-scheme-ck2-"), None)
+    } finally TempIo.deleteRecursively(table)
+  }
+
+  test("a zero-row streaming epoch publishes no epoch directory (idle streams don't accumulate dirs)") {
+    val src = TempIo.createTempDir("alog-empty-src-")
+    val out = TempIo.createTempDir("alog-empty-out-")
+    val ckpt = TempIo.createTempDir("alog-empty-ckpt-")
+    try {
+      spark.range(0, 10).select($"id").write.parquet(s"$src/data")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))
+      def run(pred: org.apache.spark.sql.Column): Unit = {
+        val q = spark.readStream.schema(schema).parquet(s"$src/data")
+          .filter(pred)
+          .writeStream.format("graftsink")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run(lit(false)) // every task commits 0 rows
+      val dirs0 = Option(new File(out).listFiles()).get
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch-"))
+      assert(dirs0.isEmpty,
+        "a zero-row epoch must not publish an (empty) epoch directory")
+      // the schema sidecar still lands, so the table is readable as empty
+      assert(spark.read.format("graftsink").load(out).count() === 0)
+      // and a later non-empty epoch through the same checkpoint publishes
+      TempIo.deleteRecursively(ckpt)
+      run(lit(true))
+      assert(spark.read.format("graftsink").load(out).count() === 10)
+      val dirs1 = Option(new File(out).listFiles()).get
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch-"))
+      assert(dirs1.length === 1)
+    } finally {
+      TempIo.deleteRecursively(src)
+      TempIo.deleteRecursively(out)
+      TempIo.deleteRecursively(ckpt)
+    }
+  }
+}

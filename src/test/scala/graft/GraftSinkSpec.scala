@@ -195,11 +195,19 @@ class GraftSinkSpec extends SparkTestBase {
       drain()
       assert(spark.read.parquet(sink).count() === 150)
       // the durable arrival log pins first-seen order across restarts
-      // (Spark scopes each source to <ckpt>/sources/<i>)
-      val log = new File(s"$ckpt/sources/0/graft-arrival-log/seen.log")
-      assert(log.isFile)
-      val logged = new String(java.nio.file.Files.readAllBytes(log.toPath),
-        "UTF-8").split("\n").filter(_.nonEmpty)
+      // (Spark scopes each source to <ckpt>/sources/<i>). SEGMENTED
+      // layout: each discovering trigger appends its OWN seg-<start>
+      // file — run 1 saw 3 parts, run 2 saw 2 more, the idle run saw
+      // none — so per-trigger log I/O is the fresh entries, never a
+      // wholesale rewrite.
+      val logDir = new File(s"$ckpt/sources/0/graft-arrival-log")
+      val segs = logDir.listFiles().filter(_.getName.matches("seg-\\d+\\.log"))
+        .sortBy(_.getName.stripPrefix("seg-").stripSuffix(".log").toLong)
+      assert(segs.map(_.getName).toSeq === Seq("seg-0.log", "seg-3.log"),
+        "one segment per discovering trigger, named by its start offset")
+      val logged = segs.flatMap(f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split("\n").filter(_.nonEmpty))
       assert(logged.length === 5 && logged.distinct.length === 5,
         "arrival log must hold each committed part exactly once")
     } finally {

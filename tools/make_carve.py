@@ -11,7 +11,7 @@ event-time distribution triples in density over the same range. Every
 other table is symlinked unchanged so tools/check.py can resolve the full
 oracle catalog.
 
-Usage: make_carve.py <srcSfDir> <k> <outDir> [--skew FRAC]
+Usage: make_carve.py <srcSfDir> <k> <outDir> [--skew FRAC] [--full]
 
 --skew FRAC (VERDICT r9 item 4) additionally makes the carve
 DELIBERATELY SKEWED: one hot key carries ~FRAC of the rows on the two
@@ -31,10 +31,19 @@ import duckdb
 
 src, k, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 skew = None
-if len(sys.argv) > 4:
-    assert sys.argv[4] == "--skew", f"unknown flag {sys.argv[4]}"
-    skew = float(sys.argv[5])
-    assert 0.0 < skew <= 0.5, "--skew FRAC must be in (0, 0.5]"
+full = False
+args = sys.argv[4:]
+while args:
+    if args[0] == "--skew":
+        skew = float(args[1])
+        assert 0.0 < skew <= 0.5, "--skew FRAC must be in (0, 0.5]"
+        args = args[2:]
+    elif args[0] == "--full":
+        full = True
+        args = args[1:]
+    else:
+        raise AssertionError(f"unknown flag {args[0]}")
+assert not (skew and full), "--skew and --full are separate carve kinds"
 os.makedirs(out, exist_ok=True)
 
 n, u, umin = duckdb.sql(
@@ -69,6 +78,50 @@ if skew:
         FROM read_parquet('{src}/lineitem.parquet')
         ORDER BY l_orderkey, l_linenumber
       ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+
+if full:
+    # --full (VERDICT r10 item 2): the scale-exponent carve. Fact tables
+    # grow k-fold with DIMENSIONS FIXED — the realistic 100-TB growth
+    # mode (more orders/lineitems/docs against the same customer/part/
+    # supplier catalog). Order keys shift by i*(max+1) so lineitem's FK
+    # chases its copied order; per-order lineitem fans stay identical
+    # (each copied order keeps exactly its own lineitems), so queries
+    # whose cost is "per order" scale linearly by construction and any
+    # super-linear timing is the OPERATOR's, not the fixture's.
+    okmax = duckdb.sql(
+        f"SELECT max(o_orderkey) + 1 FROM '{src}/orders.parquet'").fetchone()[0]
+    duckdb.sql(f"""
+      COPY (
+        SELECT o_orderkey + i * {okmax} AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM read_parquet('{src}/orders.parquet')
+        CROSS JOIN (VALUES {copies}) t(i)
+        ORDER BY o_orderkey
+      ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    duckdb.sql(f"""
+      COPY (
+        SELECT l_orderkey + i * {okmax} AS l_orderkey, l_partkey, l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM read_parquet('{src}/lineitem.parquet')
+        CROSS JOIN (VALUES {copies}) t(i)
+        ORDER BY l_orderkey, l_linenumber
+      ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    dmax = duckdb.sql(
+        f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
+    # doc TEXT is kept verbatim (copies are exact dups) — fine for the
+    # scan/stat queries measured on this carve; pairwise-dedup queries
+    # would see degenerate k^2 bucket fans and are NOT measured on it.
+    duckdb.sql(f"""
+      COPY (
+        SELECT doc_id + i * {dmax} AS doc_id, text, lang, source, n_chars
+        FROM read_parquet('{src}/documents.parquet')
+        CROSS JOIN (VALUES {copies}) t(i)
+        ORDER BY doc_id
+      ) TO '{out}/documents.parquet' (FORMAT PARQUET)
     """)
 
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
