@@ -104,8 +104,12 @@ object GraftSinkProvider {
       .getOrElse(throw new IllegalArgumentException(
         "graftsink requires a 'path' option"))
 
+  // name checks BEFORE the isFile stat: a directory-heavy table root
+  // (one epoch dir per committed epoch) would otherwise pay one stat
+  // syscall per entry per listing just to rule its dirs out
   private[sources] def isPart(f: File): Boolean =
-    f.isFile && f.getName.startsWith(PartPrefix) && f.getName.endsWith(PartSuffix)
+    f.getName.startsWith(PartPrefix) && f.getName.endsWith(PartSuffix) &&
+      f.isFile
 
   /** Committed part files: loose `part-*.graft` at the table root
     * (legacy layout, still readable) plus the contents of every
@@ -966,10 +970,13 @@ private[graft] class GraftMicroBatchStream(path: String,
 
   private def listPartsIncremental(): Array[File] = {
     val top = Option(new File(path).listFiles()).getOrElse(Array.empty[File])
+    // name-prefix match only, no isDirectory stat: commit-prefixed
+    // names are always directories by the publish protocol, and for a
+    // CACHED name even the descent is skipped — so a steady trigger's
+    // cost is one readdir plus string work, not one stat per epoch
     val commitParts = top
-      .filter(f => f.isDirectory &&
-        (f.getName.startsWith(GraftSinkProvider.EpochPrefix) ||
-         f.getName.startsWith(GraftSinkProvider.BatchPrefix)))
+      .filter(f => f.getName.startsWith(GraftSinkProvider.EpochPrefix) ||
+        f.getName.startsWith(GraftSinkProvider.BatchPrefix))
       .flatMap { d =>
         commitDirCache.getOrElseUpdate(d.getName,
           Option(d.listFiles()).getOrElse(Array.empty[File])
