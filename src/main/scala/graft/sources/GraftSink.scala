@@ -128,7 +128,9 @@ object GraftSinkProvider {
     * BEFORE the first part file becomes visible in both commit paths,
     * so no crash window can leave readable parts without a schema
     * sidecar (ADVICE r9). Concurrent/replayed writers racing the
-    * rename are harmless — the content is identical. */
+    * rename are harmless — the content is identical (a writer whose
+    * schema is NOT identical is rejected by the compatibility check
+    * below before it can publish anything). */
   private[sources] def writeSchemaIfAbsent(dir: File, schema: StructType): Unit = {
     val f = new File(dir, SchemaFile)
     if (f.isFile) return
@@ -138,6 +140,28 @@ object GraftSinkProvider {
     catch {
       case _: java.nio.file.FileAlreadyExistsException => tmp.delete(): Unit
     }
+  }
+
+  /** Reject an append whose schema disagrees with the table's
+    * committed sidecar, BEFORE anything publishes: part files are raw
+    * UnsafeRow bytes whose layout is fixed by (field count, field
+    * types), so a mismatched append wouldn't fail loudly — it would
+    * sit in the table and MISPARSE under the sidecar schema at read
+    * time (wrong columns, garbage offsets). Field names and types must
+    * match exactly; nullability is ignored (it does not affect the
+    * UnsafeRow layout, and Catalyst routinely tightens it). Called
+    * from both commit paths; a legacy table without a sidecar has
+    * nothing to check against. */
+  private[sources] def requireCompatibleSchema(dir: File, schema: StructType): Unit = {
+    val f = new File(dir, SchemaFile)
+    if (!f.isFile) return
+    val committed = DataType.fromJson(
+      new String(Files.readAllBytes(f.toPath), "UTF-8")).asInstanceOf[StructType]
+    require(DataType.equalsIgnoreNullability(committed, schema),
+      s"graftsink table at ${dir.getPath} is committed with schema " +
+        s"${committed.simpleString} but this append carries " +
+        s"${schema.simpleString} — mixed layouts would misparse at read " +
+        "time; write to a fresh path or match the committed schema")
   }
 }
 
@@ -336,6 +360,7 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dest = new File(path)
     dest.mkdirs()
+    GraftSinkProvider.requireCompatibleSchema(dest, schema)
     GraftSinkProvider.writeSchemaIfAbsent(dest, schema)
     if (messages.nonEmpty) {
       val published = new File(path, GraftSinkProvider.BatchPrefix + queryId)
@@ -436,6 +461,7 @@ private[graft] class GraftStreamingWrite(schema: StructType, path: String,
       graft.engine.TempIo.deleteRecursively(staging.getAbsolutePath)
       return
     }
+    GraftSinkProvider.requireCompatibleSchema(dest, schema)
     GraftSinkProvider.writeSchemaIfAbsent(dest, schema)
     val nonEmpty = messages.collect {
       case m: GraftCommitMessage if m.rows > 0 => m

@@ -84,6 +84,41 @@ class GraftSinkSpec extends SparkTestBase {
     } finally TempIo.deleteRecursively(dir)
   }
 
+  test("a mismatched-schema append is rejected before publishing; nullability differences are not") {
+    val dir = TempIo.createTempDir("graftsink-spec-")
+    try {
+      spark.range(0, 10).select($"id", ($"id" * 2).as("v"))
+        .write.format("graftsink").mode("append").option("path", dir).save()
+      // same field names, different type: raw UnsafeRow parts under the
+      // committed sidecar would MISPARSE, so the commit must refuse
+      val e = intercept[Exception] {
+        spark.range(0, 5).select($"id", concat(lit("s"), $"id").as("v"))
+          .write.format("graftsink").mode("append").option("path", dir).save()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => Option(c.getMessage)
+          .exists(_.contains("mixed layouts"))),
+        s"expected the schema-compatibility guard, got $e")
+      // extra column: also refused
+      intercept[Exception] {
+        spark.range(0, 5).select($"id", ($"id" * 2).as("v"), lit(1L).as("w"))
+          .write.format("graftsink").mode("append").option("path", dir).save()
+      }
+      // the table is exactly as the first append left it
+      val back = spark.read.format("graftsink").load(dir)
+      assert(back.count() === 10)
+      assert(back.agg(sum($"v")).as[Long].head() === (0L until 10L).map(_ * 2).sum)
+      assert(stagingLeftovers(dir).isEmpty,
+        "the refused append must reclaim its staging")
+      // nullability-only difference: same UnsafeRow layout — accepted
+      spark.range(10, 15)
+        .select($"id", when(lit(true), $"id" * 2).as("v")) // nullable v
+        .write.format("graftsink").mode("append").option("path", dir).save()
+      assert(spark.read.format("graftsink").load(dir).count() === 15)
+    } finally TempIo.deleteRecursively(dir)
+  }
+
   test("default ErrorIfExists mode is rejected — append is the only supported publish") {
     val dir = TempIo.createTempDir("graftsink-spec-")
     try {
