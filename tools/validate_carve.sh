@@ -29,7 +29,7 @@ if [ "$MODE" = "skew" ]; then
   QUERIES="q05_join_agg,q12_star_join,q39_sessionize,q42_stream_join,q92_zorder_layout,q120_session_window,q147_band_join,q170_rfm,q194_stream_join_disorder,q206_join_then_window,q223_top_supplier"
   SKEWARGS="--skew 0.2"
 else
-  QUERIES="q107_append_window,q174_watermark_replay,q194_stream_join_disorder,q195_stream_outer_disorder,q199_stream_full_outer_disorder,q205_restart_replay,q206_join_then_window,q225_window_rollup"
+  QUERIES="q107_append_window,q174_watermark_replay,q194_stream_join_disorder,q195_stream_outer_disorder,q199_stream_full_outer_disorder,q205_restart_replay,q206_join_then_window,q225_window_rollup,q415_connector_append_window"
   SKEWARGS=""
 fi
 
