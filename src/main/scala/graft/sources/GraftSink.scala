@@ -712,9 +712,8 @@ private[sources] object GraftStats {
     }
 
   /** Part files surviving zone-map pruning under the pushed filters. */
-  def pruneParts(path: String,
-      pushed: Array[Filter]): Array[File] = {
-    val parts = GraftSinkProvider.listParts(path)
+  def pruneParts(parts: Array[File],
+      pushed: Array[Filter]): Array[File] =
     if (pushed.isEmpty) parts
     else parts.filter { p =>
       readSidecar(p) match {
@@ -722,7 +721,6 @@ private[sources] object GraftStats {
         case None => true
       }
     }
-  }
 }
 
 private[sources] class GraftScan(fullSchema: StructType,
@@ -734,6 +732,11 @@ private[sources] class GraftScan(fullSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** One table listing per scan: planInputPartitions and
+    * estimateStatistics both consume it (a directory-heavy table —
+    * one commit dir per epoch — pays the walk once, not per call). */
+  private lazy val allParts = GraftSinkProvider.listParts(path)
 
   /** The STREAMING half of the read path — see [[GraftMicroBatchStream]].
     * Note: Catalyst's V2ScanRelationPushDown matches only BATCH
@@ -753,7 +756,7 @@ private[sources] class GraftScan(fullSchema: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val parts = GraftSinkProvider.listParts(path)
+      private val parts = allParts
       private val cars = parts.map(GraftStats.readSidecar)
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(parts.map(_.length()).sum)
@@ -773,7 +776,7 @@ private[sources] class GraftScan(fullSchema: StructType,
     pushed
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftStats.pruneParts(path, pushed)
+    GraftStats.pruneParts(allParts, pushed)
       .map(f => GraftInputPartition(f.getAbsolutePath): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1140,7 +1143,7 @@ private[sources] class GraftAggScan(fullSchema: StructType,
   private[graft] def pushedAggregation: GraftAggPushdown = agg
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftStats.pruneParts(path, pushed)
+    GraftStats.pruneParts(GraftSinkProvider.listParts(path), pushed)
       .map(f => GraftInputPartition(f.getAbsolutePath): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
