@@ -176,6 +176,63 @@ class ArrivalLogSpec extends SparkTestBase {
     }
   }
 
+  test("live ProcessingTime stream: concurrent appends consume exactly once; idle triggers add nothing") {
+    // every other streaming test drains with AvailableNow; this one
+    // runs the source the way production would — a live trigger loop
+    // discovering appends as they land — and pins the idle posture:
+    // triggers with no new data must neither grow the arrival log nor
+    // publish epoch dirs (the r10 design rewrote the whole log every
+    // trigger; zero-row epochs used to publish empty marker dirs).
+    val table = TempIo.createTempDir("alog-live-table-")
+    val out = TempIo.createTempDir("alog-live-out-")
+    val ckpt = TempIo.createTempDir("alog-live-ckpt-")
+    try {
+      def append(lo: Long, hi: Long): Unit =
+        spark.range(lo, hi).select($"id").coalesce(2)
+          .write.format("graftsink").mode("append").option("path", table).save()
+      append(0, 20) // the source table must exist (schema sidecar) pre-start
+      val q = spark.readStream.format("graftsink").load(table)
+        .writeStream.format("graftsink")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .start()
+      def countOut(): Long =
+        try spark.read.format("graftsink").load(out).count()
+        catch { case _: Exception => -1L } // schema sidecar not landed yet
+      def awaitCount(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (countOut() != n && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(countOut() === n, s"stream did not reach $n rows in 60 s")
+      }
+      try {
+        awaitCount(20)
+        append(20, 50) // lands while the trigger loop is live
+        awaitCount(50)
+        // idle stretch: several empty trigger fires
+        val logDir = new File(s"$ckpt/sources/0/graft-arrival-log")
+        val logBefore = names(logDir)
+        val epochsBefore = Option(new File(out).listFiles()).get
+          .count(_.getName.startsWith("epoch-"))
+        Thread.sleep(1500)
+        assert(names(logDir) === logBefore,
+          "idle triggers must not grow or rewrite the arrival log")
+        val epochsAfter = Option(new File(out).listFiles()).get
+          .count(_.getName.startsWith("epoch-"))
+        assert(epochsAfter === epochsBefore,
+          "idle triggers must not publish epoch directories")
+      } finally q.stop()
+      val got = spark.read.format("graftsink").load(out)
+      assert(got.count() === 50)
+      assert(got.select(countDistinct($"id")).as[Long].head() === 50,
+        "live-trigger consumption must stay exactly-once")
+    } finally {
+      TempIo.deleteRecursively(table)
+      TempIo.deleteRecursively(out)
+      TempIo.deleteRecursively(ckpt)
+    }
+  }
+
   test("non-local checkpoint schemes are rejected loudly (local-FS arrival log posture)") {
     import graft.sources.GraftMicroBatchStream
     val schema = org.apache.spark.sql.types.StructType(Seq(
