@@ -19,8 +19,11 @@ object Bench {
     try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).getOrElse("")
+      // fields: user nice system idle iowait irq softirq steal [guest
+      // guest_nice] — guest times are already folded into user/nice,
+      // so the denominator takes only the first eight
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      (if (f.length > 7) f(7) else 0L, f.sum)
+      (if (f.length > 7) f(7) else 0L, f.take(8).sum)
     } catch { case _: Exception => (0L, 0L) }
 
   def main(args: Array[String]): Unit = {
@@ -116,8 +119,11 @@ object Bench {
     // never outgrow the tail window.
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","steal_pct":$stealPct,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // a SUBSET run must never clobber the committed full-run record:
+    // without an explicit SPARK_GRAFT_BENCH_OUT it lands in /tmp
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+      if (only.isDefined) "/tmp/BENCH_SUBSET.json"
+      else "/root/repo/BENCH_FULL.json")
     // A failed detail write must advertise detail:null — a stale
     // previous-round file at outPath would otherwise be silently parsed
     // as THIS run's per-query data (ADVICE r9).

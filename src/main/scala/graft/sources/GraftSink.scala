@@ -149,9 +149,16 @@ object GraftSinkProvider {
     * sit in the table and MISPARSE under the sidecar schema at read
     * time (wrong columns, garbage offsets). Field names and types must
     * match exactly; nullability is ignored (it does not affect the
-    * UnsafeRow layout, and Catalyst routinely tightens it). Called
-    * from both commit paths; a legacy table without a sidecar has
-    * nothing to check against. */
+    * UnsafeRow layout, and Catalyst routinely tightens it).
+    *
+    * Race discipline: both commit paths call [[writeSchemaIfAbsent]]
+    * FIRST and this check SECOND, so the atomic sidecar rename is the
+    * arbiter — when two first-appends with different schemas race,
+    * exactly one sidecar lands, and the loser's re-read here fails its
+    * commit before any of its parts publish. (Checking before the
+    * write would be check-then-act: both racers would pass against the
+    * absent sidecar and both would publish.) A legacy table without a
+    * sidecar has nothing to check against. */
   private[sources] def requireCompatibleSchema(dir: File, schema: StructType): Unit = {
     val f = new File(dir, SchemaFile)
     if (!f.isFile) return
@@ -360,21 +367,27 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dest = new File(path)
     dest.mkdirs()
-    GraftSinkProvider.requireCompatibleSchema(dest, schema)
     GraftSinkProvider.writeSchemaIfAbsent(dest, schema)
-    if (messages.nonEmpty) {
+    GraftSinkProvider.requireCompatibleSchema(dest, schema)
+    // zero-row task files carry no data and would only add part files
+    // every scan must open — publish the non-empty ones, and nothing
+    // at all (no batch dir) when the whole append is empty
+    val nonEmpty = messages.collect {
+      case m: GraftCommitMessage if m.rows > 0 => m
+      case other if !other.isInstanceOf[GraftCommitMessage] =>
+        throw new IllegalStateException(s"alien commit message: $other")
+    }
+    if (nonEmpty.nonEmpty) {
       val published = new File(path, GraftSinkProvider.BatchPrefix + queryId)
       val stage = new File(stagingRoot, "_publish")
       stage.mkdirs()
-      messages.zipWithIndex.foreach {
+      nonEmpty.zipWithIndex.foreach {
         case (GraftCommitMessage(staged, rows, stats), j) =>
           val part = new File(stage,
             GraftSinkProvider.PartPrefix + j + GraftSinkProvider.PartSuffix)
           Files.move(Paths.get(staged), part.toPath,
             StandardCopyOption.ATOMIC_MOVE)
           GraftStats.writeSidecar(part, rows, stats)
-        case (other, _) =>
-          throw new IllegalStateException(s"alien commit message: $other")
       }
       try Files.move(stage.toPath, published.toPath,
         StandardCopyOption.ATOMIC_MOVE)
@@ -461,8 +474,8 @@ private[graft] class GraftStreamingWrite(schema: StructType, path: String,
       graft.engine.TempIo.deleteRecursively(staging.getAbsolutePath)
       return
     }
-    GraftSinkProvider.requireCompatibleSchema(dest, schema)
     GraftSinkProvider.writeSchemaIfAbsent(dest, schema)
+    GraftSinkProvider.requireCompatibleSchema(dest, schema)
     val nonEmpty = messages.collect {
       case m: GraftCommitMessage if m.rows > 0 => m
       case other if !other.isInstanceOf[GraftCommitMessage] =>
@@ -483,8 +496,18 @@ private[graft] class GraftStreamingWrite(schema: StructType, path: String,
     }.toSet
     Option(staging.listFiles()).getOrElse(Array.empty[File])
       .filterNot(f => keep(f.getName)).foreach(_.delete())
-    Files.move(staging.toPath, epochDir(epochId).toPath,
+    try Files.move(staging.toPath, epochDir(epochId).toPath,
       StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException
+          if epochDir(epochId).isDirectory =>
+        // a concurrent replay (zombie driver during failover) published
+        // this epoch between the entry check and the rename: the data
+        // is already correctly visible once — discard the re-staged
+        // copy instead of failing the query (same duplicate-publish
+        // tolerance as the batch path)
+        graft.engine.TempIo.deleteRecursively(staging.getAbsolutePath)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -977,9 +1000,17 @@ private[graft] class GraftMicroBatchStream(path: String,
     // fail fast and name the posture. A cluster deployment routes
     // this through the checkpoint filesystem (Hadoop FileSystem API)
     // exactly as FileStreamSource does.
+    // an unparseable location must not slip past the guard (it is
+    // precisely NOT a sane local path): treat a parse failure that
+    // still carries a scheme separator as remote
     val scheme =
       try Option(new java.net.URI(checkpointLocation).getScheme)
-      catch { case _: Exception => None }
+      catch {
+        case _: Exception =>
+          if (checkpointLocation.contains("://"))
+            Some(checkpointLocation.takeWhile(_ != ':'))
+          else None
+      }
     require(scheme.forall(_ == "file"),
       s"graftsink streaming reads keep their arrival log on the LOCAL " +
         s"filesystem (java.io), but the checkpoint location " +

@@ -246,6 +246,13 @@ class ArrivalLogSpec extends SparkTestBase {
       }
       assert(e.getMessage.contains("LOCAL filesystem"),
         s"expected the arrival-log scheme guard to fire, got: ${e.getMessage}")
+      // an UNPARSEABLE remote location (URI syntax error) must not slip
+      // past the guard — it is precisely not a sane local path
+      val e2 = intercept[IllegalArgumentException] {
+        new GraftMicroBatchStream(table, schema, schema, Array.empty,
+          "hdfs://nn:8020/ck pt", None)
+      }
+      assert(e2.getMessage.contains("LOCAL filesystem"))
       // the local schemes both work: bare path and file: URI
       new GraftMicroBatchStream(table, schema, schema, Array.empty,
         TempIo.createTempDir("alog-scheme-ck1-"), None)

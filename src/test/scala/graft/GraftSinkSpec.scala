@@ -119,6 +119,27 @@ class GraftSinkSpec extends SparkTestBase {
     } finally TempIo.deleteRecursively(dir)
   }
 
+  test("an all-empty batch append publishes no commit dir and no zero-row parts") {
+    val dir = TempIo.createTempDir("graftsink-spec-")
+    try {
+      spark.range(0, 10).select($"id").filter($"id" < 0).repartition(3)
+        .write.format("graftsink").mode("append").option("path", dir).save()
+      assert(new File(dir).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("batch-")) === 0,
+        "three zero-row tasks must publish nothing")
+      assert(parts(dir).isEmpty)
+      assert(stagingLeftovers(dir).isEmpty)
+      // the sidecar still lands, so the empty table reads back as empty
+      assert(spark.read.format("graftsink").load(dir).count() === 0)
+      // a mixed append drops only its empty partitions
+      spark.range(0, 4).select($"id").repartitionByRange(8, $"id")
+        .write.format("graftsink").mode("append").option("path", dir).save()
+      assert(parts(dir).length <= 4,
+        s"zero-row partitions must not publish parts, got ${parts(dir).length}")
+      assert(spark.read.format("graftsink").load(dir).count() === 4)
+    } finally TempIo.deleteRecursively(dir)
+  }
+
   test("default ErrorIfExists mode is rejected — append is the only supported publish") {
     val dir = TempIo.createTempDir("graftsink-spec-")
     try {
