@@ -60,6 +60,33 @@ object ListCostProbe {
         s1.prepareForTriggerAvailableNow())
       timed("restart: reload the (compacted) log + one full re-descend, once per restart")(
         stream().prepareForTriggerAvailableNow())
+
+      // Arrival-log RESIDENT MEMORY at 100k entries (VERDICT r11
+      // item 3): without retention the driver holds every part-file
+      // name for the stream's lifetime; with logRetainMaxEntries the
+      // resident map is bounded by the window while absolute offsets
+      // stay stable (retired dirs persist as one skip-set NAME per
+      // commit dir, not per file).
+      val logBase = Files.createTempDirectory("graft-alogmem-").toFile
+      try {
+        def fill(retain: Long, label: String): Unit = {
+          val d = new File(logBase, s"ret-$retain")
+          val log = new graft.sources.ArrivalLog(
+            new org.apache.hadoop.fs.Path(d.toURI),
+            org.apache.hadoop.fs.FileSystem
+              .getLocal(new org.apache.hadoop.conf.Configuration()).getRaw,
+            compactInterval = 100, retainMaxEntries = retain)
+          (0 until 10000).foreach { e =>
+            log.append((0 until 10).map(i =>
+              s"epoch-probe-$e/part-0000$i-of-a-realistic-length-name.graft"))
+            log.committed((e + 1) * 10L)
+          }
+          val (res, chars, skips) = log.residentStats
+          println(f"$res%9d entries ($chars%9d chars) + $skips%6d skip names resident  $label (size=${log.size})")
+        }
+        fill(Long.MaxValue, "retention OFF: O(total) names for the stream's lifetime")
+        fill(10000L, "logRetainMaxEntries=10000: resident bounded by the window")
+      } finally graft.engine.TempIo.deleteRecursively(logBase.getAbsolutePath)
     } finally {
       graft.engine.TempIo.deleteRecursively(table.getAbsolutePath)
       graft.engine.TempIo.deleteRecursively(ckpt.getAbsolutePath)

