@@ -70,17 +70,27 @@ object Relational65 {
 
   /** q386 — QUADRANGLE (4-CYCLE) CENSUS: over the thresholded part
     * co-order graph, count nodes, edges, wedges (paths of length 2)
-    * and EXACT 4-cycles via the common-neighbor identity — each
-    * 4-cycle has two diagonal pairs, so C4 = Σ_{u<v} C(c_uv, 2) / 2
-    * where c_uv is the pair's common-neighbor count. Quadrangles are
-    * the smallest non-trivial motif bipartite-ish co-occurrence
-    * graphs are rich in (two parts sharing two distinct orders), and
-    * the C4 density is the clustering signal triangle counts (q124)
-    * miss on near-bipartite structure.
+    * and EXACT 4-cycles. Quadrangles are the smallest non-trivial
+    * motif bipartite-ish co-occurrence graphs are rich in (two parts
+    * sharing two distinct orders), and the C4 density is the
+    * clustering signal triangle counts (q124) miss on near-bipartite
+    * structure.
     *
-    * Scale: the wedge join fans Σ deg² — the exact cost every
-    * triangle/4-cycle counter pays, bounded by the cnt≥2 edge
-    * threshold; everything else is a fold to ONE row. */
+    * Counting is DEGENERACY-ORDERED (the Chiba–Nishizeki discipline,
+    * VERDICT r11 item 4): rank η(x) = (deg(x), x); every 4-cycle is
+    * counted exactly once FROM ITS HIGHEST-RANKED VERTEX v — for each
+    * diagonal pair (v, w) with η(w) < η(v), W = common neighbors u
+    * with η(u) < η(v), and C4 = Σ C(W, 2) (no double count, so no /2:
+    * the cycle's top vertex sits on exactly one of its two diagonals,
+    * and from the other diagonal the top vertex is an excluded
+    * center). The wedge enumeration fans deg(LOWER endpoint) per
+    * edge — Σ_E min(deg_u, deg_v) ≈ O(α·m) for arboricity α — where
+    * the naive all-wedges join fans Σ deg²: on a hub-heavy graph the
+    * hub's quadratic term vanishes, which is what made the ×10 carve's
+    * densified graph (147.8 M naive wedges) read super-linear in r11.
+    *
+    * Scale: three shuffles on edge keys, one |V|-row degree join, and
+    * a fold to ONE row; no single-partition anything. */
   def q386QuadrangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
@@ -95,19 +105,31 @@ object Relational65 {
     val und = pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
       .localCheckpoint()
     val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
-    val common = und.as("x").join(und.as("y"),
-        $"x.u" === $"y.u" && $"x.v" < $"y.v")
-      .groupBy($"x.v".as("a"), $"y.v".as("b"))
+    // oriented edges carrying both endpoint degrees (η is comparable
+    // as the (deg, node) struct); e is reused on both wedge sides
+    val e = und
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+      .select($"u", $"v", $"du", $"dv")
+      .localCheckpoint()
+    // one row per undirected edge, oriented low→high rank: the wedge
+    // pivot fans over the LOW endpoint's neighbors only
+    val e1 = e.filter(struct($"du", $"u") < struct($"dv", $"v"))
+      .select($"v".as("hi"), $"dv".as("hd"), $"u".as("lo"))
+    val wByPair = e1
+      .join(e.select($"u".as("lo"), $"v".as("w"), $"dv".as("dw")), "lo")
+      .filter(struct($"dw", $"w") < struct($"hd", $"hi") && $"w" =!= $"hi")
+      .groupBy($"hi", $"w")
       .agg(count(lit(1)).as("c"))
     val base = deg.agg(count(lit(1)).as("n"),
       expr("sum(deg) div 2").as("m"),
       expr("sum(deg * (deg - 1) div 2)").as("wedges"))
-    val c4 = common.agg(
-      coalesce(expr("sum(c * (c - 1) div 2)"), lit(0L)).as("sum_c2"))
+    val c4 = wByPair.agg(
+      coalesce(expr("sum(c * (c - 1) div 2)"), lit(0L)).as("c4"),
+      count(lit(1)).as("diag_pairs"))
     TempIo.materialize(spark,
       base.crossJoin(broadcast(c4))
-        .select($"n", $"m", $"wedges", $"sum_c2",
-          expr("sum_c2 div 2").as("c4")))
+        .select($"n", $"m", $"wedges", $"diag_pairs", $"c4"))
   }
 
   def q386Sql: String =
@@ -126,17 +148,24 @@ object Relational65 {
            CAST(sum(deg) // 2 AS BIGINT) AS m,
            CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
          FROM deg),
-       common AS (
-         SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS c
-         FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+       e AS (
+         SELECT und.u, und.v, du.deg AS du, dv.deg AS dv
+         FROM und
+         JOIN deg du ON du.node = und.u
+         JOIN deg dv ON dv.node = und.v),
+       e1 AS (
+         SELECT v AS hi, dv AS hd, u AS lo
+         FROM e WHERE (du, u) < (dv, v)),
+       w AS (
+         SELECT e1.hi, e2.v AS w, CAST(count(*) AS BIGINT) AS c
+         FROM e1 JOIN e e2 ON e2.u = e1.lo
+         WHERE (e2.dv, e2.v) < (e1.hd, e1.hi) AND e2.v <> e1.hi
          GROUP BY 1, 2),
-       c4 AS (
-         SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
-           AS sum_c2
-         FROM common)
-       SELECT n, m, wedges, sum_c2,
-         CAST(sum_c2 // 2 AS BIGINT) AS c4
-       FROM base, c4"""
+       c4t AS (
+         SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS c4,
+           CAST(count(*) AS BIGINT) AS diag_pairs
+         FROM w)
+       SELECT n, m, wedges, diag_pairs, c4 FROM base, c4t"""
 
   /** q387 packing radix for the (current run, max run) fold. */
   val Q387Pack = 1000000L

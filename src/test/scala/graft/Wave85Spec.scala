@@ -35,13 +35,11 @@ class Wave85Spec extends SparkTestBase {
     } finally df.unpersist()
   }
 
-  test("q386 c4 identity holds and recounts brute-force") {
+  test("q386 degeneracy-ordered c4 equals the classical diagonal identity and a rank-restricted recount") {
     import spark.implicits._
     val row = Relational65.q386QuadrangleCensus(spark, sf).head()
-    val (n, m, wedges, sumC2, c4) = (row.getLong(0), row.getLong(1),
+    val (n, m, wedges, diagPairs, c4) = (row.getLong(0), row.getLong(1),
       row.getLong(2), row.getLong(3), row.getLong(4))
-    assert(sumC2 % 2 === 0L, "every 4-cycle has exactly two diagonals")
-    assert(c4 === sumC2 / 2)
     assert(wedges >= m && n > 0L)
     // brute-force on the collected edge list
     val li = Tables.lineitem(spark, sf)
@@ -59,12 +57,34 @@ class Wave85Spec extends SparkTestBase {
     }
     assert(n === adj.size.toLong && m === edges.length.toLong)
     val nodes = adj.keys.toArray.sorted
+    // (1) the CLASSICAL identity the old implementation computed:
+    // Σ_{a<b} C(common(a,b), 2) counts every 4-cycle twice (one per
+    // diagonal) — the degeneracy-ordered query must equal its half
     var sc2 = 0L
     for (i <- nodes.indices; j <- (i + 1) until nodes.length) {
       val c = (adj(nodes(i)) & adj(nodes(j))).size.toLong
       sc2 += c * (c - 1) / 2
     }
-    assert(sumC2 === sc2)
+    assert(sc2 % 2 === 0L, "every 4-cycle has exactly two diagonals")
+    assert(c4 === sc2 / 2,
+      "degeneracy-ordered count must equal the classical identity's half")
+    // (2) the rank-restricted recount the query actually runs:
+    // η(x) = (deg(x), x); from each pair (v, w) with η(w) < η(v),
+    // W = common neighbors below η(v); Σ C(W,2) counts each cycle once
+    def rank(x: Long): (Long, Long) = (adj(x).size.toLong, x)
+    implicit val ord: Ordering[(Long, Long)] =
+      Ordering.Tuple2[Long, Long]
+    var dp = 0L; var c4r = 0L
+    for (i <- nodes.indices; j <- nodes.indices; if i != j) {
+      val (v, w) = (nodes(i), nodes(j))
+      if (ord.lt(rank(w), rank(v))) {
+        val cc = (adj(v) & adj(w)).count(u => ord.lt(rank(u), rank(v))).toLong
+        if (cc >= 1) dp += 1
+        c4r += cc * (cc - 1) / 2
+      }
+    }
+    assert(diagPairs === dp)
+    assert(c4 === c4r)
   }
 
   test("q387 histogram covers users with >=2 gaps; fold re-simulates") {
