@@ -66,6 +66,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(o => o(n) || o(short(n))) }
+    // a typo'd subset name would otherwise shrink the run SILENTLY and
+    // the missing query could read as "measured fine" (ADVICE r11)
+    only.foreach { o =>
+      val unmatched = o.filterNot(x =>
+        SparkEntry.queries.keysIterator.exists(n => n == x || short(n) == x))
+      require(unmatched.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names match no query: ${unmatched.mkString(", ")}")
+    }
     def pass(): Map[String, Option[Double]] =
       selected.map { case (name, fn) => name -> time(fn) }
     val (p1, p2) = (pass(), pass())
