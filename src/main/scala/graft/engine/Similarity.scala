@@ -124,9 +124,25 @@ object Similarity {
     * NamedLambdaVariables, whose duplication across self-join sides
     * trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under non-broadcast
     * physical plans (found by q288's bucket self-join at local[4]). */
-  private def lshBucket(emb: Column): Column =
-    (0 until 4).map { j =>
-      val proj = ((j + 1) to Dim by 4)
+  /** Sign-LSH plane count. 4 planes / 16 buckets is the GATED contract
+    * (the oracle twins pin it); `spark.graft.lsh.planes` widens the
+    * index for scale runs — the knob every production LSH/IVF index
+    * turns as the corpus grows, because in-bucket costs (q25 serving,
+    * q288 mining) are n·|bucket| and |bucket| ≈ n/2^planes: holding
+    * planes fixed while n grows 10× is what read quadratic on the ×10
+    * carve (227 s), and +4 planes restores the linear posture. A
+    * non-default plane count changes bucket MEMBERSHIP and therefore
+    * rows — approximate-by-contract, exactly like probing a different
+    * nlist in IVF — so gated correctness runs always use the default. */
+  private def lshPlanes(spark: SparkSession): Int = {
+    val p = spark.conf.get("spark.graft.lsh.planes", "4").toInt
+    require(p >= 1 && p <= 16, s"spark.graft.lsh.planes must be in [1,16], got $p")
+    p
+  }
+
+  private def lshBucket(emb: Column, planes: Int = 4): Column =
+    (0 until planes).map { j =>
+      val proj = ((j + 1) to Dim by planes)
         .map(i => element_at(emb, lit(i)).cast("double"))
         .reduce(_ + _)
       when(proj > 0, lit(1 << j)).otherwise(0)
@@ -143,8 +159,10 @@ object Similarity {
     * Same output shape as q24 (rank within retrieved candidates). */
   def q25AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val planes = lshPlanes(spark)
     val emb = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"embedding", lshBucket($"embedding").as("bucket"),
+      .select($"vec_id", $"embedding",
+        lshBucket($"embedding", planes).as("bucket"),
         dot($"embedding", $"embedding").as("norm2"))
     val queries = emb
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket",
@@ -1192,9 +1210,10 @@ object Similarity {
     * rank — no all-pairs stage. */
   def q288HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val planes = lshPlanes(spark)
     def sides() = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", $"embedding",
-        lshBucket($"embedding").as("bucket"),
+        lshBucket($"embedding", planes).as("bucket"),
         dot($"embedding", $"embedding").as("norm2"))
     val emb = sides()
     // separate scan for the anchor side: distinct attribute ids keep
@@ -1247,8 +1266,9 @@ object Similarity {
     * Same join as q288; diagonal counts positive (same-label) pairs. */
   def q289PairAvailability(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val planes = lshPlanes(spark)
     def side() = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"label", lshBucket($"embedding").as("bucket"))
+      .select($"vec_id", $"label", lshBucket($"embedding", planes).as("bucket"))
     val emb = side()
     val other = side().select($"vec_id".as("o_id"), $"label".as("o_label"),
       $"bucket")

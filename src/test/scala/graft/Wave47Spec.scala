@@ -30,6 +30,69 @@ class Wave47Spec extends SparkTestBase {
     assert(anchors > 0)
   }
 
+  test("q288 lsh.planes conf widens the index and the contract holds under it") {
+    import spark.implicits._
+    // the ×10 carve measured fixed-4-plane mining at ~n²: |bucket| ≈
+    // n/16 grows with the corpus, so in-bucket work n·|bucket| goes
+    // quadratic. spark.graft.lsh.planes is the production knob (more
+    // planes as n grows keeps |bucket| flat); a non-default value
+    // changes bucket MEMBERSHIP (approximate-by-contract), so this
+    // pins: (a) the default is exactly planes=4 (gated contract
+    // untouched), (b) under planes=6 every mined negative is still the
+    // true in-bucket hardest for the 6-plane bucketing, recomputed
+    // brute-force.
+    val default = Similarity.q288HardNegatives(spark, sf).collect()
+    spark.conf.set("spark.graft.lsh.planes", "6")
+    try {
+      val widened = Similarity.q288HardNegatives(spark, sf)
+        .select($"anchor_id", $"hard_neg_id", $"cos", $"n_negs")
+        .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+      val vecs = Tables.embeddings(spark, sf)
+        .select($"vec_id", $"label", $"embedding")
+        .as[(Long, Int, Array[Float])].collect()
+      def bucket(e: Array[Float], planes: Int): Int =
+        (0 until planes).map { j =>
+          val s = ((j + 1) to e.length by planes)
+            .map(i => e(i - 1).toDouble).reduce(_ + _)
+          if (s > 0) 1 << j else 0
+        }.sum
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i)
+        }
+        d / math.sqrt(na * nb)
+      }
+      val byBucket = vecs.groupBy(v => bucket(v._3, 6))
+      var checked = 0
+      vecs.foreach { case (id, label, emb) =>
+        val negs = byBucket(bucket(emb, 6)).filter(_._2 != label)
+        if (negs.isEmpty) assert(!widened.contains(id))
+        else {
+          val best = negs.map(n => (cos(emb, n._3), n._1))
+            .minBy { case (c, vid) => (-c, vid) }
+          val got = widened(id)
+          assert(got._2 === best._2,
+            s"anchor $id: mined ${got._2}, brute-force says ${best._2}")
+          assert(math.abs(got._3 - best._1) < 1e-6)
+          assert(got._4 === negs.length.toLong)
+          checked += 1
+        }
+      }
+      assert(checked > 0)
+      // widening genuinely changes the index: bucket populations differ
+      assert((widened.size != default.length) ||
+        widened.keySet != default.map(_.getLong(0)).toSet ||
+        default.exists(r => widened(r.getLong(0))._2 != r.getLong(2)),
+        "planes=6 must produce a different bucketing than the default")
+    } finally spark.conf.unset("spark.graft.lsh.planes")
+    // default path after unset is byte-stable
+    val again = Similarity.q288HardNegatives(spark, sf).collect()
+    assert(again.map(_.toString).sorted.toSeq ===
+      default.map(_.toString).sorted.toSeq)
+  }
+
   test("q289 matrix is canonical and pair totals match the bucket populations") {
     import spark.implicits._
     val m = Similarity.q289PairAvailability(spark, sf)

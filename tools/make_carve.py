@@ -112,16 +112,56 @@ if full:
     """)
     dmax = duckdb.sql(
         f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
-    # doc TEXT is kept verbatim (copies are exact dups) — fine for the
-    # scan/stat queries measured on this carve; pairwise-dedup queries
-    # would see degenerate k^2 bucket fans and are NOT measured on it.
+    # Doc text PERTURBS while scaling (VERDICT r11 item 2 — verbatim
+    # copies would manufacture k^2 LSH bucket fans no real corpus has):
+    # per copy i>0, ~30% of tokens are replaced by a SAME-LENGTH
+    # deterministic scramble keyed by (token, i). Keyed by token — not
+    # doc — so any two docs inside copy i transform identically and the
+    # copy's INTERNAL near-dup structure is exactly the original's,
+    # while cross-copy 3-gram shingle survival is 0.7^3 = 0.34 (Jaccard
+    # ~0.2, below every LSH band threshold): each copy is a parallel
+    # corpus, not a duplicate. Same-length replacements keep n_chars
+    # and all length/quality statistics identical.
     duckdb.sql(f"""
       COPY (
-        SELECT doc_id + i * {dmax} AS doc_id, text, lang, source, n_chars
+        SELECT doc_id + i * {dmax} AS doc_id,
+               CASE WHEN i = 0 THEN text ELSE
+                 array_to_string(
+                   list_transform(string_split(text, ' '),
+                     t -> CASE WHEN length(t) <= 128
+                                AND hash(t || ':' || i) % 10 < 3
+                          THEN substr(repeat(md5(t || ':' || i), 4),
+                                      1, length(t))
+                          ELSE t END),
+                   ' ')
+               END AS text,
+               lang, source, n_chars
         FROM read_parquet('{src}/documents.parquet')
-        CROSS JOIN (VALUES {copies}) t(i)
+        CROSS JOIN (VALUES {copies}) cp(i)
         ORDER BY doc_id
       ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    # Embeddings scale the same way: copies JITTER by a deterministic
+    # per-(vec,dim,copy) uniform offset in [-0.12, 0.12] (vs dim
+    # variance ~0.014), so cross-copy cosine lands ~0.85-0.9 — below
+    # exact/near-dup thresholds, inside the label cluster geometry:
+    # new points from the same distribution, not clones.
+    vmax = duckdb.sql(
+        f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+    duckdb.sql(f"""
+      COPY (
+        SELECT vec_id + i * {vmax} AS vec_id,
+               CASE WHEN i = 0 THEN embedding ELSE
+                 CAST(list_transform(embedding, (x, d) ->
+                   x + (CAST(hash(vec_id * 1000003 + d * 131 + i) % 2001
+                             AS BIGINT) - 1000) * 0.00012)
+                   AS FLOAT[])
+               END AS embedding,
+               label
+        FROM read_parquet('{src}/embeddings.parquet')
+        CROSS JOIN (VALUES {copies}) cp(i)
+        ORDER BY vec_id
+      ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
 
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
@@ -131,6 +171,32 @@ for t in ("region", "nation", "customer", "supplier", "part", "orders",
         os.symlink(f"{src}/{t}.parquet", dst)
 
 rows = duckdb.sql(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
+if full and k > 1:
+    # carve-quality readout: cross-copy similarity must sit BELOW
+    # dedup thresholds or the scale measurement is measuring the
+    # carve's own degeneracy, not the operator
+    tok = duckdb.sql(f"""
+      WITH a AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM '{out}/documents.parquet' WHERE doc_id < 50),
+           b AS (SELECT doc_id - {dmax} AS doc_id, string_split(text, ' ') AS t
+                 FROM '{out}/documents.parquet'
+                 WHERE doc_id >= {dmax} AND doc_id < {dmax} + 50)
+      SELECT avg(CAST(len(list_filter(a.t, (x, j) -> x = b.t[j])) AS DOUBLE)
+                 / len(a.t))
+      FROM a JOIN b USING (doc_id)
+    """).fetchone()[0]
+    cos = duckdb.sql(f"""
+      WITH a AS (SELECT vec_id, embedding e FROM '{out}/embeddings.parquet'
+                 WHERE vec_id < 100),
+           b AS (SELECT vec_id - {vmax} AS vec_id, embedding e
+                 FROM '{out}/embeddings.parquet'
+                 WHERE vec_id >= {vmax} AND vec_id < {vmax} + 100)
+      SELECT avg(list_dot_product(a.e, b.e) /
+                 sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)))
+      FROM a JOIN b USING (vec_id)
+    """).fetchone()[0]
+    print(f"perturbation: cross-copy token keep-rate {tok:.3f} "
+          f"(shingle-3 survival ~{tok**3:.3f}), cross-copy cosine {cos:.3f}")
 if skew:
     hot = duckdb.sql(
         f"SELECT count(*) FILTER (user_id = {umin}) * 1000 // count(*) "
