@@ -87,6 +87,18 @@ class Wave85Spec extends SparkTestBase {
     assert(c4 === c4r)
   }
 
+  test("q386 wedge budget refuses a pathologically dense graph loudly") {
+    spark.conf.set("spark.graft.q386.wedgeBudget", "1")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Relational65.q386QuadrangleCensus(spark, sf).head())
+      assert(e.getMessage.contains("wedge"),
+        s"expected the wedge-budget refusal, got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.q386.wedgeBudget")
+    // and the default budget admits the fixture graph
+    assert(Relational65.q386QuadrangleCensus(spark, sf).count() === 1L)
+  }
+
   test("q387 histogram covers users with >=2 gaps; fold re-simulates") {
     import spark.implicits._
     val df = Relational65.q387BackoffChains(spark, sf).cache()
