@@ -15,15 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Relational27 {
 
-  /** The three candidate physical orders q251 prices, as (label, total-
-    * order sort key): a composite BIGINT encodes each lexicographic
-    * order (high-to-low bit fields), always terminated by the unique
-    * (orderkey, linenumber) pair so the order is TOTAL — without it the
-    * run counts of tied rows would be engine-dependent. Field widths
-    * are sized to the fixture's domains (ascii ≤ 127 « 2^7, day ≤
-    * 4095 « 2^12, arr ≤ 2^41); at warehouse scale the encoder is
-    * irrelevant — a real rewrite sorts by the column list — the
-    * composite exists so the AUDIT's rank is a single numeric key. */
+  /** The three candidate physical orders q251 prices, as (label, sort
+    * key): a composite BIGINT encodes each lexicographic order
+    * (high-to-low bit fields), terminated by the (orderkey,
+    * linenumber) arrival pair. Field widths are sized to the fixture's
+    * domains (ascii ≤ 127 « 2^7, day ≤ 4095 « 2^12, arr ≤ 2^41); at
+    * warehouse scale the encoder is irrelevant — a real rewrite sorts
+    * by the column list — the composite exists so the AUDIT's rank is
+    * a single numeric key.
+    *
+    * The composite alone is NOT total: this fixture's (l_orderkey,
+    * l_linenumber) is not unique (linenumber repeats within an order —
+    * the q353/q354 finding), and run counts over tied rows are
+    * engine-dependent, which the ×10 carve exposed as an off-by-2 at
+    * 6 M rows (r12). Totality comes from the md5 row-hash tiebreak
+    * over all six projected columns (the q353 recipe): rows that still
+    * tie are identical in every MEASURED column, so their internal
+    * order cannot change any run count. */
   private def arr = "(l_orderkey * 8 + l_linenumber)"
   private def day = "datediff(to_date(l_shipdate), DATE '1995-01-01')"
   // key expressions run over the projected frame, where the date is
@@ -63,10 +71,13 @@ object Relational27 {
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
         $"l_linestatus", expr(day).cast("long").as("ship_day"), $"l_partkey")
+      .withColumn("__t", expr(
+        """CAST(conv(substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+          |  l_returnflag, l_linestatus, ship_day, l_partkey)), 1, 15),
+          |  16, 10) AS BIGINT)""".stripMargin))
       .localCheckpoint()
     val perOrder = orders.map { case (label, keyExpr) =>
       val keyed = li.withColumn("__k", expr(keyExpr).cast("long"))
-        .withColumn("__t", expr(arr).cast("long"))
       val ranked = DistRank.withRank(keyed, "__k", "__t", "rn", desc = false)
         .select(($"rn").as("rn"), $"l_returnflag", $"l_linestatus",
           $"ship_day", $"l_partkey")
@@ -114,7 +125,7 @@ object Relational27 {
                   THEN 1 ELSE 0 END AS ch3,
                 CASE WHEN l_partkey <> lag(l_partkey) OVER w
                   THEN 1 ELSE 0 END AS ch4
-              FROM li WINDOW w AS (ORDER BY $k))
+              FROM li WINDOW w AS (ORDER BY $k, rowtie))
           ), LATERAL (VALUES
             ('${runCols(0)}', CAST(r1 AS BIGINT)),
             ('${runCols(1)}', CAST(r2 AS BIGINT)),
@@ -123,7 +134,11 @@ object Relational27 {
     }
     s"""WITH li AS (
           SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
-            CAST($dayD AS BIGINT) AS ship_day, l_partkey
+            CAST($dayD AS BIGINT) AS ship_day, l_partkey,
+            CAST('0x' || substr(md5(concat_ws('|', l_orderkey,
+              l_linenumber, l_returnflag, l_linestatus,
+              CAST($dayD AS BIGINT), l_partkey)), 1, 15) AS BIGINT)
+              AS rowtie
           FROM lineitem)
         ${branches.mkString("\n UNION ALL \n")}
         ORDER BY ordering, column_name"""

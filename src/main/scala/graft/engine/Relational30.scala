@@ -238,11 +238,21 @@ object Relational30 {
     * rate-limits to tenants at any row count. */
   def q263Allocation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // (l_orderkey, l_linenumber) is NOT unique in this fixture (the
+    // q353/q354 finding; q251 paid for it at the ×10 carve), and a tie
+    // straddling the 60 % allocation boundary would make the status
+    // census order-dependent — the md5 row-hash totalizes the order
+    // portably (rows that still tie are identical in qc, and
+    // equal-quantity swaps leave every allocation unchanged)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"l_partkey").orderBy($"l_orderkey", $"l_linenumber")
+      .partitionBy($"l_partkey")
+      .orderBy($"l_orderkey", $"l_linenumber", $"rowtie")
     val lines = Tables.lineitem(spark, sfDir)
       .select($"l_partkey", $"l_orderkey", $"l_linenumber",
         Exact.cents($"l_quantity").as("qc"))
+      .withColumn("rowtie", expr(
+        """CAST(conv(substr(md5(concat_ws('|', l_partkey, l_orderkey,
+          |  l_linenumber, qc)), 1, 15), 16, 10) AS BIGINT)""".stripMargin))
       .withColumn("demand", sum($"qc").over(
         org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")))
       .withColumn("stock", expr("demand * 6 div 10"))
@@ -266,14 +276,18 @@ object Relational30 {
   def q263Sql: String =
     """WITH lines AS (
          SELECT l_partkey, l_orderkey, l_linenumber,
-           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+           CAST('0x' || substr(md5(concat_ws('|', l_partkey, l_orderkey,
+             l_linenumber,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))),
+             1, 15) AS BIGINT) AS rowtie
          FROM lineitem),
        alloc AS (
          SELECT qc,
            greatest(0, least(qc,
              (sum(qc) OVER (PARTITION BY l_partkey)) * 6 // 10
                - coalesce(sum(qc) OVER (PARTITION BY l_partkey
-                   ORDER BY l_orderkey, l_linenumber
+                   ORDER BY l_orderkey, l_linenumber, rowtie
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
              AS alloc
          FROM lines),
