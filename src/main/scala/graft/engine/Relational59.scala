@@ -216,7 +216,7 @@ object Relational59 {
   def q368Sql: String = {
     val k = Q368K
     val rounds = (1 to Q368Rounds).map { r =>
-      s"""n$r AS (
+      s"""n$r AS MATERIALIZED (
            SELECT u AS n FROM und
            WHERE u IN (SELECT n FROM n${r - 1})
              AND v IN (SELECT n FROM n${r - 1})
@@ -230,15 +230,20 @@ object Relational59 {
             CAST($prev - (SELECT count(*) FROM n$r) AS BIGINT)
               AS n_removed"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH li AS (
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so
+    // each round's three references to n{r-1} would re-evaluate the
+    // whole chain — 3^rounds work that exploded past 230 GB of spill
+    // on the x10 carve's densified graph; materialized, the peel is
+    // linear in rounds (found in the r12 sf1 oracle pass)
+    s"""WITH li AS MATERIALIZED (
          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          FROM lineitem),
-       p AS (
+       p AS MATERIALIZED (
          SELECT a.pk AS u, b.pk AS v
          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
          GROUP BY a.pk, b.pk HAVING count(*) >= 2),
-       und AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
-       n0 AS (SELECT DISTINCT u AS n FROM und),
+       und AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+       n0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM und),
        $rounds
        SELECT * FROM ($rows) ORDER BY round"""
   }

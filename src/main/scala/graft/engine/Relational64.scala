@@ -131,7 +131,7 @@ object Relational64 {
 
   def q383Sql: String = {
     val rounds = (1 to Q383Rounds).map { r =>
-      s"""c$r AS (
+      s"""c$r AS MATERIALIZED (
            SELECT c.node, c.deg, ${hashColDuck(
              "CAST(c.c AS VARCHAR) || ':' || CAST(nb.s AS VARCHAR)" +
                " || ':' || CAST(c.deg AS VARCHAR)")}
@@ -148,16 +148,20 @@ object Relational64 {
             CAST(bit_xor(c) AS BIGINT) AS sig
           FROM c$r"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH li AS (
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so
+    // each WL round's multiple references to c{r-1} re-evaluated the
+    // whole chain exponentially — >230 GB of spill on the x10 carve's
+    // densified graph; materialized, refinement is linear in rounds
+    s"""WITH li AS MATERIALIZED (
          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          FROM lineitem),
-       p AS (
+       p AS MATERIALIZED (
          SELECT a.pk AS u, b.pk AS v
          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
          GROUP BY a.pk, b.pk HAVING count(*) >= 2),
-       und AS (SELECT u AS src, v AS dst FROM p
+       und AS MATERIALIZED (SELECT u AS src, v AS dst FROM p
                UNION ALL SELECT v AS src, u AS dst FROM p),
-       c0 AS (
+       c0 AS MATERIALIZED (
          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg,
            CAST(count(*) AS BIGINT) AS c
          FROM und GROUP BY src),
