@@ -894,10 +894,19 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
     s"logCompactInterval must be >= 1, got $compactInterval")
   require(retainMaxEntries >= 1,
     s"logRetainMaxEntries must be >= 1, got $retainMaxEntries")
+  // compact files name their coverage; under retention the base is
+  // appended (`compact-<total>-<base>.log`) so two compacts with the
+  // same total but different retention bases never collide — Hadoop's
+  // rename contract REFUSES an existing destination on HDFS (only the
+  // raw local FS silently overwrites), so every publish must target a
+  // fresh name. (total, base) is unique by construction: an append
+  // advances total, and a retention fold only runs when base advances.
   private val Seg = """seg-(\d+)\.log""".r
-  private val Compact = """compact-(\d+)\.log""".r
+  private val Compact = """compact-(\d+)(?:-(\d+))?\.log""".r
   private val V2Base = """#v2 base=(\d+)""".r
   private val V2Skip = """#skip (.+)""".r
+  private val V2SkipEpochs = """#skipe (.+) (\d+)""".r
+  private val EpochDirName = """epoch-(.+)-(\d+)""".r
 
   def this(dir: File, compactInterval: Int) =
     this(new org.apache.hadoop.fs.Path(dir.toURI), ArrivalLog.localFs(),
@@ -908,10 +917,20 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
   private var base: Long = 0L
   private var entries: Vector[String] = Vector.empty
   private val seenSet = scala.collection.mutable.HashSet.empty[String]
-  /** Top-level table names (commit dirs / loose parts) whose entries
-    * retention dropped: discovery must skip them forever — their files
-    * are gone from `seenSet`, so re-listing them would re-ingest. */
-  private val retired = scala.collection.mutable.HashSet.empty[String]
+  /** Retention's discovery skip state. Retired `epoch-<qid>-<id>` dirs
+    * compress to ONE watermark per writer qid (`retiredEpochs`): a
+    * streaming writer publishes its epochs in increasing id order, so
+    * every dir of that qid at or below the watermark is fully ingested
+    * and safe to skip — O(#writers) resident, not O(#epochs), closing
+    * the unbounded-skip-set growth a per-trigger upstream writer would
+    * otherwise cause. Skipping a RETAINED dir at or below the
+    * watermark is harmless: its entries are still in `seenSet`, so a
+    * listing would dedupe anyway — the skip state's only correctness
+    * job is covering DROPPED entries. Batch dirs and loose parts keep
+    * per-name entries (`retiredNames`, O(#batch appends) — one per
+    * `.save()`, not per trigger). */
+  private val retiredEpochs = scala.collection.mutable.HashMap.empty[String, Long]
+  private val retiredNames = scala.collection.mutable.HashSet.empty[String]
   private var segsSinceCompact = 0
   private var committedFloor = 0L
 
@@ -923,33 +942,47 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
     new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).toVector
   }
 
+  /** Fold one retired top-level name into the skip state. */
+  private def addRetired(name: String): Unit = name match {
+    case EpochDirName(qid, id) =>
+      val w = id.toLong
+      if (retiredEpochs.getOrElse(qid, -1L) < w) retiredEpochs(qid) = w
+    case _ => retiredNames += name: Unit
+  }
+
   locally {
     fs.mkdirs(dir)
     val files = fs.listStatus(dir).map(_.getPath)
+    // newest compact = highest (total, base): an append advances the
+    // total, a retention fold advances the base at equal total
     val compacts = files.flatMap(p => p.getName match {
-      case Compact(n) => Some(n.toLong -> p); case _ => None
+      case Compact(n, b) =>
+        Some(((n.toLong, Option(b).map(_.toLong).getOrElse(0L)), p))
+      case _ => None
     }).sortBy(_._1)
     // legacy pre-segmentation checkpoint: one seen.log = a compact base
     val legacy = files.find(_.getName == "seen.log")
     compacts.lastOption.map(_._2).orElse(legacy).foreach { p =>
       val lines = readLines(p)
-      // v2 header (retention era): "#v2 base=N" then "#skip <name>"
-      // lines; v1 compact files and legacy seen.log have no header.
-      // Entries are table-relative part paths and can never start
-      // with '#', so the split is unambiguous; an unrecognized header
-      // line is a future format and must fail loudly, not be read as
-      // an entry.
+      // v2 header (retention era): "#v2 base=N", per-writer retired-
+      // epoch watermarks "#skipe <qid> <maxId>", per-name skips
+      // "#skip <name>"; v1 compact files and legacy seen.log have no
+      // header. Entries are table-relative part paths and can never
+      // start with '#', so the split is unambiguous; an unrecognized
+      // header line is a future format and must fail loudly, not be
+      // read as an entry.
       val (hdr, body) = lines.span(_.startsWith("#"))
       hdr.foreach {
         case V2Base(b) => base = b.toLong
-        case V2Skip(name) => retired += name
+        case V2SkipEpochs(qid, w) => retiredEpochs(qid) = w.toLong
+        case V2Skip(name) => addRetired(name) // incl. pre-watermark form
         case other => throw new IllegalStateException(
           s"arrival-log compact file ${p.getName} carries an unknown " +
             s"header line '$other' — written by a newer version?")
       }
       entries = body
     }
-    val covered = compacts.lastOption.map(_._1).getOrElse(
+    val covered = compacts.lastOption.map(_._1._1).getOrElse(
       if (legacy.isDefined) base + entries.length else 0L)
     require(compacts.isEmpty || base + entries.length == covered,
       s"arrival-log compact file claims $covered entries but holds " +
@@ -979,8 +1012,14 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
   def contains(rel: String): Boolean = seenSet.contains(rel)
 
   /** Discovery must skip these top-level names: their entries were
-    * dropped by retention and would otherwise re-ingest as new. */
-  def isRetiredTop(name: String): Boolean = retired.contains(name)
+    * dropped by retention and would otherwise re-ingest as new.
+    * Epoch dirs check their writer's watermark; a retained dir below
+    * it is skipped too, harmlessly (entries still in the seen set). */
+  def isRetiredTop(name: String): Boolean = name match {
+    case EpochDirName(qid, id) =>
+      retiredEpochs.get(qid).exists(id.toLong <= _)
+    case _ => retiredNames.contains(name)
+  }
 
   /** Spark durably committed every offset < n (its own offset/commit
     * log records the batch): entries below this floor are replay-dead
@@ -1019,20 +1058,28 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
     p
   }
 
-  def slice(start: Int, end: Int): Seq[String] = {
-    if (start.toLong < base) throw new IllegalStateException(
+  /** Long offsets end to end: absolute offsets grow for the stream's
+    * LIFETIME while retention keeps only a window resident, so the
+    * resident-relative positions fit Int but the offsets themselves
+    * must never pass through one (past 2^31 lifetime files an Int
+    * would wrap negative and misread as a below-horizon seek). */
+  def slice(start: Long, end: Long): Seq[String] = {
+    if (start < base) throw new IllegalStateException(
       s"offset range [$start, $end) reaches below the arrival log's " +
         s"retention horizon $base — these entries were dropped only after " +
         "Spark committed past them, so a correct checkpoint cannot ask " +
         "for this range; was the offset log hand-edited?")
+    require(end <= base + entries.length,
+      s"offset $end beyond the arrival log (${base + entries.length})")
     entries.slice((start - base).toInt, (end - base).toInt)
   }
 
   /** Resident footprint hook (probe + retention spec): entries held,
-    * total chars across them, retired-name count. */
+    * total chars across them, skip-state size (per-writer epoch
+    * watermarks + per-name skips). */
   private[graft] def residentStats: (Long, Long, Long) =
     (entries.length.toLong, entries.map(_.length.toLong).sum,
-      retired.size.toLong)
+      retiredEpochs.size.toLong + retiredNames.size)
 
   /** Publish one log file durably: create `<name>.tmp`, force its
     * contents (hsync — a real fsync on HDFS and the raw local FS),
@@ -1065,30 +1112,55 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
   }
 
   private def compact(): Unit = {
-    // Retention first (see retentionCut): drop the replay-dead prefix
-    // from the resident map and record each dropped entry's top-level
-    // name in the discovery skip set.
+    // Retention first (see retentionCut). The fold is staged against
+    // SNAPSHOTS and the durable compact file is published BEFORE any
+    // in-memory state mutates: a failed write (rename refused, FS
+    // error) must leave the log's memory consistent with disk, not
+    // half-retired.
     val p = retentionCut()
-    if (p > base) {
-      val n = (p - base).toInt
-      entries.take(n).foreach { rel =>
-        seenSet -= rel
-        val i = rel.indexOf('/')
-        retired += (if (i < 0) rel else rel.substring(0, i))
+    val dropped = if (p > base) entries.take((p - base).toInt) else Vector.empty
+    val newEntries = if (p > base) entries.drop((p - base).toInt) else entries
+    val newEpochs = retiredEpochs.clone()
+    val newNames = retiredNames.clone()
+    dropped.foreach { rel =>
+      val i = rel.indexOf('/')
+      val top = if (i < 0) rel else rel.substring(0, i)
+      top match {
+        case EpochDirName(qid, id) =>
+          val w = id.toLong
+          if (newEpochs.getOrElse(qid, -1L) < w) newEpochs(qid) = w
+        case _ => newNames += top: Unit
       }
-      entries = entries.drop(n)
-      base = p
     }
-    val upTo = base + entries.length
-    val header = s"#v2 base=$base" +: retired.toSeq.sorted.map("#skip " + _)
-    atomicWrite(s"compact-$upTo.log", header ++ entries)
+    val newBase = p.max(base)
+    val upTo = newBase + newEntries.length
+    val header = s"#v2 base=$newBase" +:
+      (newEpochs.toSeq.sorted.map { case (q, w) => s"#skipe $q $w" } ++
+        newNames.toSeq.sorted.map("#skip " + _))
+    // base=0 keeps the bare legacy name; a retention fold appends the
+    // base so no publish ever targets an existing compact file name
+    val name = if (newBase == 0L) s"compact-$upTo.log"
+      else s"compact-$upTo-$newBase.log"
+    atomicWrite(name, header ++ newEntries)
+    // the durable fold succeeded — commit it to memory
+    if (p > base) {
+      dropped.foreach(seenSet -= _)
+      entries = newEntries
+      base = p
+      retiredEpochs.clear(); retiredEpochs ++= newEpochs
+      retiredNames.clear(); retiredNames ++= newNames
+    }
     // only after the compact file is durably visible: reclaim covered
     // segments, superseded compacts, and the legacy single-file log
-    fs.listStatus(dir).map(_.getPath).foreach { p =>
-      p.getName match {
-        case Seg(s) if s.toLong < upTo => fs.delete(p, false): Unit
-        case Compact(n) if n.toLong < upTo => fs.delete(p, false): Unit
-        case "seen.log" => fs.delete(p, false): Unit
+    fs.listStatus(dir).map(_.getPath).foreach { q =>
+      q.getName match {
+        case `name` => ()
+        case Seg(s) if s.toLong < upTo => fs.delete(q, false): Unit
+        case Compact(n, b) =>
+          val (cn, cb) = (n.toLong, Option(b).map(_.toLong).getOrElse(0L))
+          if (cn < upTo || (cn == upTo && cb < newBase))
+            fs.delete(q, false): Unit
+        case "seen.log" => fs.delete(q, false): Unit
         case _ => ()
       }
     }
@@ -1217,8 +1289,8 @@ private[graft] class GraftMicroBatchStream(path: String,
     GraftOffset(availableNowTarget.getOrElse(log.size))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftOffset].n.toInt
-    val e = end.asInstanceOf[GraftOffset].n.toInt
+    val s = start.asInstanceOf[GraftOffset].n
+    val e = end.asInstanceOf[GraftOffset].n
     require(e <= log.size,
       s"offset $e beyond the arrival log (${log.size} files) — the " +
         "checkpoint and arrival log disagree; was the log deleted?")

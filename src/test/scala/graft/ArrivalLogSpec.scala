@@ -19,7 +19,7 @@ class ArrivalLogSpec extends SparkTestBase {
   import spark.implicits._
 
   private def entriesOf(log: ArrivalLog): Seq[String] =
-    log.slice(0, log.size.toInt)
+    log.slice(0L, log.size)
 
   private def names(dir: File): Seq[String] =
     Option(dir.listFiles()).getOrElse(Array.empty[File])
@@ -316,8 +316,12 @@ class ArrivalLogSpec extends SparkTestBase {
     // outside the retention window; absolute offsets never shift.
     val dir = new File(TempIo.createTempDir("alog-ret-"))
     def hp = new org.apache.hadoop.fs.Path(dir.toURI)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .getLocal(new org.apache.hadoop.conf.Configuration()).getRaw
+    // HDFS's strict rename contract: a publish targeting an existing
+    // name would return false and fail the stream — retention folds
+    // must therefore always mint fresh compact names
+    val fs = new StrictRenameFileSystem()
+    fs.initialize(new java.net.URI("file:///"),
+      new org.apache.hadoop.conf.Configuration())
     try {
       val log = new ArrivalLog(hp, fs, compactInterval = 1, retainMaxEntries = 2)
       log.append(Seq("epoch-A/p0", "epoch-A/p1"))
@@ -342,6 +346,65 @@ class ArrivalLogSpec extends SparkTestBase {
       assert(re.isRetiredTop("epoch-A"),
         "the discovery skip set must survive restart or retired dirs re-ingest")
       intercept[IllegalStateException](re.slice(0, 2))
+    } finally TempIo.deleteRecursively(dir.getAbsolutePath)
+  }
+
+  test("a commit-triggered refold with no new appends publishes under a fresh name (HDFS strict rename)") {
+    // the r12 review finding: retention advances base WITHOUT changing
+    // the total, so a refold after an append-triggered compact would
+    // have re-targeted compact-<total>.log — silently overwritten by
+    // the raw local FS, refused (rename -> false) by HDFS. Names now
+    // carry the base; this drives the exact sequence under the strict
+    // contract.
+    val dir = new File(TempIo.createTempDir("alog-refold-"))
+    val fs = new StrictRenameFileSystem()
+    fs.initialize(new java.net.URI("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    try {
+      val hp = new org.apache.hadoop.fs.Path(dir.toURI)
+      val log = new ArrivalLog(hp, fs, compactInterval = 1, retainMaxEntries = 1)
+      log.append(Seq("part-a.graft", "part-b.graft")) // -> compact-2.log
+      assert(names(dir) === Seq("compact-2.log"))
+      // an AvailableNow drain: commits arrive AFTER the only discovery,
+      // so this refold happens with the total unchanged at 2
+      log.committed(2)
+      assert(names(dir) === Seq("compact-2-1.log"),
+        "the refold must mint a fresh name and reclaim the superseded compact")
+      assert(log.size === 2 && log.residentStats._1 === 1)
+      val re = new ArrivalLog(hp, fs, compactInterval = 1, retainMaxEntries = 1)
+      assert(re.size === 2)
+      assert(re.slice(1, 2) === Seq("part-b.graft"))
+      assert(re.isRetiredTop("part-a.graft"))
+    } finally TempIo.deleteRecursively(dir.getAbsolutePath)
+  }
+
+  test("retired epoch dirs compress to one watermark per writer") {
+    val dir = new File(TempIo.createTempDir("alog-wm-"))
+    val fs = new StrictRenameFileSystem()
+    fs.initialize(new java.net.URI("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    try {
+      val hp = new org.apache.hadoop.fs.Path(dir.toURI)
+      val log = new ArrivalLog(hp, fs, compactInterval = 1, retainMaxEntries = 2)
+      // an upstream writer publishing one epoch dir per trigger must
+      // not grow the skip state per epoch — O(#writers), not O(#epochs)
+      (0 until 50).foreach { e =>
+        log.append(Seq(s"epoch-qA-$e/p0"))
+        log.committed(e + 1L)
+      }
+      val (resident, _, skips) = log.residentStats
+      assert(resident <= 3, s"resident window must stay bounded, got $resident")
+      assert(skips === 1L,
+        s"50 retired epochs of one writer must compress to ONE watermark, got $skips")
+      assert(log.isRetiredTop("epoch-qA-0") && log.isRetiredTop("epoch-qA-40"))
+      assert(!log.isRetiredTop("epoch-qA-49"),
+        "the newest retained epoch must stay above the watermark")
+      assert(!log.isRetiredTop("epoch-qB-0"),
+        "another writer's epochs are not covered by qA's watermark")
+      // durable across restart via the #skipe header
+      val re = new ArrivalLog(hp, fs, compactInterval = 1, retainMaxEntries = 2)
+      assert(re.isRetiredTop("epoch-qA-40") && !re.isRetiredTop("epoch-qB-0"))
+      assert(re.residentStats._3 === 1L)
     } finally TempIo.deleteRecursively(dir.getAbsolutePath)
   }
 

@@ -18,3 +18,17 @@ class MockDfsFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("mockdfs:///")
   override def getScheme: String = "mockdfs"
 }
+
+/** Local-disk-backed FileSystem with HDFS's STRICT rename contract:
+  * rename to an existing destination returns false (RawLocalFileSystem
+  * silently overwrites via File.renameTo, which is exactly the
+  * difference that lets a name-collision bug pass every local test and
+  * kill the stream on a real cluster — the r12 review finding against
+  * the retention refold). Specs that exercise the arrival log's
+  * publish protocol run against this to prove no publish ever targets
+  * an existing name. */
+class StrictRenameFileSystem extends RawLocalFileSystem {
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (exists(dst)) false else super.rename(src, dst)
+}
