@@ -19,7 +19,12 @@ object Relational27 {
     * key): a composite BIGINT encodes each lexicographic order
     * (high-to-low bit fields), terminated by the (orderkey,
     * linenumber) arrival pair. Field widths are sized to the fixture's
-    * domains (ascii ≤ 127 « 2^7, day ≤ 4095 « 2^12, arr ≤ 2^41); at
+    * domains: the flag letters are biased by −64 (order-preserving for
+    * uppercase ascii) so returnflag−64 ≤ 31 sits at bit 58 and
+    * linestatus−64 ≤ 31 at bit 53 (5 bits each), ship_day ≤ 4095 gets
+    * the full 12 bits at 41 (the fixture reaches 2499 — a 7-bit field
+    * here would bleed into linestatus, the r12 review find), and
+    * arr < 2^41; max key ≈ 26·2^58 + 31·2^53 ≈ 7.8e18 < Long.Max. At
     * warehouse scale the encoder is irrelevant — a real rewrite sorts
     * by the column list — the composite exists so the AUDIT's rank is
     * a single numeric key.
@@ -36,10 +41,10 @@ object Relational27 {
   private def day = "datediff(to_date(l_shipdate), DATE '1995-01-01')"
   // key expressions run over the projected frame, where the date is
   // already materialized as ship_day
-  private val orders = Seq(
+  private[graft] val orders = Seq(
     "arrival" -> s"$arr",
-    "flag_first" -> (s"(ascii(l_returnflag) * ${1L << 55} + " +
-      s"ascii(l_linestatus) * ${1L << 48} + ship_day * ${1L << 41}L + $arr)"),
+    "flag_first" -> (s"((ascii(l_returnflag) - 64) * ${1L << 58} + " +
+      s"(ascii(l_linestatus) - 64) * ${1L << 53} + ship_day * ${1L << 41}L + $arr)"),
     "ship_first" -> s"(ship_day * ${1L << 41}L + $arr)")
 
   private val runCols = Seq("l_returnflag", "l_linestatus", "ship_day", "l_partkey")
@@ -108,8 +113,8 @@ object Relational27 {
     val arrD = "(l_orderkey * 8 + l_linenumber)"
     val keyD = Map(
       "arrival" -> arrD,
-      "flag_first" -> (s"(ascii(l_returnflag) * ${1L << 55} + " +
-        s"ascii(l_linestatus) * ${1L << 48} + ship_day * ${1L << 41} + $arrD)"),
+      "flag_first" -> (s"((ascii(l_returnflag) - 64) * ${1L << 58} + " +
+        s"(ascii(l_linestatus) - 64) * ${1L << 53} + ship_day * ${1L << 41} + $arrD)"),
       "ship_first" -> s"(ship_day * ${1L << 41} + $arrD)")
     val branches = keyD.toSeq.map { case (label, k) =>
       s"""SELECT '$label' AS ordering, cn AS column_name, n_runs FROM (

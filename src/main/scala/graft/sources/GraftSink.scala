@@ -885,8 +885,9 @@ private[sources] case class GraftOffset(n: Long)
   * the log DIRECTORY after each rename, closing the power-loss window
   * where a later segment delete persists but the compact rename does
   * not — ADVICE r11); object stores whose rename is copy-not-atomic
-  * (S3A) need the same external-log arrangement FileStreamSource
-  * documents for them. */
+  * (S3A and kin) are REFUSED at construction unless
+  * `spark.graft.arrivalLog.allowNonAtomicRename=true` opts into the
+  * weaker contract — see [[ArrivalLog.NonAtomicRenameSchemes]]. */
 private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
     fs: org.apache.hadoop.fs.FileSystem, compactInterval: Int,
     retainMaxEntries: Long = Long.MaxValue) {
@@ -933,9 +934,43 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
   private val retiredNames = scala.collection.mutable.HashSet.empty[String]
   private var segsSinceCompact = 0
   private var committedFloor = 0L
+  /** Absolute offsets where a retention cut can land: every loose
+    * (top-level) entry and the FIRST entry of each commit dir,
+    * maintained incrementally as entries arrive — so retentionCut()
+    * is one binary search per commit, not a backward string walk over
+    * the largest dir on the stream-execution thread every trigger
+    * (r12 second-review finding). Ascending by construction; folds
+    * drop the prefix below the new base. O(#resident dirs + #loose). */
+  private val dirStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var prevTopDir: String = null
+  private var haveResident = false
+
+  private def dirOf(rel: String): String = {
+    val i = rel.indexOf('/'); if (i < 0) null else rel.substring(0, i)
+  }
+
+  /** Record entry `rel` at absolute offset `off` in the boundary
+    * index: a boundary wherever the old backward walk would stop —
+    * the first resident entry, a loose entry, or a dir change. */
+  private def noteEntry(off: Long, rel: String): Unit = {
+    val d = dirOf(rel)
+    if (!haveResident || d == null || prevTopDir == null || d != prevTopDir)
+      dirStarts += off
+    prevTopDir = d
+    haveResident = true
+  }
 
   private def readLines(p: org.apache.hadoop.fs.Path): Vector[String] = {
-    val len = fs.getFileStatus(p).getLen.toInt
+    val lenL = fs.getFileStatus(p).getLen
+    // a single-array load bounds any one log file at 2 GB (~40 M part
+    // names); past it, fail with the fix named instead of letting an
+    // Int truncation throw NegativeArraySizeException at every restart
+    require(lenL <= (Int.MaxValue - 8).toLong,
+      s"arrival-log file ${p.getName} is $lenL bytes — past the 2 GB " +
+        "single-file load bound; enable logRetainMaxEntries so " +
+        "compaction retires committed entries instead of growing one " +
+        "compact file forever")
+    val len = lenL.toInt
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0L, buf) finally in.close()
@@ -1006,6 +1041,10 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
     if (compacts.nonEmpty && legacy.isDefined)
       legacy.foreach(p => fs.delete(p, false): Unit)
     entries.foreach(seenSet += _)
+    locally {
+      var off = base
+      entries.foreach { rel => noteEntry(off, rel); off += 1 }
+    }
   }
 
   def size: Long = base + entries.length
@@ -1032,9 +1071,10 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
     * huge dir) never causes rewrite churn. */
   def committed(n: Long): Unit = {
     committedFloor = math.max(committedFloor, n)
-    if (retainMaxEntries != Long.MaxValue &&
-        (retentionCut() - base) * 2 >= retainMaxEntries)
-      compact()
+    if (retainMaxEntries != Long.MaxValue) {
+      val cut = retentionCut()
+      if ((cut - base) * 2 >= retainMaxEntries) compact(cut)
+    }
   }
 
   /** The retention cut: the largest droppable prefix end (absolute) —
@@ -1042,20 +1082,23 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
     * window, rounded DOWN to a commit-dir boundary (a dir's entries
     * enter the log together — dirs are listed once, immutable after
     * their publish rename — and must retire with their skip-set name
-    * atomically or not at all). */
+    * atomically or not at all). One binary search over the
+    * incrementally maintained boundary index; runs on the driver's
+    * stream-execution thread every commit. */
   private def retentionCut(): Long = {
     if (retainMaxEntries == Long.MaxValue) return base
-    var p = math.max(base,
-      math.min(committedFloor, base + entries.length - retainMaxEntries))
-    def dirOf(rel: String): String = {
-      val i = rel.indexOf('/'); if (i < 0) null else rel.substring(0, i)
+    val size = base + entries.length
+    val cand = math.max(base,
+      math.min(committedFloor, size - retainMaxEntries))
+    if (cand <= base) return base
+    if (cand >= size) return size // dropping everything needs no rounding
+    var lo = 0; var hi = dirStarts.length - 1; var ans = base
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (dirStarts(mid) <= cand) { ans = dirStarts(mid); lo = mid + 1 }
+      else hi = mid - 1
     }
-    while (p > base && p < base + entries.length &&
-        dirOf(entries((p - base).toInt)) != null &&
-        dirOf(entries((p - base).toInt)) ==
-          dirOf(entries((p - base - 1).toInt)))
-      p -= 1
-    p
+    ans
   }
 
   /** Long offsets end to end: absolute offsets grow for the stream's
@@ -1104,20 +1147,25 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
     * segments. I/O: O(fresh), plus O(total-resident) once per interval. */
   def append(fresh: Seq[String]): Unit = {
     if (fresh.isEmpty) return
-    atomicWrite(s"seg-${base + entries.length}.log", fresh)
+    val start = base + entries.length
+    atomicWrite(s"seg-$start.log", fresh)
+    locally {
+      var off = start
+      fresh.foreach { rel => noteEntry(off, rel); off += 1 }
+    }
     entries = entries ++ fresh
     fresh.foreach(seenSet += _)
     segsSinceCompact += 1
     if (segsSinceCompact >= compactInterval) compact()
   }
 
-  private def compact(): Unit = {
+  private def compact(cut: Long = -1L): Unit = {
     // Retention first (see retentionCut). The fold is staged against
     // SNAPSHOTS and the durable compact file is published BEFORE any
     // in-memory state mutates: a failed write (rename refused, FS
     // error) must leave the log's memory consistent with disk, not
     // half-retired.
-    val p = retentionCut()
+    val p = if (cut >= 0L) cut else retentionCut()
     val dropped = if (p > base) entries.take((p - base).toInt) else Vector.empty
     val newEntries = if (p > base) entries.drop((p - base).toInt) else entries
     val newEpochs = retiredEpochs.clone()
@@ -1149,6 +1197,9 @@ private[graft] class ArrivalLog(dir: org.apache.hadoop.fs.Path,
       base = p
       retiredEpochs.clear(); retiredEpochs ++= newEpochs
       retiredNames.clear(); retiredNames ++= newNames
+      val kept = dirStarts.dropWhile(_ < p)
+      dirStarts.clear(); dirStarts ++= kept
+      if (entries.isEmpty) { prevTopDir = null; haveResident = false }
     }
     // only after the compact file is durably visible: reclaim covered
     // segments, superseded compacts, and the legacy single-file log
@@ -1338,17 +1389,47 @@ private[graft] object ArrivalLog {
     * resolution; `file:`/local resolution is unwrapped to the raw FS
     * (see [[localFs]]). The Hadoop conf comes from the active session
     * so `spark.hadoop.*` settings apply. */
+  /** Schemes whose `rename` is copy-then-delete, not atomic: the
+    * arrival log's crash-safety protocol (tmp → hsync → rename, with
+    * rename-refuses-existing as the race arbiter) is VOID on them, so
+    * they are refused loudly at stream construction (r12 second-review
+    * finding — deleting the r11 local-only guard must not silently
+    * admit object stores). The supported object-store posture is a
+    * rename-atomic checkpointLocation (hdfs://, file:, abfs[s] on a
+    * hierarchical namespace — hence not listed): the log lives with
+    * the CHECKPOINT, so the table itself may stay on S3.
+    * `spark.graft.arrivalLog.allowNonAtomicRename=true` accepts the
+    * weaker contract explicitly — crash-window torn/duplicated compact
+    * files become possible, exactly the caveat FileStreamSource
+    * documents for S3-backed metadata logs. */
+  private[graft] val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
+
   def open(checkpointLocation: String, compactInterval: Int,
       retainMaxEntries: Long = Long.MaxValue): ArrivalLog = {
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
+    val conf = session.map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val root = new org.apache.hadoop.fs.Path(checkpointLocation)
     val fs = root.getFileSystem(conf) match {
       case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
       case other => other
     }
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    if (NonAtomicRenameSchemes.contains(scheme) && !session.exists(
+        _.conf.get("spark.graft.arrivalLog.allowNonAtomicRename",
+          "false").toBoolean))
+      throw new IllegalArgumentException(
+        s"graftsink streaming checkpoint '$checkpointLocation' resolves " +
+          s"to scheme '$scheme', whose rename is copy-then-delete — the " +
+          "arrival log's atomic-publish crash-safety protocol does not " +
+          "hold there. Point checkpointLocation at a rename-atomic " +
+          "filesystem (hdfs://, file:, abfs on a hierarchical " +
+          "namespace); the log lives with the checkpoint, the table " +
+          "itself may stay where it is. Or set " +
+          "spark.graft.arrivalLog.allowNonAtomicRename=true to accept " +
+          "the weaker durability contract explicitly.")
     new ArrivalLog(
       new org.apache.hadoop.fs.Path(fs.makeQualified(root),
         "graft-arrival-log"),

@@ -286,6 +286,38 @@ class ArrivalLogSpec extends SparkTestBase {
     }
   }
 
+  test("copy-on-rename object-store checkpoints are refused loudly, admitted only under the explicit opt-in") {
+    // r12 second-review finding: deleting the r11 local-only guard must
+    // not silently admit schemes whose rename is copy-then-delete —
+    // there the log's atomic-publish crash-safety protocol is void.
+    // Stand-in: RawLocalFileSystem registered under `s3a:`.
+    spark.sparkContext.hadoopConfiguration.set("fs.s3a.impl",
+      classOf[MockS3aFileSystem].getName)
+    val local = TempIo.createTempDir("alog-s3a-")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        ArrivalLog.open(s"s3a:$local/ckpt", compactInterval = 2)
+      }
+      assert(ex.getMessage.contains("copy-then-delete") &&
+        ex.getMessage.contains("allowNonAtomicRename"),
+        s"the refusal must name the hazard and the opt-in: ${ex.getMessage}")
+      spark.conf.set("spark.graft.arrivalLog.allowNonAtomicRename", "true")
+      try {
+        val log = ArrivalLog.open(s"s3a:$local/ckpt", compactInterval = 2)
+        log.append(Seq("epoch-a/p0", "epoch-a/p1"))
+        log.append(Seq("epoch-b/p0"))
+        val reloaded = ArrivalLog.open(s"s3a:$local/ckpt", compactInterval = 2)
+        assert(reloaded.slice(0, 3) ===
+          Seq("epoch-a/p0", "epoch-a/p1", "epoch-b/p0"),
+          "under the opt-in the log must function normally")
+      } finally
+        spark.conf.unset("spark.graft.arrivalLog.allowNonAtomicRename")
+    } finally {
+      spark.sparkContext.hadoopConfiguration.unset("fs.s3a.impl")
+      TempIo.deleteRecursively(local)
+    }
+  }
+
   test("ArrivalLog unit cycle over a non-file FileSystem: append, compact, crash-reclaim, reload") {
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set("fs.mockdfs.impl", classOf[MockDfsFileSystem].getName)

@@ -27,6 +27,16 @@ class MockDfsFileSystem extends RawLocalFileSystem {
   * the retention refold). Specs that exercise the arrival log's
   * publish protocol run against this to prove no publish ever targets
   * an existing name. */
+/** Local-disk-backed FileSystem registered under `s3a:` so specs can
+  * prove the arrival log REFUSES copy-on-rename object-store
+  * checkpoints at construction (and admits them only under the
+  * explicit `spark.graft.arrivalLog.allowNonAtomicRename` opt-in)
+  * without any AWS artifact in the sandbox. */
+class MockS3aFileSystem extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("s3a:///")
+  override def getScheme: String = "s3a"
+}
+
 class StrictRenameFileSystem extends RawLocalFileSystem {
   override def rename(src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Boolean =

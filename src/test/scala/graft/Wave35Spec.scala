@@ -33,6 +33,34 @@ class Wave35Spec extends SparkTestBase {
     assert(bad.isEmpty, s"ranking must stay bucketed (DistRank): $bad")
   }
 
+  test("q251 the flag_first composite is order-isomorphic to the " +
+    "lexicographic (returnflag, linestatus, ship_day, arrival) tuple") {
+    import spark.implicits._
+    // the r12 review found ship_day bleeding into the linestatus field
+    // (7 bits for a 2499-max domain); this pins the repaired layout:
+    // sorting by the single BIGINT must yield a lexicographically
+    // non-decreasing tuple sequence over the whole fixture
+    val keyExpr = Relational27.orders.toMap.apply("flag_first")
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        $"l_linestatus",
+        expr("datediff(to_date(l_shipdate), DATE '1995-01-01')")
+          .cast("long").as("ship_day"))
+      .withColumn("__k", expr(keyExpr).cast("long"))
+      .withColumn("arr",
+        ($"l_orderkey" * 8 + $"l_linenumber").cast("long"))
+      .select($"l_returnflag", $"l_linestatus", $"ship_day", $"arr", $"__k")
+      .orderBy($"__k")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val lex = Ordering.Tuple4[String, String, Long, Long]
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(lex.lteq(a, b),
+        s"composite order inverted the advertised tuple order: $a > $b")
+      case _ =>
+    }
+  }
+
   test("q252 motif containment: immediate patterns imply their relaxed forms") {
     val m = Relational27.q252SeqMotif(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -70,12 +70,21 @@ class Wave47Spec extends SparkTestBase {
         val negs = byBucket(bucket(emb, 6)).filter(_._2 != label)
         if (negs.isEmpty) assert(!widened.contains(id))
         else {
-          val best = negs.map(n => (cos(emb, n._3), n._1))
-            .minBy { case (c, vid) => (-c, vid) }
+          // fp-robust argmax pin: this loop and the engine's fold sum
+          // in different orders, so cosines agreeing to ~1e-15 can
+          // argmax differently under exact comparison (r12 review).
+          // The contract up to eps: the mined negative is among the
+          // eps-tied max-cosine set, and when the winner is clear
+          // (singleton set) it is exactly the brute-force one.
+          val scored = negs.map(n => (cos(emb, n._3), n._1))
+          val maxCos = scored.map(_._1).max
+          val tied = scored.filter(_._1 >= maxCos - 1e-9).map(_._2)
           val got = widened(id)
-          assert(got._2 === best._2,
-            s"anchor $id: mined ${got._2}, brute-force says ${best._2}")
-          assert(math.abs(got._3 - best._1) < 1e-6)
+          assert(tied.contains(got._2),
+            s"anchor $id: mined ${got._2} not among the eps-tied " +
+              s"max-cosine negatives $tied")
+          if (tied.size == 1) assert(got._2 === tied.head)
+          assert(math.abs(got._3 - maxCos) < 1e-6)
           assert(got._4 === negs.length.toLong)
           checked += 1
         }
