@@ -65,23 +65,11 @@ object Dedup {
     * engine models exactly that. At real scale the checkpoint becomes
     * a persisted bucketed table (same note as Dedup's shared-derivation
     * checkpoints). */
-  /** Session-validating memoization for localCheckpoint'ed shared
-    * derivations: checkpoint blocks live on the CREATING session's
-    * executors, so a cached frame is only reusable by the session that
-    * built it. A hit from a different session (same-JVM session
-    * restart, or two sessions sharing the JVM) evicts the stale entry —
-    * best-effort unpersisting its blocks — and rebuilds, instead of
-    * silently serving a frame bound to a dead session. */
+  /** Session-validating memoization — see [[Memo.byDir]] (extracted so
+    * the co-order graph family can share frames the same way). */
   private def memoByDir(cache: scala.collection.concurrent.TrieMap[String, DataFrame],
       spark: SparkSession, sfDir: String)(build: => DataFrame): DataFrame =
-    cache.get(sfDir) match {
-      case Some(df) if df.sparkSession eq spark => df
-      case stale =>
-        stale.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-        val built = build
-        cache.put(sfDir, built)
-        built
-    }
+    Memo.byDir(cache, spark, sfDir)(build)
 
   private val bandsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def corpusBands(spark: SparkSession, sfDir: String): DataFrame =
@@ -105,7 +93,10 @@ object Dedup {
         .as(Seq("band_idx", "band_val")))
   }
 
-  def q21MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** q21's banded candidate pairs WITHOUT the presentation sort —
+    * order-insensitive consumers (the q124/q125 candidate graph) read
+    * this form so they never pay q21's global ORDER BY exchange. */
+  private[engine] def lshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val bands = corpusBands(spark, sfDir)
     val a = bands.as("a")
@@ -115,7 +106,11 @@ object Dedup {
           $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("shared_bands"))
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def q21MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lshPairs(spark, sfDir).orderBy($"doc_a", $"doc_b")
   }
 
   /** The minhash/banding CTE chain, shared by q21's pair listing and
@@ -158,7 +153,7 @@ object Dedup {
     * come pre-bucketed by LSH, never all-pairs). */
   def q67DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     clustersFromPairs(spark,
-      q21MinhashLsh(spark, sfDir).select("doc_a", "doc_b"))
+      lshPairs(spark, sfDir).select("doc_a", "doc_b"))
 
   /** HashMin label propagation over a precomputed candidate-pair frame —
     * split out so callers that also consume the pairs (q145's cross-fold
@@ -655,7 +650,7 @@ object Dedup {
         when(bucket < "cd", "train")
           .when(bucket < "e7", "val")
           .otherwise("test").as("split"))
-    val pairs = q21MinhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    val pairs = lshPairs(spark, sfDir).select($"doc_a", $"doc_b")
     pairs
       .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
       .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
@@ -702,10 +697,23 @@ object Dedup {
     // would re-run the whole LSH pipeline per iteration (measured 4.6s
     // -> ~1s at sf0.1). The pair list is tiny post-banding, so it also
     // collapses to one partition for the per-iteration joins.
-    q21MinhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    lshPairs(spark, sfDir).select("doc_a", "doc_b")
       .coalesce(1).localCheckpoint()
       .createOrReplaceTempView("graft_neardup_pairs")
-    spark.sql(
+    // The depth-3 walk enumeration is linear in corpus size with a
+    // max-clique-degree³ constant (near-dup clusters are small by
+    // construction), but Spark's default cteRecursionRowLimit (10⁶)
+    // is a fixture-scale artifact — the ×10 carve legitimately
+    // enumerates more walks than that. Raised SCOPED (q189's
+    // save/restore discipline) to a bound that still catches a
+    // runaway recursion long before memory does.
+    val limitKey = "spark.sql.cteRecursionRowLimit"
+    val prev = spark.conf.getOption(limitKey)
+    spark.conf.set(limitKey, "1000000000")
+    // evaluate INSIDE the conf scope (a lazy result would run under the
+    // restored limit), and distributed — the result is one row per doc,
+    // data-scale, so it goes through scratch parquet, not the driver
+    val reach = spark.sql(
       """WITH RECURSIVE reach(seed, node, depth) AS (
            SELECT doc, doc, 0 FROM (
              SELECT DISTINCT doc_a AS doc FROM graft_neardup_pairs
@@ -721,6 +729,16 @@ object Dedup {
            WHERE r.depth < 3)
          SELECT seed AS doc, count(DISTINCT node) - 1 AS n_reach3
          FROM reach GROUP BY seed ORDER BY doc""")
+    try {
+      val dir = TempIo.createTempDir("graft-q119-")
+      TempIo.deleteAtExit(dir)
+      reach.write.mode("overwrite").parquet(dir)
+      // re-pin the output order: parquet readback owes no row order
+      spark.read.parquet(dir).orderBy("doc")
+    } finally prev match {
+      case Some(v) => spark.conf.set(limitKey, v)
+      case None => spark.conf.unset(limitKey)
+    }
   }
 
   def q119Sql: String =
@@ -757,7 +775,7 @@ object Dedup {
     * (q102's verification machinery). */
   def q132LshPrecision(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cand = q21MinhashLsh(spark, sfDir)
+    val cand = lshPairs(spark, sfDir)
     val sets = docShingleSets(spark, sfDir)
     val judged = cand
       .join(sets.select($"doc_id".as("doc_a"), $"set".as("set_a")), "doc_a")
@@ -870,7 +888,7 @@ object Dedup {
     import spark.implicits._
     // the pair frame feeds BOTH the clustering and the cross-fold audit:
     // checkpoint it once so the LSH pipeline (shingle/md5/band) runs once
-    val pairs = q21MinhashLsh(spark, sfDir)
+    val pairs = lshPairs(spark, sfDir)
       .select($"doc_a", $"doc_b").localCheckpoint()
     val labels = clustersFromPairs(spark, pairs)
     val folded = Tables.documents(spark, sfDir)
@@ -1233,7 +1251,7 @@ object Dedup {
     * candidates only, final aggregate is 5 counters. */
   def q265DedupRoi(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cand = q21MinhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    val cand = lshPairs(spark, sfDir).select($"doc_a", $"doc_b")
     val sh = distinctShingles(spark, sfDir)
     val sets = docShingleSets(spark, sfDir)
     val verified = cand
@@ -1414,7 +1432,7 @@ object Dedup {
     * doc→source join per side. */
   def q281DupFlowMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = q21MinhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    val pairs = lshPairs(spark, sfDir).select($"doc_a", $"doc_b")
     val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
     pairs
       .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")

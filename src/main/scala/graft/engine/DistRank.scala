@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * bucket, so tie-breaks resolve inside the bucket's local sort), and
   * global rank = bucket offset + local rank. `percentile_approx`
   * nondeterminism can only unbalance buckets, never change a rank —
-  * which is what makes this form safe for hash-gated oracles.
+  * which is what makes this form safe for hash-gated oracles. That
+  * argument needs ONE cut-point evaluation shared by both consuming
+  * branches (the ranking window and the bucket-population aggregate):
+  * relying on Catalyst exchange reuse to dedup the two broadcast
+  * subtrees would make correctness hostage to an optimizer flag, so
+  * `cuts` is localCheckpoint'ed — one row, evaluated exactly once.
   *
   * Scale: `nBuckets` is the parallelism knob — size it so |rows|/buckets
   * fits one task's sort buffer (the same contract as
@@ -49,6 +54,7 @@ object DistRank {
     val probs = typedlit((1 until nBuckets).map(_.toDouble / nBuckets))
     val cuts = df.agg(
       percentile_approx(col(key), probs, lit(10000)).as("__cuts"))
+      .localCheckpoint()
     val bucketed = df.crossJoin(broadcast(cuts))
       .withColumn(b,
         expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
@@ -95,6 +101,7 @@ object DistRank {
     val probs = typedlit((1 until nBuckets).map(_.toDouble / nBuckets))
     val cuts = df.agg(
       percentile_approx(col(key), probs, lit(10000)).as("__cuts"))
+      .localCheckpoint()
     val bucketed = df.crossJoin(broadcast(cuts))
       .withColumn(b,
         expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
@@ -136,6 +143,7 @@ object DistRank {
     val probs = typedlit((1 until nBuckets).map(_.toDouble / nBuckets))
     val cuts = df.agg(
       percentile_approx(col(key), probs, lit(10000)).as("__cuts"))
+      .localCheckpoint()
     val bucketed = df.crossJoin(broadcast(cuts))
       .withColumn(b,
         expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
@@ -174,7 +182,14 @@ object DistRank {
     * regardless of where the cuts fall; group skew only unbalances
     * cells, never changes a sum — the [[withRank]] exactness argument
     * verbatim). This is the primitive behind grouped exact quantiles
-    * and trimmed aggregates (q313/q314). */
+    * and trimmed aggregates (q313/q314).
+    *
+    * PRECONDITION: `groups` columns must be NON-NULL — both the
+    * triangular prefix join and the final lift join use null-rejecting
+    * equality, so a null-keyed row would silently vanish from the
+    * output. Callers with nullable group keys must coalesce to a
+    * sentinel first (every current caller groups on non-null fixture
+    * columns). */
   def withGroupedRunningSums(df: DataFrame, groups: Seq[String],
       key: String, tie: String, sums: Seq[(String, String)],
       nBuckets: Int = 16): DataFrame = {
@@ -185,6 +200,7 @@ object DistRank {
     val probs = typedlit((1 until nBuckets).map(_.toDouble / nBuckets))
     val cuts = df.agg(
       percentile_approx(col(key), probs, lit(10000)).as("__cuts"))
+      .localCheckpoint()
     val bucketed = df.crossJoin(broadcast(cuts))
       .withColumn(b,
         expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))

@@ -28,7 +28,7 @@ object GraphQueries {
     * several times, and a lazy plan would re-run the LSH pipeline per
     * consumer (same hazard q119 documents). */
   private def pairsView(spark: SparkSession, sfDir: String, name: String): Unit =
-    Dedup.q21MinhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    Dedup.lshPairs(spark, sfDir).select("doc_a", "doc_b")
       .coalesce(1).localCheckpoint()
       .createOrReplaceTempView(name)
 

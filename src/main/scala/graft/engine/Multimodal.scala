@@ -45,7 +45,7 @@ object Multimodal {
     * moments + an 8-byte head sample. The partition-wise batching, row
     * shape, and driver-free execution are the real contract — swap the
     * body for e.g. JPEG decode + embedding without touching the plan. */
-  def decodeFeatures(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+  def decodeFeatures(withPayloads: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     withPayloads
       .select(col("doc_id"), col("payload"))
@@ -85,7 +85,7 @@ object Multimodal {
     * decode path is hash-checked end to end, not rows-only. */
   def q30MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    decodeFeatures(spark, withPayload(Tables.documents(spark, sfDir)))
+    decodeFeatures(withPayload(Tables.documents(spark, sfDir)))
       .select($"doc_id", $"n_bytes", round($"mean_byte", 6).as("mean_byte"))
       .orderBy($"doc_id")
   }

@@ -94,8 +94,18 @@ object Relational22 {
     val prev = spark.conf.getOption(RangeJoinRule.BinSizeKey)
     RangeJoinRule.register(spark)
     spark.conf.set(RangeJoinRule.BinSizeKey, TsBinSeconds.toString)
-    try TempIo.materialize(spark, q219Join(spark, sfDir))
-    finally prev match {
+    try {
+      // Evaluate INSIDE the rule/conf scope like q210 — but q219's
+      // result is one row PER INCIDENT (data-scale: the ×10 carve has
+      // ~198k error events, over TempIo.materialize's hard ceiling), so
+      // it round-trips through scratch parquet, distributed end to end,
+      // instead of the driver. Row order owes nothing to the readback —
+      // re-pinned by the trailing orderBy.
+      val dir = TempIo.createTempDir("graft-q219-")
+      TempIo.deleteAtExit(dir)
+      q219Join(spark, sfDir).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).orderBy("incident_id")
+    } finally prev match {
       case Some(v) => spark.conf.set(RangeJoinRule.BinSizeKey, v)
       case None => spark.conf.unset(RangeJoinRule.BinSizeKey)
     }

@@ -22,8 +22,10 @@ object Relational47 {
     *
     * Scale: value cells fold per (type, cents); thresholds come from
     * one withGroupedRunningSums pass; the clip + moment fold is one
-    * more scan. All emitted moments are overflow-audited (day ≤
-    * ~2400, cents ≤ ~4·10⁴, n ≤ corpus). */
+    * more scan. x is the EPOCH day (~2·10⁴) — the final combines are
+    * therefore n²-scaled and go through exact decimal (see
+    * [[exactCombine]]); the Long moment sums are audited to ~10¹⁰
+    * rows per type. */
   def q335WinsorTrend(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
@@ -39,6 +41,14 @@ object Relational47 {
       .groupBy($"event_type")
       .agg(min(when($"cum" * 20 >= $"n", $"v")).as("lo"),
         min(when($"cum" * 20 >= $"n" * 19, $"v")).as("hi"))
+    // The n·Σ − Σ·Σ combines are n²-scaled with EPOCH-day x (~2·10⁴,
+    // not span days), so they cross 2⁶³ near 10⁶ rows per type — the
+    // ×10 carve found exactly that. Combined in DECIMAL(38,0) on the
+    // |types|-row frame (exact: each factor is a BIGINT, products
+    // < 10³⁸) and cast back to the gated BIGINT contract with a loud
+    // range check; the oracle already combines exactly (DuckDB sums
+    // BIGINT into HUGEINT). The Long SUMs themselves stay safe to
+    // ~10¹⁰ rows per type (|x·y| ≤ 2·10⁴·4·10⁴ = 8·10⁸).
     ev.join(broadcast(bounds), Seq("event_type"))
       .withColumn("y", greatest($"lo", least($"hi", $"v")))
       .groupBy($"event_type")
@@ -47,10 +57,24 @@ object Relational47 {
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
       .select($"event_type", $"n", $"p05_cents", $"p95_cents",
-        ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
-        ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"))
+        exactCombine("sxy", "sx", "sy").as("slope_num"),
+        exactCombine("sxx", "sx", "sx").as("slope_den"))
       .orderBy($"event_type")
   }
+
+  /** n·`sab` − `sa`·`sb` in DECIMAL(38,0), cast back to BIGINT with a
+    * loud range check — the covariance-style combine whose TERMS are
+    * n²-scaled even when the result is small. */
+  private def exactCombine(sab: String, sa: String, sb: String) =
+    expr(s"""CASE
+      WHEN abs(CAST(n AS DECIMAL(38,0)) * $sab
+             - CAST($sa AS DECIMAL(38,0)) * $sb) > 9223372036854775807
+      THEN CAST(raise_error(concat('q335: n*$sab - $sa*$sb for ',
+        event_type, ' exceeds BIGINT; the gated contract caps the ',
+        'corpus')) AS BIGINT)
+      ELSE CAST(CAST(n AS DECIMAL(38,0)) * $sab
+              - CAST($sa AS DECIMAL(38,0)) * $sb AS BIGINT)
+      END""")
 
   def q335Sql: String =
     """WITH ev AS (

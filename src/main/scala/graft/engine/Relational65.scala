@@ -93,13 +93,8 @@ object Relational65 {
     * a fold to ONE row; no single-partition anything. */
   def q386QuadrangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-      .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
-      .agg(count(lit(1)).as("cnt"))
+    // shared with q360 — one memoized derivation of the co-order graph
+    val pairs = Relational56.coOrderCounts(spark, sfDir)
       .filter($"cnt" >= 2L)
       .select($"u", $"v")
     val und = pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
@@ -213,6 +208,14 @@ object Relational65 {
       .select($"user_id", $"us", $"event_id",
         ($"pg" > 0L && lit(3L) * $"pg" <= lit(2L) * $"g" &&
           lit(2L) * $"g" <= lit(5L) * $"pg").cast("long").as("f"))
+    // The packed (run, max) fold is faithful only while run < the
+    // radix, and here that is PROVABLE, not assumed: a backoff step
+    // requires 3·g ≤ 2·g′, i.e. each flagged gap grows ≥1.5× over a
+    // positive integer predecessor, so a run of length k needs a gap
+    // ≥ 1.5^k µs — the fixture's whole time span (< 2^63 µs, in fact
+    // < a few years ≈ 6e13 µs) caps k below 80, five orders of
+    // magnitude under Q387Pack. No guard needed; any change to the
+    // ratio test or the gap unit must revisit this bound.
     val folded = flags.groupBy($"user_id")
       .agg(expr(
         s"""aggregate(

@@ -49,7 +49,7 @@ object Similarity {
   /** SQL mirror: same fold shape (list_reduce is a left fold seeded by the
     * first element; Spark's 0.0 seed is IEEE-neutral for the first add). */
   private[engine] def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    dotSqlN(a, b, Dim)
 
   private[engine] def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
@@ -84,7 +84,8 @@ object Similarity {
   }
 
   /** Deterministic per-query top-10 of a (query_id, vec_id, cos) frame —
-    * the ranked tail q24/q25/q73 share. */
+    * the ranked tail q24/q25/q73 (and q232's full-dim baseline) share:
+    * rank on the UNROUNDED cosine, round only in the output. */
   private[engine] def top10(scored: DataFrame): DataFrame = {
     import scored.sparkSession.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
@@ -160,11 +161,15 @@ object Similarity {
   def q25AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val planes = lshPlanes(spark)
-    val emb = Tables.embeddings(spark, sfDir)
+    // separate scan per self-join side (the q288 discipline): distinct
+    // attribute ids keep the bucket self-join free of Spark's
+    // dedup-rebinding edge cases under non-broadcast physical plans
+    def side() = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding",
         lshBucket($"embedding", planes).as("bucket"),
         dot($"embedding", $"embedding").as("norm2"))
-    val queries = emb
+    val emb = side()
+    val queries = side()
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket",
         $"norm2".as("q_norm2"))
       .filter($"query_id" % 100 === 0)
@@ -172,11 +177,7 @@ object Similarity {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosinePre($"q_emb", $"embedding", $"q_norm2", $"norm2").as("cos"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
-      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
-      .orderBy($"query_id", $"rank")
+    top10(scored)
   }
 
   def q25Sql: String =
@@ -343,11 +344,7 @@ object Similarity {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosinePre($"q_emb", $"embedding", $"q_norm2", $"norm2").as("cos"))
-    val topk = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    scored.withColumn("rank", row_number().over(topk))
-      .filter($"rank" <= 10)
-      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
-      .orderBy($"query_id", $"rank")
+    top10(scored)
   }
 
   def q73Sql: String =
@@ -507,7 +504,7 @@ object Similarity {
 
   /** Per-query ADC lookup table over a codebook: LUT[m·16+code] =
     * subspace distance from the query to that codeword. `keyCols` ride
-    * along (q146 carries q_emb; q229 carries the probe cell). */
+    * along (q229 carries the probe cell; q146 carries none). */
   private def pqLut(queries: DataFrame, cb: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     import queries.sparkSession.implicits._
@@ -534,15 +531,22 @@ object Similarity {
     val codes = pqCodes(emb, cb)
     val queries = emb.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val lut = pqLut(queries, cb, Seq("q_emb"))
+    val lut = pqLut(queries, cb, Seq.empty)
+    // q_emb stays OUT of the quadratic stage: the per-query window
+    // shuffles and sorts |queries|·|corpus| rows, and dragging the
+    // 64-float query vector through it just to compute exact_d for the
+    // 3 survivors per query would widen every shuffled row by ~256
+    // bytes — join it back from the (tiny, broadcast) query frame
+    // after the rank filter instead.
     val adc = codes.crossJoin(broadcast(lut))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"q_emb", $"vec_id", $"codes",
+      .select($"query_id", $"vec_id", $"codes",
         adcFold($"lut", $"codes").as("adc_d"))
     val topk = Window.partitionBy($"query_id").orderBy($"adc_d", $"vec_id")
     adc.withColumn("rk", row_number().over(topk))
       .filter($"rk" <= 3)
       .join(emb, "vec_id")
+      .join(broadcast(queries), "query_id")
       .select($"query_id", $"rk", $"vec_id",
         round($"adc_d", 6).as("adc_d"),
         round(fullDist($"q_emb", $"embedding"), 6).as("exact_d"))
@@ -785,10 +789,16 @@ object Similarity {
         .select($"m.d", $"m.nv").head()
       val (fd, fid) = (far.getDouble(0), -far.getLong(1))
       selected :+= ((i.toLong, fid, fd))
-      mind = mind.crossJoin(centerEmb(fid))
-        .select($"vec_id", $"embedding",
-          least($"d", fullDist($"embedding", $"c_emb")).as("d"))
-        .localCheckpoint()
+      // the k-th selection needs no distance update — localCheckpoint
+      // is eager, so an unconditional update would burn one whole
+      // corpus scan on a frame nobody reads (the SQL twin already
+      // guards this: q230Sql emits d_i only for i < k)
+      if (i < KCenterK) {
+        mind = mind.crossJoin(centerEmb(fid))
+          .select($"vec_id", $"embedding",
+            least($"d", fullDist($"embedding", $"c_emb")).as("d"))
+          .localCheckpoint()
+      }
     }
     selected.toDF("sel_order", "vec_id", "radius")
       .select($"sel_order", $"vec_id", round($"radius", 6).as("radius"))
@@ -928,13 +938,11 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val pairs = emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"query_id")
-    val wFull = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    val fullTop = pairs
-      .select($"query_id", $"vec_id",
-        (dot($"embedding", $"q_emb")
-          / sqrt(dot($"embedding", $"embedding")
-            * dot($"q_emb", $"q_emb"))).as("cos"))
-      .withColumn("rk", row_number().over(wFull)).filter($"rk" <= 10)
+    // the full-dim baseline IS q24 — reuse its scored-pair + top10 path
+    // (bit-identical: IEEE multiply is commutative per element, same
+    // left fold; cosinePre just computes each norm once per side
+    // instead of once per pair)
+    val fullTop = top10(scoredPairs(spark, sfDir))
       .select($"query_id", $"vec_id")
     val truncated = pairs
       .withColumn("trunc_dim", explode(typedlit(TruncDims)))
@@ -1032,7 +1040,12 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
     val index = ivfAssigned(spark, sfDir).localCheckpoint()
-    val cent = centroidArrays(spark, sfDir)
+    // materialized like `index`: the foreachBatch closure re-plans its
+    // captured frames EVERY micro-batch, and a lazy `cent` would re-run
+    // the corpus-wide centroid aggregation per batch just to rebuild
+    // the 10-row codebook — the 'serving never rescans the corpus'
+    // posture holds only if the codebook is pinned
+    val cent = centroidArrays(spark, sfDir).localCheckpoint()
     val src = TempIo.createTempDir("graft-annserve-src-")
     val ckpt = TempIo.createTempDir("graft-annserve-ckpt-")
     val out = TempIo.createTempDir("graft-annserve-out-")
@@ -1158,17 +1171,44 @@ object Similarity {
                   ${sExpr("i")} * ${sExpr("j")} AS p))))""")).as("t"))
       .select($"t.di", $"t.dj", $"t.p")
       .groupBy($"di", $"dj")
-      .agg(sum($"p").as("sum_p"), count(lit(1)).as("n"))
+      .agg(sum($"p").as("sum_p"), count(lit(1)).as("n"),
+        max(abs($"p")).as("mxp"))
     val marg = emb
       .select(posexplode($"embedding").as(Seq("dim", "v")))
       .select($"dim", floor($"v".cast("double") * Q246Scale).cast("long").as("s"))
-      .groupBy($"dim").agg(sum($"s").as("sum_s"))
+      .groupBy($"dim").agg(sum($"s").as("sum_s"), max(abs($"s")).as("mxs"))
+    // Exactness is GUARDED, not assumed (the q386 wedge-budget
+    // discipline). Two overflow surfaces, both loud:
+    //  1. the Long SUMs themselves — safe iff n·max|term| < 2⁶³ (a
+    //     sufficient bound: every partial sum is within it); checked in
+    //     doubles with headroom, per Gram cell and per marginal;
+    //  2. the n·Σp − Σi·Σj COMBINE — n² -scaled, the first to cross
+    //     2⁶³ (≈5·10⁵ realistic vectors); computed in DECIMAL(38,0) on
+    //     this 2080-row frame (exact to 10³⁸, cost nil) and cast back
+    //     to the gated BIGINT contract only after a range check.
     gram
-      .join(broadcast(marg.select($"dim".as("di"), $"sum_s".as("sum_i"))), "di")
-      .join(broadcast(marg.select($"dim".as("dj"), $"sum_s".as("sum_j"))), "dj")
+      .join(broadcast(marg.select($"dim".as("di"), $"sum_s".as("sum_i"),
+        $"mxs".as("mxi"))), "di")
+      .join(broadcast(marg.select($"dim".as("dj"), $"sum_s".as("sum_j"),
+        $"mxs".as("mxj"))), "dj")
       .filter($"di" < $"dj")
-      .select($"di", $"dj",
-        ($"n" * $"sum_p" - $"sum_i" * $"sum_j").as("cov_num"))
+      .select($"di", $"dj", expr(s"""
+        CASE
+          WHEN CAST(n AS DOUBLE) * CAST(mxp AS DOUBLE) > 4.0e18
+            OR CAST(n AS DOUBLE) * CAST(greatest(mxi, mxj) AS DOUBLE) > 4.0e18
+          THEN CAST(raise_error(concat('q246: ', n, ' rows with max term ',
+            greatest(mxp, mxi, mxj),
+            ' may overflow the 64-bit sums; rescale Q246Scale')) AS BIGINT)
+          ELSE CAST(
+            CASE WHEN abs(CAST(n AS DECIMAL(38,0)) * sum_p
+                        - CAST(sum_i AS DECIMAL(38,0)) * sum_j)
+                   > 9223372036854775807
+              THEN raise_error(concat('q246: cov_num for (', di, ',', dj,
+                ') exceeds BIGINT; the gated contract caps the corpus'))
+              ELSE CAST(n AS DECIMAL(38,0)) * sum_p
+                 - CAST(sum_i AS DECIMAL(38,0)) * sum_j
+            END AS BIGINT)
+        END""").as("cov_num"))
       .orderBy(abs($"cov_num").desc, $"di", $"dj")
       .limit(Q246TopN)
   }

@@ -367,16 +367,23 @@ object TextQueries {
       .select($"doc_id", $"wc", $"before")
   }
 
+  /** Shard token budget shared by q81's packing, q280's manifest and
+    * q283's takedown plan — ONE constant because the three queries'
+    * shard assignments must stay byte-identical (the manifest and the
+    * takedown plan only mean anything if they reproduce q81's
+    * boundaries); it also feeds all three oracle SQLs. */
+  val ShardBudget = 5000L
+
   /** Token-budget shard packing: assign docs (in stable doc_id order) to
-    * contiguous shards of ~5000 tokens — the write-side layout step that
-    * turns a curated corpus into training shards. shard = floor(prefix
-    * tokens BEFORE this doc / budget), i.e. a doc belongs to the shard
-    * its first token lands in. Prefix sums via [[tokenPrefixSums]]. */
+    * contiguous shards of ~[[ShardBudget]] tokens — the write-side
+    * layout step that turns a curated corpus into training shards.
+    * shard = floor(prefix tokens BEFORE this doc / budget), i.e. a doc
+    * belongs to the shard its first token lands in. Prefix sums via
+    * [[tokenPrefixSums]]. */
   def q81ShardPack(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val Budget = 5000L
     tokenPrefixSums(spark, sfDir)
-      .withColumn("shard", expr(s"before div $Budget"))
+      .withColumn("shard", expr(s"before div $ShardBudget"))
       .groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"), sum($"wc").as("n_tokens"),
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
@@ -393,7 +400,7 @@ object TextQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
               AS before
           FROM docs)
-        SELECT before // 5000 AS shard, count(*) AS n_docs,
+        SELECT before // $ShardBudget AS shard, count(*) AS n_docs,
           CAST(sum(wc) AS BIGINT) AS n_tokens,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM pos GROUP BY 1 ORDER BY shard"""
@@ -892,11 +899,15 @@ object TextQueries {
     * one doc-keyed shuffle. */
   def q280ShardManifest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val Budget = 5000L
+    // materialized ONCE: both the checksum branch and the per-source
+    // aggregate consume `assigned`, and a lazy plan would re-run the
+    // whole two-level prefix-sum pipeline (tokenize + bucket windows +
+    // source join) per consumer — the q251/Relational26 discipline
     val assigned = tokenPrefixSums(spark, sfDir)
-      .withColumn("shard", expr(s"before div $Budget"))
+      .withColumn("shard", expr(s"before div $ShardBudget"))
       .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"),
         "doc_id")
+      .localCheckpoint()
     val checksums = assigned.groupBy($"shard")
       .agg(md5(concat_ws(",",
         expr("transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))")))
@@ -918,7 +929,7 @@ object TextQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
               AS before
           FROM docs),
-        a AS (SELECT doc_id, wc, source, before // 5000 AS shard FROM pos),
+        a AS (SELECT doc_id, wc, source, before // $ShardBudget AS shard FROM pos),
         ck AS (
           SELECT shard,
             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
@@ -947,8 +958,16 @@ object TextQueries {
     * totals are map-side combinable. */
   def q282VocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, sfDir)
-      .select($"source", explode(tokens($"text")).as("t"))
+    // tokenize each doc ONCE: both the vocab aggregate and the coverage
+    // join consume the token stream, and a lazy plan would re-scan and
+    // re-regex the whole corpus per consumer. The checkpoint holds the
+    // PER-DOC token arrays (corpus-sized, not exploded); the two
+    // explodes replay from memory. At cluster scale this becomes a
+    // persisted tokenized table.
+    val docToks = Tables.documents(spark, sfDir)
+      .select($"source", tokens($"text").as("ts"))
+      .localCheckpoint()
+    val toks = docToks.select($"source", explode($"ts").as("t"))
     val vocab = toks.groupBy($"t").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"t").limit(VocabK)
       .select($"t".as("v"))
@@ -992,18 +1011,22 @@ object TextQueries {
     * the checksum collects one shard's ids (budget-bounded). */
   def q283TakedownPlan(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val Budget = 5000L
     tokenPrefixSums(spark, sfDir)
-      .withColumn("shard", expr(s"before div $Budget"))
+      .withColumn("shard", expr(s"before div $ShardBudget"))
       .withColumn("gone", $"doc_id" % TakedownMod === TakedownRes)
       .groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"),
         count(when($"gone", 1)).as("n_remove"),
         coalesce(sum(when($"gone", $"wc")), lit(0L)).as("tokens_removed"),
-        md5(concat_ws(",",
+        // nullif: a shard whose EVERY doc is taken down must hash to
+        // NULL (the oracle's string_agg over zero kept rows is NULL) —
+        // bare concat_ws would yield md5('') and hash-diverge. No
+        // non-empty kept list can concat to '' (doc ids never render
+        // empty), so nullif touches exactly the all-gone case.
+        md5(nullif(concat_ws(",",
           expr("transform(array_sort(collect_list(" +
-            "CASE WHEN NOT gone THEN doc_id END)), x -> CAST(x AS STRING))")))
-          .as("kept_md5"))
+            "CASE WHEN NOT gone THEN doc_id END)), x -> CAST(x AS STRING))")),
+          lit(""))).as("kept_md5"))
       .orderBy($"shard")
   }
 
@@ -1018,7 +1041,7 @@ object TextQueries {
               AS before
           FROM docs),
         a AS (
-          SELECT doc_id, wc, before // 5000 AS shard,
+          SELECT doc_id, wc, before // $ShardBudget AS shard,
             doc_id % $TakedownMod = $TakedownRes AS gone
           FROM pos)
         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,

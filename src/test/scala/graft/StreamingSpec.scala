@@ -182,7 +182,7 @@ class StreamingSpec extends SparkTestBase {
 
   test("multimodal decode: features are fixed-width, deterministic, cover all docs") {
     val feats = Multimodal.decodeFeatures(
-      spark, Multimodal.withPayload(Tables.documents(spark, sf)))
+      Multimodal.withPayload(Tables.documents(spark, sf)))
     val rows = feats.collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     rows.foreach { r =>
@@ -199,7 +199,7 @@ class StreamingSpec extends SparkTestBase {
         r.getAs[Double]("mean_byte"), r.getAs[Array[Byte]]("head").toSeq)
     }.sortBy(_._1)
     val again = Multimodal.decodeFeatures(
-      spark, Multimodal.withPayload(Tables.documents(spark, sf))).collect()
+      Multimodal.withPayload(Tables.documents(spark, sf))).collect()
     assert(keyed(rows).sameElements(keyed(again)))
   }
 
