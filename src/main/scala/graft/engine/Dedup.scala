@@ -117,18 +117,18 @@ object Dedup {
     * q67's recursive component closure over the same pairs. */
   private[engine] def bandCtes: String = {
     val sh = shinglesSql("text")
-    s"""sh AS (
+    s"""sh AS MATERIALIZED (
           SELECT doc_id, md5(unnest($sh)) AS h FROM documents),
-        sig AS (
+        sig AS MATERIALIZED (
           SELECT doc_id,
             min(substr(h, 1, 8)) AS m0, min(substr(h, 9, 8)) AS m1,
             min(substr(h, 17, 8)) AS m2, min(substr(h, 25, 8)) AS m3
           FROM sh GROUP BY doc_id),
-        bands AS (
+        bands AS MATERIALIZED (
           SELECT doc_id, 0 AS band_idx, m0 || m1 AS band_val FROM sig
           UNION ALL
           SELECT doc_id, 1 AS band_idx, m2 || m3 AS band_val FROM sig),
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
           FROM bands a JOIN bands b
             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
@@ -185,7 +185,7 @@ object Dedup {
 
   def q67Sql: String =
     s"""WITH RECURSIVE $bandCtes,
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION ALL
           SELECT doc_b, doc_a FROM pairs),
@@ -391,7 +391,7 @@ object Dedup {
     """WITH sample AS (
          SELECT source, doc_id, substr(text, 1, 40) AS prefix
          FROM documents WHERE doc_id % 10 = 0),
-       scored AS (
+       scored AS MATERIALIZED (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.prefix, b.prefix) AS dist
          FROM sample a JOIN sample b
@@ -747,7 +747,7 @@ object Dedup {
           SELECT DISTINCT doc_a AS doc FROM pairs
           UNION
           SELECT doc_b FROM pairs),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION ALL
           SELECT doc_b, doc_a FROM pairs),
@@ -845,7 +845,7 @@ object Dedup {
 
   def q130Sql: String =
     s"""WITH RECURSIVE $bandCtes,
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION ALL
           SELECT doc_b, doc_a FROM pairs),
@@ -853,7 +853,7 @@ object Dedup {
           SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
           UNION
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (
+        labels AS MATERIALIZED (
           SELECT a AS doc, min(b) AS canonical FROM reach GROUP BY a),
         drops AS (SELECT doc FROM labels WHERE doc <> canonical)
         SELECT d.source, count(*) AS n_docs,
@@ -919,7 +919,7 @@ object Dedup {
 
   def q145Sql: String =
     s"""WITH RECURSIVE $bandCtes,
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION ALL
           SELECT doc_b, doc_a FROM pairs),
@@ -927,9 +927,9 @@ object Dedup {
           SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
           UNION
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (
+        labels AS MATERIALIZED (
           SELECT a AS doc, min(b) AS canonical FROM reach GROUP BY a),
-        folded AS (
+        folded AS MATERIALIZED (
           SELECT d.doc_id,
             len(regexp_split_to_array(trim(d.text), '\\s+')) AS wc,
             coalesce(l.canonical, d.doc_id) % $GroupedFolds AS fold
@@ -1049,7 +1049,7 @@ object Dedup {
   def q234Sql: String = {
     val qs = TextFunctions.qualityScoreSql("text")
     s"""WITH RECURSIVE $bandCtes,
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION ALL
           SELECT doc_b, doc_a FROM pairs),
@@ -1057,11 +1057,11 @@ object Dedup {
           SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
           UNION
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (
+        labels AS MATERIALIZED (
           SELECT a AS doc, min(b) AS canonical FROM reach GROUP BY a),
-        quality AS (
+        quality AS MATERIALIZED (
           SELECT doc_id, $qs AS q FROM documents),
-        scored AS (
+        scored AS MATERIALIZED (
           SELECT l.canonical AS cluster, l.doc, qu.q,
             CAST(CAST(qu.q AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS qi
           FROM labels l JOIN quality qu ON qu.doc_id = l.doc),
@@ -1099,7 +1099,7 @@ object Dedup {
           FROM bandsi a JOIN bandsi b
             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
             AND a.doc_id < b.doc_id),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a AS a, doc_b AS b FROM pairsi
           UNION ALL
           SELECT doc_b, doc_a FROM pairsi),
@@ -1107,7 +1107,7 @@ object Dedup {
           SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
           UNION
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (
+        labels AS MATERIALIZED (
           SELECT a AS idx_doc, min(b) AS canonical FROM reach GROUP BY a),
         shb AS (
           SELECT doc_id, md5(unnest($sh)) AS h

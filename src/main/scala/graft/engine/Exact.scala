@@ -35,14 +35,25 @@ object Exact {
     (c * p).cast("long") / lit(p.toDouble)
   }
 
-  /** Order-exact SUM of a double column, emitted as a portable DOUBLE. */
+  /** Order-exact SUM of a double column, emitted as a portable DOUBLE.
+    *
+    * DOMAIN — two bounds, the ELEMENT one being the tighter and easier
+    * to miss: each input must satisfy |v| < 10^(18−scale) (the
+    * per-element decimal(18,scale) cast; under ANSI — Spark 4's
+    * default — an element outside it fails LOUDLY, but under ansi=off
+    * it casts to NULL and sum() silently DROPS the row, a
+    * plausible-looking wrong total), and the summed magnitude must fit
+    * [[decToDouble]]'s |Σ·10^scale| < 2⁶³. Auditing only the summed
+    * value misses the element class — check both. */
   def sumExact(c: Column, scale: Int): Column =
     decToDouble(sum(c.cast(s"decimal(18,$scale)")), scale)
 
   /** Double → exact integer CENTS (decimal-first, then shift) — the
     * load-bearing money/measure grid every integer-arithmetic query
     * shares (q55 arg-keys, q78 medians, q92 z-buckets, q108 fences).
-    * Oracle twin: `CAST(CAST(c AS DECIMAL(18,2)) * 100 AS BIGINT)`. */
+    * Oracle twin: `CAST(CAST(c AS DECIMAL(18,2)) * 100 AS BIGINT)`.
+    * DOMAIN: |c| < 10^16 per element (decimal(18,2)); ANSI fails loud,
+    * ansi=off NULLs — the [[sumExact]] element-bound note applies. */
   def cents(c: Column): Column =
     (c.cast("decimal(18,2)") * 100).cast("long")
 

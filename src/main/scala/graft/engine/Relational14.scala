@@ -62,7 +62,7 @@ object Relational14 {
   }
 
   def q169Sql: String =
-    s"""WITH ds AS (
+    s"""WITH ds AS MATERIALIZED (
           SELECT DISTINCT doc_id, source,
             unnest(${Dedup.shinglesSqlN("text", 5)}) AS shingle
           FROM documents),

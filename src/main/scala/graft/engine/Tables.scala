@@ -165,17 +165,33 @@ object Tables {
     // events.value ≥ 0 (EWMA folds, cents grids) and l_shipdate ≥
     // 1995-01-01 (q251/q257 ship_day = datediff from that epoch). A
     // fixture drift to negative territory must flag HERE, not as an
-    // inscrutable hash mismatch. One min() aggregate per table — scan
-    // cost is two parquet stats reads.
+    // inscrutable hash mismatch. One min() aggregate per table, on the
+    // RAW scan (no normalizeTs withColumn, no to_date wrap — either
+    // would block pushdown) with parquet aggregate pushdown enabled
+    // scoped, so at cluster scale this is genuinely footer-stat reads,
+    // not two full column scans at every session start; to_date is
+    // applied to the one-row RESULT. If a column's physical type is
+    // pushdown-ineligible Spark silently falls back to a column scan —
+    // slower, same answer.
     val domainProblems =
       if (problems.nonEmpty) Nil // schema already broken; don't scan
       else {
         // min() over an EMPTY table is NULL — an empty fixture is its own
         // contract drift, and must flag by name here rather than NPE in
         // the getDouble/getDate extraction.
-        val evRow = events(spark, sfDir).agg(min(col("value"))).head
-        val shipRow = lineitem(spark, sfDir)
-          .agg(min(to_date(col("l_shipdate")))).head
+        ensureNanosAsLong(spark) // legacy NANOS footers reject without it
+        val pdKey = "spark.sql.parquet.aggregatePushDown"
+        val pdPrev = spark.conf.getOption(pdKey)
+        spark.conf.set(pdKey, "true")
+        val (evRow, shipRow) =
+          try (
+            table(spark, sfDir, "events").agg(min(col("value"))).head,
+            table(spark, sfDir, "lineitem").agg(min(col("l_shipdate")).as("m"))
+              .select(to_date(col("m"))).head)
+          finally pdPrev match {
+            case Some(v) => spark.conf.set(pdKey, v)
+            case None => spark.conf.unset(pdKey)
+          }
         (if (evRow.isNullAt(0))
           Seq("events: table is empty — value-domain pins cannot be checked")
         else if (evRow.getDouble(0) < 0.0)

@@ -79,16 +79,30 @@ object TextFunctions {
       .otherwise("unk")
 
   /** Quality score ∈ [0,1]: length component + stopword-ratio component +
-    * average-word-length component (all int-ratio arithmetic). */
+    * average-word-length component — EXACT integer rational arithmetic,
+    * half-up on the 10⁻⁶ grid. The former double formula + round(…, 6)
+    * diverged from the oracle on exact-tie scores (Spark rounds the
+    * double's exact binary expansion, DuckDB rounds in floats — found
+    * by the ×10 carve, whose token scrambles produced tie-landing
+    * stopword ratios the shipped fixtures never do). score =
+    * [min(wc,100)·wc + 50·min(10·stop, wc) + 5·min(chars, 10·wc)]
+    * / (200·wc); micro-units = half-up((10⁶·num)/(200·wc)) =
+    * (10000·num + wc) div (2·wc), all in 64-bit integers (num ≤
+    * 200·wc, so the numerator stays < 2⁵³ for any wc < 4·10⁹ — the
+    * subtract-mod form keeps the final division an exact-multiple
+    * divide, bit-exact in IEEE). The one-division /1e6 tail is the
+    * same double op in both engines. */
   def qualityScore(c: Column): Column = {
-    val wc        = tokenCount(c).cast("double")
-    val stopHits  = (tokenOccurrences(c, "the") + tokenOccurrences(c, "a")).cast("double")
-    val awl       = length(replace(c, lit(" "), lit(""))) / wc
-    round(
-      least(lit(1.0), wc / 100.0) * 0.5
-        + least(lit(1.0), stopHits / wc * 10.0) * 0.25
-        + least(lit(1.0), awl / 10.0) * 0.25,
-      6)
+    val wc    = tokenCount(c).cast("long")
+    val stop  = (tokenOccurrences(c, "the") + tokenOccurrences(c, "a")).cast("long")
+    val chars = length(replace(c, lit(" "), lit(""))).cast("long")
+    val num = least(wc, lit(100L)) * wc +
+      lit(50L) * least(lit(10L) * stop, wc) +
+      lit(5L) * least(chars, lit(10L) * wc)
+    val half = lit(10000L) * num + wc
+    val den = wc * lit(2L)
+    val micro = ((half - half % den) / den).cast("long")
+    micro / lit(1000000.0)
   }
 
   /** Document fingerprint: md5 over whitespace-normalized lowercased text
@@ -127,11 +141,16 @@ object TextFunctions {
   def tokenCountSql(col: String): String =
     s"len(regexp_split_to_array(trim($col), '\\s+'))"
 
+  /** [[qualityScore]]'s exact-integer twin: BIGINT `//` is a floor on
+    * the positive operands, so both engines compute the identical
+    * micro-unit integer, then the identical single /1e6 double. */
   def qualityScoreSql(col: String): String = {
-    val wc   = s"CAST(${tokenCountSql(col)} AS DOUBLE)"
-    val stop = s"CAST(${occSql(col, "the")} + ${occSql(col, "a")} AS DOUBLE)"
-    val awl  = s"(length(replace($col, ' ', '')) / $wc)"
-    s"round(least(1.0, $wc / 100.0) * 0.5 + least(1.0, $stop / $wc * 10.0) * 0.25 + least(1.0, $awl / 10.0) * 0.25, 6)"
+    val wc   = s"CAST(${tokenCountSql(col)} AS BIGINT)"
+    val stop = s"CAST(${occSql(col, "the")} + ${occSql(col, "a")} AS BIGINT)"
+    val chars = s"CAST(length(replace($col, ' ', '')) AS BIGINT)"
+    val num = s"(least($wc, 100) * $wc + 50 * least(10 * $stop, $wc)" +
+      s" + 5 * least($chars, 10 * $wc))"
+    s"(((10000 * $num + $wc) // (2 * $wc)) / 1000000.0)"
   }
 
   def fingerprintSql(col: String): String =

@@ -51,11 +51,7 @@ object Sessionize {
         max($"ts").as("end_ts"))
       .withColumn("duration_s",
         expr("(unix_micros(end_ts) - unix_micros(start_ts)) div 1000000"))
-      .select($"user_id", $"session_idx", $"n_events",
-        graft.engine.Exact.tsString($"start_ts").as("start_ts"),
-        graft.engine.Exact.tsString($"end_ts").as("end_ts"),
-        $"duration_s")
-      .orderBy($"user_id", $"session_idx")
+      .transform(sessionOutput)
   }
 
   /** The gap-flag/session-number CTE chain every sessionization oracle
@@ -116,6 +112,33 @@ object Sessionize {
     (SessState(idx, open), out.result())
   }
 
+  /** One key's micro-batch, end to end: sort, [[advance]], flush the
+    * open session (AvailableNow drains in one batch, so every session
+    * closes at drain time; a production trigger would keep it in state
+    * and close from a timeout/timer), persist the emptied state through
+    * `save`. ONE definition so q40's flatMapGroupsWithState and q96's
+    * StatefulProcessor cannot drift (the sessionCtes rule, applied to
+    * the Scala side). */
+  private def flushAdvance(st0: SessState, rows: Iterator[Ev])(
+      save: SessState => Unit): Iterator[Session] = {
+    val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+    val (st1, closed) = advance(st0, sorted)
+    save(SessState(st1.idx, None))
+    (closed ++ st1.open).iterator
+  }
+
+  /** The output projection every sessionizer in the family emits —
+    * shared so the column contract the oracles hash cannot drift
+    * between q39/q40/q96. */
+  private def sessionOutput(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"user_id", $"session_idx", $"n_events",
+        graft.engine.Exact.tsString($"start_ts").as("start_ts"),
+        graft.engine.Exact.tsString($"end_ts").as("end_ts"),
+        $"duration_s")
+      .orderBy($"user_id", $"session_idx")
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState. AvailableNow ⇒
     * single micro-batch ⇒ every session closes at drain time, so output
     * matches q39; a production trigger would emit on inactivity timeout
@@ -134,24 +157,13 @@ object Sessionize {
       .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          val st0 = state.getOption.getOrElse(SessState(0L, None))
-          val (st1, closed) = advance(st0, sorted)
-          // AvailableNow: the stream drains in one batch — flush the open
-          // session too. (With a real trigger, keep it in state and let
-          // the timeout close it.)
-          state.update(SessState(st1.idx, None))
-          (closed ++ st1.open).iterator
+          flushAdvance(state.getOption.getOrElse(SessState(0L, None)),
+            evs)(state.update)
       }
 
     // sessions are row-scale (grow with the log) → file-sink drain,
     // never the driver-resident memory table
-    Streaming.drainToFileSink(spark, sessions.toDF())
-      .select($"user_id", $"session_idx", $"n_events",
-        graft.engine.Exact.tsString($"start_ts").as("start_ts"),
-        graft.engine.Exact.tsString($"end_ts").as("end_ts"),
-        $"duration_s")
-      .orderBy($"user_id", $"session_idx")
+    sessionOutput(Streaming.drainToFileSink(spark, sessions.toDF()))
   }
 
   /** [[StatefulProcessor]] (the Spark 4 `transformWithState` arbitrary-
@@ -172,15 +184,9 @@ object Sessionize {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
-        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
-      val st0 = if (state.exists()) state.get() else SessState(0L, None)
-      val (st1, closed) = advance(st0, sorted)
-      // AvailableNow drain-time flush, mirroring q40; a production
-      // trigger keeps the open session and closes it from a timer.
-      state.update(SessState(st1.idx, None))
-      (closed ++ st1.open).iterator
-    }
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] =
+      flushAdvance(if (state.exists()) state.get() else SessState(0L, None),
+        rows)(state.update)
   }
 
   /** Streaming sessionization via `transformWithState` — same contract
@@ -206,12 +212,7 @@ object Sessionize {
           implicitly[org.apache.spark.sql.Encoder[Session]])
       // sessions are row-scale → file-sink drain (see q40); the sink
       // parquet backs the lazy result, so no driver materialization
-      Streaming.drainToFileSink(spark, sessions.toDF())
-        .select($"user_id", $"session_idx", $"n_events",
-          graft.engine.Exact.tsString($"start_ts").as("start_ts"),
-          graft.engine.Exact.tsString($"end_ts").as("end_ts"),
-          $"duration_s")
-        .orderBy($"user_id", $"session_idx")
+      sessionOutput(Streaming.drainToFileSink(spark, sessions.toDF()))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(providerKey, v)
@@ -269,7 +270,11 @@ object Sessionize {
     * ts + its own gap; overlapping extents merge), which is order-free
     * — so the oracle reproduces sessions with a running max of
     * interval ends per user (a break exactly where the next event
-    * clears every preceding extent), and the output histogram
+    * STRICTLY clears every preceding extent: Spark's
+    * UpdatingSessionsIterator opens a new session only on
+    * start > current end, so touching windows MERGE — the same
+    * contract the q120 probe pins — and the oracle breaks on `>`,
+    * never `>=`), and the output histogram
     * (sessions per user distribution + global session/event totals) is
     * hash-exact. Scale: one shuffle by user, per-key local sort —
     * identical posture to every sessionizer in this family. */
@@ -301,7 +306,7 @@ object Sessionize {
                   (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   IS NULL THEN 1
-                WHEN epoch_us(ts) >= max(epoch_us(ts) + gap_us) OVER
+                WHEN epoch_us(ts) > max(epoch_us(ts) + gap_us) OVER
                   (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   THEN 1 ELSE 0 END AS brk
