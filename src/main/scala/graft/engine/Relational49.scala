@@ -138,24 +138,28 @@ object Relational49 {
   def q340Sql: String = {
     val sh = s"unnest(${Dedup.shinglesSqlN("text", 3)}) AS tk(t)"
     val sb = new StringBuilder
-    sb ++= s"""WITH u AS (
+    // every CTE is MATERIALIZED: c_i references c_{i-1} more than once
+    // and the tail references every c_i again — plain CTEs re-inline
+    // exponentially in CoverSteps (the q368/q383 oracle class; found
+    // live by the x10-carve full-catalog compare)
+    sb ++= s"""WITH u AS MATERIALIZED (
           SELECT DISTINCT t FROM documents, $sh
           WHERE doc_id % 10 = 0),
-        m AS (
+        m AS MATERIALIZED (
           SELECT DISTINCT d.source || '/' || d.lang AS shard, tk.t
           FROM documents d, $sh
           WHERE t IN (SELECT t FROM u)),
-        s1 AS (
+        s1 AS MATERIALIZED (
           SELECT shard, CAST(count(*) AS BIGINT) AS gain
           FROM m GROUP BY 1 ORDER BY gain DESC, shard LIMIT 1),
-        c1 AS (SELECT DISTINCT m.t FROM m JOIN s1 USING (shard))"""
+        c1 AS MATERIALIZED (SELECT DISTINCT m.t FROM m JOIN s1 USING (shard))"""
     for (i <- 2 to CoverSteps) {
       sb ++= s""",
-        s$i AS (
+        s$i AS MATERIALIZED (
           SELECT m.shard, CAST(count(*) AS BIGINT) AS gain
           FROM m WHERE m.t NOT IN (SELECT t FROM c${i - 1})
           GROUP BY 1 ORDER BY gain DESC, shard LIMIT 1),
-        c$i AS (SELECT t FROM c${i - 1}
+        c$i AS MATERIALIZED (SELECT t FROM c${i - 1}
                 UNION SELECT m.t FROM m JOIN s$i USING (shard))"""
     }
     sb ++= s"""

@@ -265,7 +265,7 @@ object Relational56 {
 
   def q360Sql: String = {
     val relax = (r: Int) =>
-      s"""d$r AS (
+      s"""d$r AS MATERIALIZED (
          SELECT node, min(dist) AS dist FROM (
            SELECT node, dist FROM d${r - 1}
            UNION ALL

@@ -71,17 +71,17 @@ object Relational63 {
              AND l_shipdate < TIMESTAMP '$Q379WinHi'
            GROUP BY 1, 2)"""
     val rounds = (1 to Q379Rounds).map { r =>
-      s"""prop$r AS (
+      s"""prop$r AS MATERIALIZED (
            SELECT s, p, w FROM (
              SELECT s, p, w, row_number() OVER (
                PARTITION BY s ORDER BY w DESC, p ASC) AS rn
              FROM e${r - 1}) WHERE rn = 1),
-         acc$r AS (
+         acc$r AS MATERIALIZED (
            SELECT s, p, w FROM (
              SELECT s, p, w, row_number() OVER (
                PARTITION BY p ORDER BY w DESC, s ASC) AS rn
              FROM prop$r) WHERE rn = 1),
-         e$r AS (
+         e$r AS MATERIALIZED (
            SELECT e.* FROM e${r - 1} e
            WHERE e.s NOT IN (SELECT s FROM acc$r)
              AND e.p NOT IN (SELECT p FROM acc$r))"""

@@ -107,10 +107,10 @@ object Relational66 {
           FROM base b CROSS JOIN c1 WHERE b.vec_id <> c1.vec_id)"""
     for (i <- 2 to Q388K) {
       sb ++= s""",
-        p$i AS (SELECT vec_id FROM d${i - 1}
+        p$i AS MATERIALIZED (SELECT vec_id FROM d${i - 1}
                 ORDER BY $Lam * rel - $OneMinusLam * ms DESC, vec_id
                 LIMIT 1),
-        c$i AS (SELECT d.vec_id, d.embedding, d.nrm, d.rel, d.ms
+        c$i AS MATERIALIZED (SELECT d.vec_id, d.embedding, d.nrm, d.rel, d.ms
                 FROM d${i - 1} d JOIN p$i USING (vec_id))"""
       if (i < Q388K) sb ++= s""",
         d$i AS MATERIALIZED (

@@ -150,7 +150,7 @@ object Relational70 {
   def q400Sql: String = {
     import graft.functions.TextFunctions._
     val lp = (2 to Q400LpRounds).map { r =>
-      s"""lab$r AS (
+      s"""lab$r AS MATERIALIZED (
            SELECT node, min(lab) AS lab FROM (
              SELECT u.u AS node, l.lab
              FROM und u JOIN lab${r - 1} l ON u.v = l.node

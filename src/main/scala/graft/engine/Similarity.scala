@@ -819,12 +819,12 @@ object Similarity {
           FROM e CROSS JOIN c1)"""
     for (i <- 2 to KCenterK) {
       sb ++= s""",
-        p$i AS (SELECT vec_id, d FROM d${i - 1}
+        p$i AS MATERIALIZED (SELECT vec_id, d FROM d${i - 1}
                 ORDER BY d DESC, vec_id LIMIT 1),
-        c$i AS (SELECT e.vec_id, e.embedding, p$i.d
+        c$i AS MATERIALIZED (SELECT e.vec_id, e.embedding, p$i.d
                 FROM e JOIN p$i USING (vec_id))"""
       if (i < KCenterK) sb ++= s""",
-        d$i AS (
+        d$i AS MATERIALIZED (
           SELECT p.vec_id, p.embedding,
             least(p.d, ${fullDistSql("p.embedding", s"c$i.embedding")}) AS d
           FROM d${i - 1} p CROSS JOIN c$i)"""
