@@ -36,13 +36,20 @@ def cell_eq(a, b) -> bool:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Optional shard spec "i/N": compare only every N-th query starting
+    # at i (0-based) — lets tools/carve_gate.sh run N check processes in
+    # parallel so one slow oracle doesn't serialize a 415-query compare.
+    shard_i, shard_n = 0, 1
+    if len(sys.argv) > 3:
+        shard_i, shard_n = (int(x) for x in sys.argv[3].split("/"))
+        assert 0 <= shard_i < shard_n, "shard spec must be i/N with i < N"
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
-    for name, sql in sorted(oracle.items()):
+    for name, sql in sorted(oracle.items())[shard_i::shard_n]:
         try:
             got = norm(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
