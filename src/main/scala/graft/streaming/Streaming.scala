@@ -68,9 +68,16 @@ object Streaming {
     * file actually carries; cached per directory. */
   private val footerSchemaCache =
     scala.collection.concurrent.TrieMap.empty[String, StructType]
-  private[graft] def eventsFooterSchema(spark: SparkSession, sfDir: String): StructType =
-    footerSchemaCache.getOrElseUpdate(sfDir,
+  private[graft] def eventsFooterSchema(spark: SparkSession, sfDir: String): StructType = {
+    // cache key includes the file's (mtime, size): if the fixture is
+    // regenerated under the same path with a different physical ts
+    // encoding mid-JVM — the exact drift this probe exists for — the
+    // stale schema must not survive (the disorderCache re-validation
+    // discipline; a stale hit here IS the silent 1000× shrink).
+    val f = new java.io.File(s"$sfDir/events.parquet")
+    footerSchemaCache.getOrElseUpdate(s"$sfDir@${f.lastModified}:${f.length}",
       spark.read.parquet(s"$sfDir/events.parquet").schema)
+  }
 
   /** File-source stream over the events table, `ts` ALREADY normalized
     * to TimestampType — downstream queries never see the physical
@@ -176,7 +183,14 @@ object Streaming {
       date: String, hour: Int): Option[(String, DataFrame)] = {
     def attempt(d: String, h: Int): Option[(String, DataFrame)] = {
       val p = s"$root/date=$d/hour=${"%02d".format(h)}"
-      if (new java.io.File(p).isDirectory) Some((p, spark.read.parquet(p)))
+      // existence via the root's Hadoop FileSystem, not java.io.File —
+      // the documented posture is "driver-side FS metadata only", and
+      // the roots that posture is for (hdfs://, s3a://) are invisible
+      // to java.io.File, which would silently turn "data present" into
+      // "graceful absence" on every non-local deployment
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hp)) Some((p, spark.read.parquet(p)))
       else None
     }
     attempt(date, hour).orElse {
@@ -195,21 +209,24 @@ object Streaming {
   def runIngest(spark: SparkSession, sfDir: String, outDir: String,
       partitionCols: Seq[String] = Seq("date", "hour")): String = {
     val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
-    val q = projectIngest(readEventsStreamConfigured(spark, sfDir))
-      .transform(graft.plans.PlanProbe.record).writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .partitionBy(partitionCols: _*)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // AvailableNow drained everything; the checkpoint is call-scoped
+    // AvailableNow drains everything; the checkpoint is call-scoped
     // (resume semantics are proven by the dedicated spec with a
-    // caller-owned checkpoint), so reclaim it here
-    TempIo.deleteRecursively(checkpoint)
-    outDir
+    // caller-owned checkpoint), so reclaim it in finally — a failed
+    // stream must not leak a corpus-scale scratch dir per run (the
+    // q270 discipline, retrofitted)
+    try {
+      val q = projectIngest(readEventsStreamConfigured(spark, sfDir))
+        .transform(graft.plans.PlanProbe.record).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .partitionBy(partitionCols: _*)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      outDir
+    } finally TempIo.deleteRecursively(checkpoint)
   }
 
   /** S5 end-to-end as an oracle-checked query: stream-ingest events
@@ -240,10 +257,10 @@ object Streaming {
     // date-grain sink here (the hour column still flows as data); the
     // full (date, hour) layout is exercised by the runIngest spec — the
     // roundtrip proof is identical, at 1/24th the directory count.
-    runIngest(spark, sfDir, out, partitionCols = Seq("date"))
-    val result = readbackAgg(spark, out)
-    TempIo.deleteRecursively(out)
-    result
+    try {
+      runIngest(spark, sfDir, out, partitionCols = Seq("date"))
+      readbackAgg(spark, out)
+    } finally TempIo.deleteRecursively(out)
   }
 
   def q63Sql: String =
@@ -267,19 +284,21 @@ object Streaming {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-fes-").toString
     val checkpoint = Files.createTempDirectory("graft-fes-ckpt-").toString
-    val q = projectIngest(readEventsStream(spark, sfDir))
-      .transform(graft.plans.PlanProbe.record).writeStream
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$out/epoch=$epochId")
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = readbackAgg(spark, out)
-    TempIo.deleteRecursively(out)
-    TempIo.deleteRecursively(checkpoint)
-    result
+    try {
+      val q = projectIngest(readEventsStream(spark, sfDir))
+        .transform(graft.plans.PlanProbe.record).writeStream
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/epoch=$epochId")
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readbackAgg(spark, out)
+    } finally {
+      TempIo.deleteRecursively(out)
+      TempIo.deleteRecursively(checkpoint)
+    }
   }
 
   /** q270 — S6 through the CONNECTOR shape: q86's foreachBatch callback
@@ -564,12 +583,9 @@ object Streaming {
     val out = TempIo.createTempDir("graft-gsr-out-")
     val ckpt = TempIo.createTempDir("graft-gsr-ckpt-")
     try {
-      val chunkSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampType),
-        StructField("user_id", LongType), StructField("value", DoubleType)))
       def drain(): Unit = {
         val q = spark.readStream
-          .schema(chunkSchema)
+          .schema(quarterChunkSchema)
           .option("pathGlobFilter", "chunk*.parquet")
           .option("maxFilesPerTrigger", "1")
           .parquet(src)
@@ -621,16 +637,12 @@ object Streaming {
   def q291StreamObserve(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val src = TempIo.createTempDir("graft-obs-src-")
+    val src = timeQuarterChunks(spark, sfDir)
     val sink = TempIo.createTempDir("graft-obs-sink-")
     val ckpt = TempIo.createTempDir("graft-obs-ckpt-")
     try {
-      writeTimeQuarterChunks(spark, sfDir, src)
-      val chunkSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampType),
-        StructField("user_id", LongType), StructField("value", DoubleType)))
       val q = spark.readStream
-        .schema(chunkSchema)
+        .schema(quarterChunkSchema)
         .option("pathGlobFilter", "chunk*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
@@ -658,7 +670,7 @@ object Streaming {
       Seq((nDataBatches.toLong, totals._1, totals._2, totals._3 / 100.0))
         .toDF("n_batches", "n_rows", "high_value", "sum_value")
     } finally {
-      Seq(src, sink, ckpt).foreach(TempIo.deleteRecursively)
+      Seq(sink, ckpt).foreach(TempIo.deleteRecursively)
     }
   }
 
@@ -1260,8 +1272,17 @@ object Streaming {
       chunked.filter($"c" === i).drop("c").coalesce(1).write.parquet(dir)
       val part = new java.io.File(dir).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$dst/chunk$i.parquet"))
+      val dest = java.nio.file.Paths.get(s"$dst/chunk$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      // every disordered-carve oracle models batch k = chunk k, and
+      // FileStreamSource orders same-batch discoveries by modification
+      // time — pin each chunk's mtime strictly increasing (exactly as
+      // writeTimeQuarterChunks does) so a coarse-granularity filesystem
+      // can never tie two chunks and reorder the replay. Pinned by
+      // chunk INDEX, so q205's staged writes (1-2, restart, 3-4) keep
+      // the same global order.
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       graft.engine.TempIo.deleteRecursively(dir)
     }
   }
@@ -1722,16 +1743,13 @@ object Streaming {
     * join PROPAGATES — the engine measurably withholds the final
     * pair-hour at sf0.01 (56 of 57 windows emit), proving the chained
     * operator is watermark-gated, not flush-everything. Calibration
-    * honesty: the round-6 regenerated sf0.1 fixture put a pair-window
-    * end (20:00, = min-side-max − 3h58m33s) inside the formerly-empty
-    * ambiguity band and the engine WITHHOLDS it — so the engine's true
-    * gate is at most min-of-sides-max − 3h58m33s, and the old −3h
-    * oracle constant (1h watermark + 2h interval) is too loose. The
-    * oracle now pins −4h (1h watermark + 2h interval + 1h chained-agg
-    * propagation), the tightest hour-grain constant that reproduces the
-    * engine's emitted set bit-exactly at ALL of sf0.001/0.01/0.1
-    * (−5h also matches; −3h does not); pair COUNTS per window are
-    * checked exactly everywhere. */
+    * history (current model in [[q206Sql]]'s scaladoc): round 8's −4 h
+    * constant was calibrated on fixtures whose trailing hours had no
+    * pairs (green by vacuity); the round-10 skewed carve pinned the
+    * true gate at −5 h = 3 h side watermark + 2 h join interval
+    * (−18000000 ms in the oracle) — recalibrate from q206Sql's
+    * derivation, never from round-8 numbers. Pair COUNTS per window
+    * are checked exactly everywhere. */
   def q206JoinThenWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     def side(tag: String, eventType: String) =
@@ -2300,6 +2318,35 @@ object Streaming {
     * replayed with maxFilesPerTrigger=1, batches arrive in event-time
     * order, and a ts tie can never straddle chunks (chunk is a function
     * of ts alone). Fixture prep, not the operator. */
+  /** The physical schema of [[writeTimeQuarterChunks]]' chunk files —
+    * the read-side contract of every quarter-chunk replay (the
+    * [[eventsNormSchema]] role, for the carved form): one definition so
+    * a future column reaches all six readers or none. */
+  private[graft] val quarterChunkSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("value", DoubleType)))
+
+  /** Full 4-chunk time-quarter carve, MEMOIZED per sfDir — the
+    * [[disorderedChunks]] discipline: the carve is deterministic, and
+    * six queries × two bench passes re-reading events and re-writing
+    * the same four files is pure waste. The cache owns the dir
+    * (deleteAtExit; re-validated and rebuilt if removed); callers must
+    * NOT delete it. q290's staged-subset replay still calls
+    * [[writeTimeQuarterChunks]] directly into its own dir. */
+  private val quarterCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def timeQuarterChunks(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val cached = quarterCache.get(sfDir).filter(d =>
+        (1 to 4).forall(i => new java.io.File(s"$d/chunk$i.parquet").exists()))
+      cached.getOrElse {
+        val src = TempIo.createTempDir("graft-quarter-src-")
+        writeTimeQuarterChunks(spark, sfDir, src)
+        TempIo.deleteAtExit(src)
+        quarterCache(sfDir) = src
+        src
+      }
+    }
+
   private def writeTimeQuarterChunks(spark: SparkSession, sfDir: String,
       src: String, which: Seq[Int] = 1 to 4): Unit = {
     import spark.implicits._
@@ -2333,13 +2380,9 @@ object Streaming {
 
   def q250StreamEwma(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
-    val src = TempIo.createTempDir("graft-ewma-src-")
-    writeTimeQuarterChunks(spark, sfDir, src)
-    val chunkSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
-      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val src = timeQuarterChunks(spark, sfDir)
     val updates = spark.readStream
-      .schema(chunkSchema)
+      .schema(quarterChunkSchema)
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
@@ -2374,7 +2417,6 @@ object Streaming {
         .agg(max($"n_events").as("n_events"),
           max_by($"ewma_units", $"n_events").as("ewma_units"))
         .orderBy($"user_id"))
-    TempIo.deleteRecursively(src)
     result
   }
 
@@ -2413,13 +2455,9 @@ object Streaming {
     * emission. State: four longs per key. */
   def q258StreamAlerts(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
-    val src = TempIo.createTempDir("graft-alert-src-")
-    writeTimeQuarterChunks(spark, sfDir, src)
-    val chunkSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
-      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val src = timeQuarterChunks(spark, sfDir)
     val updates = spark.readStream
-      .schema(chunkSchema)
+      .schema(quarterChunkSchema)
       .option("pathGlobFilter", "chunk*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
@@ -2454,7 +2492,6 @@ object Streaming {
           max_by($"n_alerts", $"n_events").as("n_alerts"),
           max_by($"n_high", $"n_events").as("n_high"))
         .orderBy($"user_id"))
-    TempIo.deleteRecursively(src)
     result
   }
 
@@ -2525,18 +2562,14 @@ object Streaming {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val src = TempIo.createTempDir("graft-mapstate-src-")
-      writeTimeQuarterChunks(spark, sfDir, src)
-      val chunkSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampType),
-        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val src = timeQuarterChunks(spark, sfDir)
       // event_type is not in the quarter-chunk projection; re-derive it
       // deterministically from event_id via a broadcast join against the
       // batch table (fixture plumbing, not the operator)
       val types = Tables.events(spark, sfDir)
         .select($"event_id".as("eid"), $"event_type")
       val updates = spark.readStream
-        .schema(chunkSchema)
+        .schema(quarterChunkSchema)
         .option("pathGlobFilter", "chunk*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
@@ -2557,7 +2590,6 @@ object Streaming {
           .groupBy($"user_id", $"event_type")
           .agg(max($"counts").as("counts"))
           .orderBy($"user_id", $"event_type"))
-      TempIo.deleteRecursively(src)
       result
     } finally {
       prev match {
@@ -2630,13 +2662,9 @@ object Streaming {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val src = TempIo.createTempDir("graft-lastk-src-")
-      writeTimeQuarterChunks(spark, sfDir, src)
-      val chunkSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampType),
-        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val src = timeQuarterChunks(spark, sfDir)
       val updates = spark.readStream
-        .schema(chunkSchema)
+        .schema(quarterChunkSchema)
         .option("pathGlobFilter", "chunk*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
@@ -2657,7 +2685,6 @@ object Streaming {
           .agg(max($"n_events").as("n_events"),
             max_by($"last5", $"n_events").as("last5"))
           .orderBy($"user_id"))
-      TempIo.deleteRecursively(src)
       result
     } finally {
       prev match {
@@ -2794,13 +2821,9 @@ object Streaming {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val src = TempIo.createTempDir("graft-timer-src-")
-      writeTimeQuarterChunks(spark, sfDir, src)
-      val chunkSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampType),
-        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val src = timeQuarterChunks(spark, sfDir)
       val sessions = spark.readStream
-        .schema(chunkSchema)
+        .schema(quarterChunkSchema)
         .option("pathGlobFilter", "chunk*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
@@ -2817,7 +2840,6 @@ object Streaming {
       val drained = drainToFileSink(spark,
         sessions.toDF("user_id", "n_events", "start_us", "end_us"))
       val result = drained.orderBy($"user_id", $"start_us")
-      TempIo.deleteRecursively(src)
       result
     } finally {
       prev match {
@@ -3117,8 +3139,8 @@ object Streaming {
     val out = graft.engine.TempIo.createTempDir("graft-sagg-")
     val ckpt = graft.engine.TempIo.createTempDir("graft-sagg-ckpt-")
     try {
-      val q = graft.engine.Tables.normalizeTs(
-          readEventsStream(spark, sfDir))
+      // readEventsStream's contract: ts is ALREADY normalized
+      val q = readEventsStream(spark, sfDir)
         .select($"event_type".as("etype"), $"user_id".as("uid"),
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents"))
