@@ -67,16 +67,37 @@ object Streaming {
     * read (driver-side, no data scan) and hand the stream the schema the
     * file actually carries; cached per directory. */
   private val footerSchemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, StructType]
+    scala.collection.concurrent.TrieMap.empty[String, (String, StructType)]
+
+  /** (mtime, length) staleness stamp for a fixture file, resolved via
+    * the path's OWN Hadoop FileSystem — `java.io.File` reports 0:0 for
+    * hdfs:// and s3a:// paths, which would silently collapse any
+    * mtime-keyed staleness protection to a constant on exactly the
+    * deployments it exists for (the readHourPartitionOrFallback probe
+    * discipline). */
+  private[graft] def fixtureStamp(spark: SparkSession, path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val st = hp.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(hp)
+    s"${st.getModificationTime}:${st.getLen}"
+  }
+
   private[graft] def eventsFooterSchema(spark: SparkSession, sfDir: String): StructType = {
-    // cache key includes the file's (mtime, size): if the fixture is
-    // regenerated under the same path with a different physical ts
+    // cache VALUE carries the file's (mtime, size) stamp: if the fixture
+    // is regenerated under the same path with a different physical ts
     // encoding mid-JVM — the exact drift this probe exists for — the
     // stale schema must not survive (the disorderCache re-validation
-    // discipline; a stale hit here IS the silent 1000× shrink).
-    val f = new java.io.File(s"$sfDir/events.parquet")
-    footerSchemaCache.getOrElseUpdate(s"$sfDir@${f.lastModified}:${f.length}",
-      spark.read.parquet(s"$sfDir/events.parquet").schema)
+    // discipline; a stale hit here IS the silent 1000× shrink). Keying
+    // the map by sfDir with the stamp in the value (not the key) also
+    // replaces the prior entry on regeneration instead of accreting one
+    // dead entry per regeneration.
+    val stamp = fixtureStamp(spark, s"$sfDir/events.parquet")
+    footerSchemaCache.get(sfDir) match {
+      case Some((`stamp`, schema)) => schema
+      case _ =>
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        footerSchemaCache(sfDir) = (stamp, schema)
+        schema
+    }
   }
 
   /** File-source stream over the events table, `ts` ALREADY normalized
@@ -2333,16 +2354,26 @@ object Streaming {
     * (deleteAtExit; re-validated and rebuilt if removed); callers must
     * NOT delete it. q290's staged-subset replay still calls
     * [[writeTimeQuarterChunks]] directly into its own dir. */
-  private val quarterCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val quarterCache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private[graft] def timeQuarterChunks(spark: SparkSession, sfDir: String): String =
     synchronized {
-      val cached = quarterCache.get(sfDir).filter(d =>
-        (1 to 4).forall(i => new java.io.File(s"$d/chunk$i.parquet").exists()))
+      // revalidate BOTH directions of drift: the carved chunks must
+      // still exist (the cache owns a deletable temp dir), and the
+      // SOURCE fixture must be the one the chunks were carved from —
+      // a mid-JVM events.parquet regeneration otherwise keeps serving
+      // chunks of the old data to six streaming queries, failing only
+      // later as opaque gate hash mismatches (the eventsFooterSchema
+      // staleness discipline, applied to the carve).
+      val stamp = fixtureStamp(spark, s"$sfDir/events.parquet")
+      val cached = quarterCache.get(sfDir).collect {
+        case (`stamp`, d) if (1 to 4).forall(i =>
+          new java.io.File(s"$d/chunk$i.parquet").exists()) => d
+      }
       cached.getOrElse {
         val src = TempIo.createTempDir("graft-quarter-src-")
         writeTimeQuarterChunks(spark, sfDir, src)
         TempIo.deleteAtExit(src)
-        quarterCache(sfDir) = src
+        quarterCache(sfDir) = (stamp, src)
         src
       }
     }

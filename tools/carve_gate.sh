@@ -33,6 +33,10 @@ if [ -s "$VDIR/VERIFY_ERRORS.json" ] && [ "$(cat "$VDIR/VERIFY_ERRORS.json")" !=
   cat "$VDIR/VERIFY_ERRORS.json"
 fi
 
+# Clear shard logs from any previous run: an earlier invocation with
+# MORE shards leaves orphan logs whose stale FAIL/OK lines the summary
+# below would re-print and re-count even on a green gate.
+rm -f /tmp/carve_gate_shard*.log
 PIDS=()
 for i in $(seq 0 $((SHARDS - 1))); do
   python3 tools/check.py "$OUT" "$VDIR" "$i/$SHARDS" \
