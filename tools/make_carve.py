@@ -32,6 +32,7 @@ import duckdb
 src, k, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 skew = None
 full = False
+tables = None
 args = sys.argv[4:]
 while args:
     if args[0] == "--skew":
@@ -41,10 +42,25 @@ while args:
     elif args[0] == "--full":
         full = True
         args = args[1:]
+    elif args[0] == "--tables":
+        # Carve ONLY the named fact tables, symlink the rest (VERDICT
+        # r12 item 3): a x100 carve of the whole catalog is pointless
+        # when the measurement targets five queries over three tables —
+        # the subset keeps build time and disk at the tables under test.
+        tables = set(args[1].split(","))
+        bad = tables - {"events", "orders", "lineitem", "documents",
+                        "embeddings"}
+        assert not bad, f"--tables: unknown carveable tables {sorted(bad)}"
+        args = args[2:]
     else:
         raise AssertionError(f"unknown flag {args[0]}")
 assert not (skew and full), "--skew and --full are separate carve kinds"
+assert tables is None or full, "--tables requires --full"
 os.makedirs(out, exist_ok=True)
+
+
+def want(t):
+    return tables is None or t in tables
 
 n, u, umin = duckdb.sql(
     f"SELECT max(event_id) + 1, max(user_id) + 1, min(user_id) "
@@ -55,15 +71,16 @@ mod = round(1 / skew) if skew else 0
 user_expr = (
     f"CASE WHEN event_id % {mod} = 0 THEN CAST({umin} AS BIGINT) "
     f"ELSE user_id + i * {u} END" if skew else f"user_id + i * {u}")
-duckdb.sql(f"""
-  COPY (
-    SELECT event_id + i * {n} AS event_id, ts,
-           {user_expr} AS user_id, event_type, value, props
-    FROM read_parquet('{src}/events.parquet')
-    CROSS JOIN (VALUES {copies}) t(i)
-    ORDER BY event_id
-  ) TO '{out}/events.parquet' (FORMAT PARQUET)
-""")
+if want("events"):
+    duckdb.sql(f"""
+      COPY (
+        SELECT event_id + i * {n} AS event_id, ts,
+               {user_expr} AS user_id, event_type, value, props
+        FROM read_parquet('{src}/events.parquet')
+        CROSS JOIN (VALUES {copies}) t(i)
+        ORDER BY event_id
+      ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
 
 if skew:
     smin = duckdb.sql(
@@ -91,7 +108,8 @@ if full:
     # super-linear timing is the OPERATOR's, not the fixture's.
     okmax = duckdb.sql(
         f"SELECT max(o_orderkey) + 1 FROM '{src}/orders.parquet'").fetchone()[0]
-    duckdb.sql(f"""
+    if want("orders"):
+        duckdb.sql(f"""
       COPY (
         SELECT o_orderkey + i * {okmax} AS o_orderkey, o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
@@ -100,7 +118,8 @@ if full:
         ORDER BY o_orderkey
       ) TO '{out}/orders.parquet' (FORMAT PARQUET)
     """)
-    duckdb.sql(f"""
+    if want("lineitem"):
+        duckdb.sql(f"""
       COPY (
         SELECT l_orderkey + i * {okmax} AS l_orderkey, l_partkey, l_suppkey,
                l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -122,7 +141,8 @@ if full:
     # ~0.2, below every LSH band threshold): each copy is a parallel
     # corpus, not a duplicate. Same-length replacements keep n_chars
     # and all length/quality statistics identical.
-    duckdb.sql(f"""
+    if want("documents"):
+        duckdb.sql(f"""
       COPY (
         SELECT doc_id + i * {dmax} AS doc_id,
                CASE WHEN i = 0 THEN text ELSE
@@ -148,7 +168,8 @@ if full:
     # new points from the same distribution, not clones.
     vmax = duckdb.sql(
         f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
-    duckdb.sql(f"""
+    if want("embeddings"):
+        duckdb.sql(f"""
       COPY (
         SELECT vec_id + i * {vmax} AS vec_id,
                CASE WHEN i = 0 THEN embedding ELSE
@@ -165,13 +186,13 @@ if full:
     """)
 
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "documents", "embeddings"):
+          "lineitem", "documents", "embeddings", "events"):
     dst = f"{out}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{src}/{t}.parquet", dst)
 
 rows = duckdb.sql(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
-if full and k > 1:
+if full and k > 1 and want("documents") and want("embeddings"):
     # carve-quality readout: cross-copy similarity must sit BELOW
     # dedup thresholds or the scale measurement is measuring the
     # carve's own degeneracy, not the operator
