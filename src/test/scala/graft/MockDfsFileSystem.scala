@@ -42,3 +42,14 @@ class StrictRenameFileSystem extends RawLocalFileSystem {
       dst: org.apache.hadoop.fs.Path): Boolean =
     if (exists(dst)) false else super.rename(src, dst)
 }
+
+/** [[StrictRenameFileSystem]] registered under its own `strictdfs:`
+  * scheme, so an ENTIRE streaming checkpoint (Spark's offset/commit
+  * logs AND the arrival log, every compact/refold publish) can run
+  * under HDFS's refuse-existing-destination rename contract — any
+  * publish that targets an existing name fails the stream loudly
+  * instead of being silently overwritten by the raw local FS. */
+class StrictDfsFileSystem extends StrictRenameFileSystem {
+  override def getUri: URI = URI.create("strictdfs:///")
+  override def getScheme: String = "strictdfs"
+}
