@@ -135,11 +135,56 @@ object Similarity {
     * non-default plane count changes bucket MEMBERSHIP and therefore
     * rows — approximate-by-contract, exactly like probing a different
     * nlist in IVF — so gated correctness runs always use the default. */
-  private def lshPlanes(spark: SparkSession): Int = {
-    val p = spark.conf.get("spark.graft.lsh.planes", "4").toInt
-    require(p >= 1 && p <= 16, s"spark.graft.lsh.planes must be in [1,16], got $p")
-    p
+  /** The gated sign-LSH plane count — the oracle twins pin 4 planes /
+    * 16 buckets; every non-default posture is opt-in. */
+  val DefaultLshPlanes = 4
+
+  /** Turnkey plane sizing: the plane count that holds the EXPECTED
+    * bucket population at `targetBucketSize` as the corpus grows —
+    * |bucket| ≈ n / 2^planes, so planes = ⌈log₂(n / target)⌉. This is
+    * the function a production operator was previously expected to
+    * compute by hand after reading the q288 carve measurement (fixed
+    * planes ⇒ |bucket| ∝ n ⇒ in-bucket mining n·|bucket| goes
+    * quadratic; +1 plane per corpus doubling keeps it linear).
+    *
+    * Clamped to [[DefaultLshPlanes]]..16: small corpora keep the gated
+    * 16-bucket contract (never UNDER-partition below the pinned
+    * default), and 16 planes = 65 536 buckets is the bucket-id width
+    * the bit-sum representation carries. Like any plane-count change,
+    * an auto-chosen count changes bucket MEMBERSHIP and therefore rows
+    * — approximate-by-contract, exactly like probing a different nlist
+    * in IVF — so gated correctness runs stay on the default.
+    *
+    * `targetBucketSize` trades recall for cost: candidates per probe
+    * (serving, q25) and per-anchor negatives (mining, q288) are both
+    * ≈ target; 4096 keeps the in-bucket self-join's per-bucket cell at
+    * ~16 M pairs — comfortably one task — while leaving thousands of
+    * candidates per probe. */
+  def autoPlanes(corpusSize: Long, targetBucketSize: Long = 4096L): Int = {
+    require(corpusSize > 0, s"corpusSize must be positive, got $corpusSize")
+    require(targetBucketSize > 0,
+      s"targetBucketSize must be positive, got $targetBucketSize")
+    val raw = math.ceil(
+      math.log(corpusSize.toDouble / targetBucketSize.toDouble) /
+        math.log(2.0)).toInt
+    math.min(16, math.max(DefaultLshPlanes, raw))
   }
+
+  /** `spark.graft.lsh.planes`: `"auto"` → [[autoPlanes]] of the corpus
+    * being indexed (size evaluated only then — the default path costs
+    * no count job) with `spark.graft.lsh.targetBucket` (default 4096);
+    * an explicit integer pins the count; unset → the gated default. */
+  private def lshPlanes(spark: SparkSession, corpusSize: => Long): Int =
+    spark.conf.get("spark.graft.lsh.planes", DefaultLshPlanes.toString) match {
+      case "auto" =>
+        autoPlanes(corpusSize,
+          spark.conf.get("spark.graft.lsh.targetBucket", "4096").toLong)
+      case s =>
+        val p = s.toInt
+        require(p >= 1 && p <= 16,
+          s"spark.graft.lsh.planes must be in [1,16] or 'auto', got $p")
+        p
+    }
 
   private def lshBucket(emb: Column, planes: Int = 4): Column =
     (0 until planes).map { j =>
@@ -160,7 +205,7 @@ object Similarity {
     * Same output shape as q24 (rank within retrieved candidates). */
   def q25AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val planes = lshPlanes(spark)
+    val planes = lshPlanes(spark, Tables.embeddings(spark, sfDir).count())
     // separate scan per self-join side (the q288 discipline): distinct
     // attribute ids keep the bucket self-join free of Spark's
     // dedup-rebinding edge cases under non-broadcast physical plans
@@ -1250,7 +1295,7 @@ object Similarity {
     * rank — no all-pairs stage. */
   def q288HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val planes = lshPlanes(spark)
+    val planes = lshPlanes(spark, Tables.embeddings(spark, sfDir).count())
     def sides() = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", $"embedding",
         lshBucket($"embedding", planes).as("bucket"),
@@ -1306,7 +1351,7 @@ object Similarity {
     * Same join as q288; diagonal counts positive (same-label) pairs. */
   def q289PairAvailability(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val planes = lshPlanes(spark)
+    val planes = lshPlanes(spark, Tables.embeddings(spark, sfDir).count())
     def side() = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", lshBucket($"embedding", planes).as("bucket"))
     val emb = side()
