@@ -96,19 +96,32 @@ object Bench {
     val med = math.min(median(p1), median(p2))
     def suspect(rs: Seq[Double]): Boolean =
       rs.isEmpty || rs.max > 2 * rs.min || rs.min > 5 * med + 0.5
-    val best = names.map { n =>
+    val measured = names.map { n =>
       val rs = (p1(n) ++ p2(n)).toSeq
       val rerun = if (suspect(rs)) time(SparkEntry.queries(n)) else None
-      n -> (rs ++ rerun).minOption
+      n -> (rs ++ rerun)
     }
-    val ok = best.collect { case (n, Some(v)) => n -> v }
-    val errors = best.collect { case (n, None) => n }
+    val ok = measured.collect { case (n, rs) if rs.nonEmpty => n -> rs }
+    val errors = measured.collect { case (n, rs) if rs.isEmpty => n }
     // "q01_flag_share_count" -> "q01": keys are unique by construction.
     def f3(v: Double) = "%.3f".formatLocal(Locale.ROOT, v)
-    val qs = ok.map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
+    val qs = ok.map { case (k, rs) => "\"" + short(k) + "\":" + f3(rs.min) }
       .mkString("{", ",", "}")
+    // Per-query SPREAD (max/min - 1 over this run's readings): best-of-N
+    // absorbs spikes but HIDES them — one tree measured 366-414 s across
+    // quiet-host repeats in r12, so a round-over-round per-query ratio
+    // can be pure noise. The spread column lets the comparison discount
+    // noisy readings mechanically: a query in `noisy` (spread > 30%) had
+    // readings too far apart for its best to be trusted to ±30%.
+    val spreads = ok.map { case (n, rs) =>
+      n -> (if (rs.size < 2) 0.0 else rs.max / rs.min - 1.0) }
+    val spreadJson = spreads
+      .map { case (k, s) => "\"" + short(k) + "\":" + f3(s) }
+      .mkString("{", ",", "}")
+    val noisyJson = spreads.collect { case (n, s) if s > 0.30 =>
+      "\"" + short(n) + "\"" }.mkString("[", ",", "]")
     val errJson = errors.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val total = f3(ok.map(_._2).sum)
+    val total = f3(ok.map(_._2.min).sum)
     spark.stop()
     // Steal-time annotation (VERDICT r10 item 6): the fraction of this
     // run's host CPU time stolen by the hypervisor/noisy neighbors, so
@@ -126,7 +139,7 @@ object Bench {
     // self-contained headline (total, count, errors, slowest-5) that can
     // never outgrow the tail window.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","steal_pct":$stealPct,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","steal_pct":$stealPct,"queries":$qs,"spreads":$spreadJson,"noisy":$noisyJson,"errors":$errJson,"sf":"$sfDir"}"""
     // a SUBSET run must never clobber the committed full-run record:
     // without an explicit SPARK_GRAFT_BENCH_OUT it lands in /tmp
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -146,8 +159,8 @@ object Bench {
           "null"
       }
     println(fullLine)
-    val slow5 = ok.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
+    val slow5 = ok.sortBy(-_._2.min).take(5)
+      .map { case (k, rs) => "\"" + short(k) + "\":" + f3(rs.min) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"steal_pct":$stealPct,"queries":$slow5,"errors":$errJson,"sf":"$sfDir","detail":$detailJson}""")
   }
