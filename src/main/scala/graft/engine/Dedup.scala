@@ -100,7 +100,10 @@ object Dedup {
     import spark.implicits._
     val bands = corpusBands(spark, sfDir)
     val a = bands.as("a")
-    val b = bands.as("b")
+    // shuffle-hash (the Similarity.candidateJoin discipline): the
+    // band-bucket pair fan-out must parallelize by the key shuffle,
+    // never by the probe side's split count
+    val b = bands.as("b").hint("shuffle_hash")
     a.join(b,
         $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
           $"a.doc_id" < $"b.doc_id")
@@ -329,7 +332,8 @@ object Dedup {
     val sample = raw.join(keep, "sh")
     val sizes = sample.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sample.as("a")
-      .join(sample.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .join(sample.as("b").hint("shuffle_hash"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -503,15 +507,28 @@ object Dedup {
     }
 
   /** Per-doc SORTED shingle sets over [[distinctShingles]] — the
-    * broadcast ground-truth frame both q102's verification and q132's
-    * precision audit consume (one definition, so the recall and
-    * precision sides of the pairing can never diverge). */
+    * ground-truth frame q102's verification, q132's precision audit,
+    * q239's containment check and the truth-pair builders consume (one
+    * definition, so the recall and precision sides of the pairing can
+    * never diverge).
+    *
+    * Elements are 64-bit xxhash64 FINGERPRINTS of the shingles, not
+    * the strings: verification attaches a set to every surviving
+    * candidate PAIR, so at corpus scale the set payload rides a
+    * per-pair shuffle — hashed sets cut those bytes ~3× and the merge
+    * loop compares longs instead of UTF8 (~10×). Intersection COUNTS
+    * are unchanged: distinct shingles map 1:1 to distinct fingerprints
+    * (a 64-bit collision inside one doc's ~50-element set is ~1e-17
+    * per doc, and the oracle gate would fail loudly on one). Purely an
+    * engine representation — every oracle still counts shared shingle
+    * STRINGS. */
   private val setsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[engine] def shingleFp(sh: Column): Column = xxhash64(sh)
   private def docShingleSets(spark: SparkSession, sfDir: String): DataFrame =
     memoByDir(setsCache, spark, sfDir) {
       import spark.implicits._
       distinctShingles(spark, sfDir).groupBy($"doc_id")
-        .agg(sort_array(collect_set($"sh")).as("set"))
+        .agg(sort_array(collect_set(shingleFp($"sh"))).as("set"))
         .localCheckpoint()
     }
 
@@ -531,34 +548,40 @@ object Dedup {
     val prefix = ordered.filter($"pos" <= $"sz" / 2 + 1)
       .select($"doc_id", $"sh", $"sz")
       .localCheckpoint()
-    val cand = prefix.as("a").join(prefix.as("b"),
+    // Verification INSIDE the prefix join (the Vernica–Carey–Li
+    // set-similarity kernel, VLDB'10): each posting entry carries its
+    // doc's full fingerprint set, so the intersect-count and the
+    // τ-filter run map-side in the join stage and only NARROW
+    // survivor rows ever leave it. The r12 form verified after a
+    // pair-level distinct — attaching both sets to every candidate
+    // PAIR — which shuffled |pairs|·2|set| bytes: ~43 GB at the ×100
+    // carve's 5.0e7 candidates, all spill (measured 205 s, flat under
+    // both the join-parallelism fix and hashed sets, because the
+    // bytes, not the compares, were the bound). Sets-on-postings
+    // shuffles |posting|·|set| once (~6 GB there) and re-verifies the
+    // ~1.4 duplicate candidates per pair instead — long-merge compares
+    // far cheaper than their pair-distinct. Survivors (true near-dups,
+    // ~linear in the corpus) dedup as narrow rows.
+    // shuffle-hash, not size-based planning: this is a candidate join
+    // (the Similarity.candidateJoin discipline) — pair fan-out through
+    // the posting-list key must parallelize by the shuffle, never by
+    // the probe side's split count, and the per-key groups (max df ~
+    // hundreds) need no sort to enumerate.
+    val docSets = docShingleSets(spark, sfDir)
+    val posting = prefix.join(docSets, "doc_id")
+    posting.as("a").join(posting.as("b").hint("shuffle_hash"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
           least($"a.sz", $"b.sz") * 2 >= greatest($"a.sz", $"b.sz"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
-      .distinct()
-    // Verification by set intersection INSIDE one codegen'd expression:
-    // each doc's distinct shingle set collects (sorted) once, candidates
-    // fetch both sets and a merge loop counts the overlap — an exploded
-    // pairs×shingles re-join would shuffle |pair|·|set| rows (measured
-    // 4× slower at sf0.1), and array_intersect would build a hash set
-    // per pair (2.7× slower). Sets here are broadcast-small; at corpus
-    // scale the same two joins run doc_id-keyed (drop the hint), still
-    // moving each set once rather than once per candidate shingle.
-    val docSets = docShingleSets(spark, sfDir)
-    cand
-      .join(docSets.select($"doc_id".as("doc_a"), $"set".as("set_a")),
-        "doc_a")
-      .join(docSets.select($"doc_id".as("doc_b"), $"set".as("set_b")),
-        "doc_b")
-      .withColumn("n_common",
+        $"a.sz".as("sz_a"), $"b.sz".as("sz_b"),
         graft.functions.VectorExpressions.sorted_intersect_count(
-          $"set_a", $"set_b"))
+          $"a.set", $"b.set").as("n_common"))
       .filter($"n_common" * 3 >= $"sz_a" + $"sz_b")
       .select($"doc_a", $"doc_b", $"n_common",
         ($"sz_a" + $"sz_b" - $"n_common").as("n_union"),
         round($"n_common".cast("double") / ($"sz_a" + $"sz_b" - $"n_common"), 6)
           .as("jaccard"))
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -616,7 +639,8 @@ object Dedup {
         .filter($"pos" <= $"sz" - expr("(3 * sz + 4) div 5") + 1)
         .select($"doc_id", $"sh", $"sz")
         .localCheckpoint()
-      val cand = prefix.as("a").join(prefix.as("b"),
+      val cand = prefix.as("a")
+        .join(prefix.as("b").hint("shuffle_hash"),
           $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
             least($"a.sz", $"b.sz") * 5 >= greatest($"a.sz", $"b.sz") * 3)
         .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
@@ -981,7 +1005,7 @@ object Dedup {
     // index serves both sides of the probe
     val idxBands = corpusBands(spark, sfDir).filter(!expr(NewDocPred))
     val a = idxBands.as("a")
-    val b = idxBands.as("b")
+    val b = idxBands.as("b").hint("shuffle_hash")
     val idxPairs = a.join(b,
         $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
           $"a.doc_id" < $"b.doc_id")
@@ -1182,11 +1206,15 @@ object Dedup {
       .select($"doc_id".as("probe_id"), TextFunctions.tokens($"text").as("toks"))
       .select($"probe_id",
         sort_array(array_distinct(
-          shinglesOf(slice($"toks", 1, Q239PassageLen + 2)))).as("qset"))
-      .filter(size($"qset") > 0)
-      .withColumn("qsize", size($"qset").cast("long"))
+          shinglesOf(slice($"toks", 1, Q239PassageLen + 2)))).as("qshingles"))
+      .filter(size($"qshingles") > 0)
+      .withColumn("qsize", size($"qshingles").cast("long"))
+      // verification set in the docShingleSets representation (hashed
+      // fingerprints, re-sorted — fingerprint order ≠ string order)
+      .withColumn("qset",
+        sort_array(transform($"qshingles", sh => shingleFp(sh))))
     val probeKeys = probes
-      .select($"probe_id", $"qsize", $"qset", explode($"qset").as("sh"))
+      .select($"probe_id", $"qsize", $"qset", explode($"qshingles").as("sh"))
       .join(freq, "sh")
       .withColumn("rk", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"df", $"sh")))

@@ -186,6 +186,24 @@ object Similarity {
         p
     }
 
+  /** Bucket/cell-keyed CANDIDATE join — the pair-enumeration step of
+    * every LSH/IVF family member — pinned to a SHUFFLED hash join.
+    * Left to size-based planning, Spark broadcasts the small side and
+    * the join inherits the PROBE side's partitioning — which for a
+    * compact corpus is its parquet split count (often ONE task), so
+    * the n·|bucket| pair fan-out serializes: measured 224.6 s for
+    * q288 at the ×10 carve under planes=5, vs 3.9 s with the join
+    * shuffled — a 58× loss invisible to per-pair cost models. The
+    * amplification through this join is 10²-10³×, so parallelism must
+    * be sized by the SHUFFLE (spark.sql.shuffle.partitions), never by
+    * input bytes; the shuffle-hash hint guarantees both sides exchange
+    * on the key at every scale and beats size-based broadcast in
+    * JoinSelection. Hash, not merge: per-key groups need no sort to
+    * enumerate. */
+  private def candidateJoin(probe: DataFrame, build: DataFrame,
+      key: String): DataFrame =
+    probe.join(build.hint("shuffle_hash"), Seq(key))
+
   private def lshBucket(emb: Column, planes: Int = 4): Column =
     (0 until planes).map { j =>
       val proj = ((j + 1) to Dim by planes)
@@ -218,7 +236,7 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket",
         $"norm2".as("q_norm2"))
       .filter($"query_id" % 100 === 0)
-    val scored = emb.join(queries, Seq("bucket"))
+    val scored = candidateJoin(emb, queries, "bucket")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosinePre($"q_emb", $"embedding", $"q_norm2", $"norm2").as("cos"))
@@ -385,7 +403,7 @@ object Similarity {
     val queries = assigned.filter($"vec_id" % 100 === 0)
       .select($"cell", $"vec_id".as("query_id"),
         $"embedding".as("q_emb"), $"norm2".as("q_norm2"))
-    val scored = assigned.join(queries, "cell")
+    val scored = candidateJoin(assigned, queries, "cell")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosinePre($"q_emb", $"embedding", $"q_norm2", $"norm2").as("cos"))
@@ -1228,32 +1246,51 @@ object Similarity {
     //     sufficient bound: every partial sum is within it); checked in
     //     doubles with headroom, per Gram cell and per marginal;
     //  2. the n·Σp − Σi·Σj COMBINE — n² -scaled, the first to cross
-    //     2⁶³ (≈5·10⁵ realistic vectors); computed in DECIMAL(38,0) on
-    //     this 2080-row frame (exact to 10³⁸, cost nil) and cast back
-    //     to the gated BIGINT contract only after a range check.
+    //     2⁶³ (the ×100 carve's 200 k vectors are already past it);
+    //     computed in DECIMAL(38,0) on this 2080-row frame (exact to
+    //     10³⁸, cost nil) and cast back to the gated BIGINT contract
+    //     only after a range check.
+    //
+    // When the corpus genuinely outgrows the BIGINT output —
+    // n·Σp ~ n²·E[s²] crosses 2⁶³ near 10⁵ realistic vectors — the
+    // refusal is the gated posture, and `spark.graft.q246.widen=true`
+    // is the production one: emit cov_num AS the exact DECIMAL(38,0)
+    // (good to ~10³⁸, i.e. ~10¹⁴ vectors at this grid) instead of
+    // refusing. Opt-in because it changes the output schema — the
+    // oracle twin pins the BIGINT contract.
+    val widen = spark.conf.get("spark.graft.q246.widen", "false").toBoolean
+    val combine = """CAST(n AS DECIMAL(38,0)) * sum_p
+                   - CAST(sum_i AS DECIMAL(38,0)) * sum_j"""
+    val sumGuard = """CAST(n AS DOUBLE) * CAST(mxp AS DOUBLE) > 4.0e18
+            OR CAST(n AS DOUBLE) * CAST(greatest(mxi, mxj) AS DOUBLE) > 4.0e18"""
+    val sumErr = """concat('q246: ', n, ' rows with max term ',
+            greatest(mxp, mxi, mxj),
+            ' may overflow the 64-bit sums; rescale Q246Scale')"""
+    val covCol =
+      if (widen) expr(s"""
+        CASE WHEN $sumGuard
+          THEN CAST(raise_error($sumErr) AS DECIMAL(38,0))
+          ELSE $combine
+        END""")
+      else expr(s"""
+        CASE WHEN $sumGuard
+          THEN CAST(raise_error($sumErr) AS BIGINT)
+          ELSE CAST(
+            CASE WHEN abs($combine) > 9223372036854775807
+              THEN raise_error(concat('q246: cov_num for (', di, ',', dj,
+                ') exceeds BIGINT; the gated contract caps the corpus — ',
+                'set spark.graft.q246.widen=true for the exact ',
+                'DECIMAL(38,0) output'))
+              ELSE $combine
+            END AS BIGINT)
+        END""")
     gram
       .join(broadcast(marg.select($"dim".as("di"), $"sum_s".as("sum_i"),
         $"mxs".as("mxi"))), "di")
       .join(broadcast(marg.select($"dim".as("dj"), $"sum_s".as("sum_j"),
         $"mxs".as("mxj"))), "dj")
       .filter($"di" < $"dj")
-      .select($"di", $"dj", expr(s"""
-        CASE
-          WHEN CAST(n AS DOUBLE) * CAST(mxp AS DOUBLE) > 4.0e18
-            OR CAST(n AS DOUBLE) * CAST(greatest(mxi, mxj) AS DOUBLE) > 4.0e18
-          THEN CAST(raise_error(concat('q246: ', n, ' rows with max term ',
-            greatest(mxp, mxi, mxj),
-            ' may overflow the 64-bit sums; rescale Q246Scale')) AS BIGINT)
-          ELSE CAST(
-            CASE WHEN abs(CAST(n AS DECIMAL(38,0)) * sum_p
-                        - CAST(sum_i AS DECIMAL(38,0)) * sum_j)
-                   > 9223372036854775807
-              THEN raise_error(concat('q246: cov_num for (', di, ',', dj,
-                ') exceeds BIGINT; the gated contract caps the corpus'))
-              ELSE CAST(n AS DECIMAL(38,0)) * sum_p
-                 - CAST(sum_i AS DECIMAL(38,0)) * sum_j
-            END AS BIGINT)
-        END""").as("cov_num"))
+      .select($"di", $"dj", covCol.as("cov_num"))
       .orderBy(abs($"cov_num").desc, $"di", $"dj")
       .limit(Q246TopN)
   }
@@ -1308,7 +1345,7 @@ object Similarity {
     val anchors = sides().select($"vec_id".as("anchor_id"),
       $"label".as("a_label"), $"embedding".as("a_emb"), $"bucket",
       $"norm2".as("a_norm2"))
-    val negs = emb.join(anchors, Seq("bucket"))
+    val negs = candidateJoin(emb, anchors, "bucket")
       .filter($"label" =!= $"a_label")
       .select($"anchor_id", $"a_label", $"vec_id", $"label",
         cosinePre($"a_emb", $"embedding", $"a_norm2", $"norm2").as("cos"))
@@ -1357,7 +1394,7 @@ object Similarity {
     val emb = side()
     val other = side().select($"vec_id".as("o_id"), $"label".as("o_label"),
       $"bucket")
-    emb.join(other, Seq("bucket"))
+    candidateJoin(emb, other, "bucket")
       .filter($"vec_id" < $"o_id")
       .select(least($"label", $"o_label").as("label_a"),
         greatest($"label", $"o_label").as("label_b"))
