@@ -846,9 +846,12 @@ object Dedup {
     * the drop set — detect (q21) → cluster (q67) → suppress (this)
     * completes the dedup lifecycle.
     *
-    * Scale: the drop set is |clustered docs| rows — tiny next to the
-    * corpus — broadcast into one corpus scan; token counting rides the
-    * same scan (no second pass). */
+    * Scale: the drop set is |clustered docs| rows — small next to the
+    * corpus, but Θ(dup-rate · corpus), so it is NOT hand-pinned as a
+    * broadcast: AQE broadcasts it into the one corpus scan while it
+    * fits (every gate SF) and key-partitions the join when a 100 TB
+    * corpus's drop set outgrows an executor. Token counting rides the
+    * same scan either way (no second pass). */
   def q130DedupApply(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val drops = q67DedupClusters(spark, sfDir)
@@ -857,7 +860,7 @@ object Dedup {
     Tables.documents(spark, sfDir)
       .select($"source", $"doc_id",
         size(TextFunctions.tokens($"text")).as("n_tokens"))
-      .join(broadcast(drops), $"doc_id" === $"drop_id", "left_outer")
+      .join(drops, $"doc_id" === $"drop_id", "left_outer")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         count($"drop_id").as("n_dropped"),
@@ -905,9 +908,14 @@ object Dedup {
     *
     * Fold = canonical % K on this corpus's uniform synthetic ids
     * (q139's bucket argument); skewed production ids hash the
-    * canonical first. Scale: labels and pairs are the tiny post-LSH
-    * frames (broadcast); the corpus contributes one scan for token
-    * accounting. */
+    * canonical first. Scale: labels and pairs are the small post-LSH
+    * frames, but BOTH grow with the corpus (Θ(clustered docs)), and
+    * foldOf is one row per document outright — so no join here pins a
+    * broadcast side by hand. AQE's runtime size check broadcasts the
+    * genuinely-small side while it fits (labels/pairs at every gate
+    * SF) and key-partitions when it doesn't; in particular the
+    * cross-fold audit's small side is PAIRS, not the corpus-sized
+    * foldOf a static hint would have frozen in. */
   def q145GroupedSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // the pair frame feeds BOTH the clustering and the cross-fold audit:
@@ -918,7 +926,7 @@ object Dedup {
     val folded = Tables.documents(spark, sfDir)
       .select($"doc_id",
         size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("wc"))
-      .join(broadcast(labels), $"doc_id" === $"doc", "left_outer")
+      .join(labels, $"doc_id" === $"doc", "left_outer")
       .select($"doc_id", $"wc",
         coalesce($"canonical", $"doc_id").as("canonical"))
       .withColumn("fold", $"canonical" % GroupedFolds)
@@ -928,9 +936,9 @@ object Dedup {
         sum($"wc").as("n_tokens"))
     val foldOf = folded.select($"doc_id", $"fold")
     val crossFold = pairs
-      .join(broadcast(foldOf.select($"doc_id".as("doc_a"), $"fold".as("fold_a"))),
+      .join(foldOf.select($"doc_id".as("doc_a"), $"fold".as("fold_a")),
         "doc_a")
-      .join(broadcast(foldOf.select($"doc_id".as("doc_b"), $"fold".as("fold_b"))),
+      .join(foldOf.select($"doc_id".as("doc_b"), $"fold".as("fold_b")),
         "doc_b")
       .filter($"fold_a" =!= $"fold_b")
       .groupBy($"fold_a".as("fold"))
@@ -1183,12 +1191,17 @@ object Dedup {
     * sorted-merge intersect per candidate. Each probe's own document
     * always appears (self-containment) — the built-in sanity row.
     *
-    * Scale: probes are a broadcast-small side; the candidate join is
-    * keyed by the rarest shingle against the (doc_id, shingle) posting
-    * frame (never all-pairs), and verification touches candidates
-    * only; the set fetch is doc_id-keyed with NO broadcast hint — the
-    * sets frame is corpus-sized, so AQE broadcasts the (small)
-    * candidate side instead, which also holds at 100 TB. */
+    * Scale: the candidate join is keyed by the rarest shingle against
+    * the (doc_id, shingle) posting frame (never all-pairs), and
+    * verification touches candidates only; the set fetch is
+    * doc_id-keyed. NO join in this query carries a broadcast hint: the
+    * probe-key frame is Θ(corpus/101) rows — small at every gate SF
+    * but unboundedly growing, so a hand-pinned broadcast is a latent
+    * driver OOM at full scale — and the sets frame is corpus-sized
+    * outright. AQE's runtime size check reproduces the broadcast
+    * exactly while each side fits (measured plan-identical at the ×10
+    * carve) and degrades to a key-partitioned shuffle when it no
+    * longer does, which is the posture that holds at 100 TB. */
   def q239ContainmentJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1220,7 +1233,7 @@ object Dedup {
         Window.partitionBy($"probe_id").orderBy($"df", $"sh")))
       .filter($"rk" === 1)
       .select($"sh", $"probe_id", $"qsize", $"qset")
-    val cand = sh.join(broadcast(probeKeys), "sh")
+    val cand = sh.join(probeKeys, "sh")
       .select($"probe_id", $"qsize", $"qset", $"doc_id")
     val docSets = docShingleSets(spark, sfDir)
     cand.join(docSets, "doc_id")
@@ -1413,7 +1426,10 @@ object Dedup {
           s" & ${(1 << PhashBandBits) - 1} AS bv))")).as("b"))
       .select($"doc_id", $"sh", $"b.bi", $"b.bv")
     val a = bands.as("a")
-    val b = bands.as("b")
+    // shuffle-hash (the Similarity.candidateJoin discipline): banded
+    // candidate fan-out must parallelize by the key shuffle, never by
+    // the probe side's split count
+    val b = bands.as("b").hint("shuffle_hash")
     a.join(b, $"a.bi" === $"b.bi" && $"a.bv" === $"b.bv" &&
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),

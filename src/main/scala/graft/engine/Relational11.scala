@@ -118,7 +118,14 @@ object Relational11 {
       .select($"id".as("ida"), $"x".as("xa"), $"y".as("ya"),
         expr(s"(x div $Radius + dxy.dx) * 1024 + (y div $Radius + dxy.dy)").as("cell"))
     val d2 = ($"xa" - $"xb") * ($"xa" - $"xb") + ($"ya" - $"yb") * ($"ya" - $"yb")
-    left.join(right, "cell")
+    // shuffle-hash (the Similarity.candidateJoin discipline): this is
+    // an AMPLIFYING cell-keyed candidate join — size-based planning
+    // would broadcast the compact point frame and run the per-cell
+    // pair fan-out at the probe side's parquet split count, and the
+    // promised hash shuffle (AQE-skew-splittable on dense cells) would
+    // silently never exist. Parallelism must come from the key
+    // shuffle at every scale.
+    left.join(right.hint("shuffle_hash"), "cell")
       .filter($"ida" < $"idb" && d2 <= Radius * Radius)
       .withColumn("dist_bucket", expr(
         "((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)) div 25000"))

@@ -25,7 +25,9 @@ object Relational67 {
     * between them.
     *
     * Scale: the rank is ONE [[DistRank.withRank]] pass; candidates
-    * are a rank band join (fan W); the ground truth is
+    * are a rank band join bucketed into an EQUI join on rank-div-W
+    * (a raw range predicate would nested-loop at n² — see the inline
+    * note), with fan W; the ground truth is
     * [[Dedup.exactTruthPairs600]] — the PPJoin prefix-filtered exact
     * join (identical pair set, near-linear candidate fan) over the
     * memoized shingle index, so even the truth side survives a
@@ -45,10 +47,27 @@ object Relational67 {
           .as("k"))
     val ranked = DistRank.withRank(docs, "k", "doc_id", "rk", desc = false)
       .select($"doc_id", $"rk")
-    val cand = ranked.as("a").join(ranked.as("b"),
-        $"b.rk" > $"a.rk" && $"b.rk" <= $"a.rk" + Q390W)
-      .select(least($"a.doc_id", $"b.doc_id").as("da"),
-        greatest($"a.doc_id", $"b.doc_id").as("db"))
+    // The W-neighborhood band join as an EQUI join (the q155 grid
+    // discipline in 1D): a pure range predicate has no hash key, so
+    // Spark can only run it as a nested-loop — n² rank compares at any
+    // scale even though the OUTPUT fan is W. Bucket ranks by width W:
+    // a pair with 0 < b.rk − a.rk ≤ W sits in the same or the next
+    // bucket, so probing each a-row's own and successor bucket meets
+    // every qualifying pair (exactly once — the two replicas carry
+    // distinct g) and each bucket holds W rows per side. Shuffle-hash,
+    // not size-based planning: this is an amplifying candidate join
+    // (the Similarity.candidateJoin discipline).
+    val bSide = ranked
+      .select($"doc_id".as("idb"), $"rk".as("rkb"),
+        expr(s"rk div $Q390W").as("g"))
+    val cand = ranked
+      .select($"doc_id".as("ida"), $"rk".as("rka"),
+        explode(array(expr(s"rk div $Q390W"),
+          expr(s"rk div $Q390W") + 1)).as("g"))
+      .join(bSide.hint("shuffle_hash"), "g")
+      .filter($"rkb" > $"rka" && $"rkb" <= $"rka" + Q390W)
+      .select(least($"ida", $"idb").as("da"),
+        greatest($"ida", $"idb").as("db"))
       .distinct()
       .localCheckpoint()
     val truth = Dedup.exactTruthPairs600(spark, sfDir)

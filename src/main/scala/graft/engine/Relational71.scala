@@ -57,7 +57,10 @@ object Relational71 {
       .select($"doc_id", explode(array(bandStructs: _*)).as("b"))
       .select($"doc_id", $"b.cfg".as("cfg"), $"b.bi".as("bi"),
         $"b.bv".as("bv"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // shuffle-hash (the Similarity.candidateJoin discipline): banded
+    // candidate fan-out must parallelize by the key shuffle, never by
+    // the probe side's split count
+    val cand = bands.as("a").join(bands.as("b").hint("shuffle_hash"),
         $"a.cfg" === $"b.cfg" && $"a.bi" === $"b.bi" &&
           $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
       .select($"a.cfg".as("cfg"), $"a.doc_id".as("da"),
