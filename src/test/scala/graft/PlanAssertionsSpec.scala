@@ -141,6 +141,80 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  /** The unkeyed-join sweep — the q390 class, third of the batch-wide
+    * plan sweeps: a CONDITIONED join whose predicate has NO equi
+    * component between the two sides has no hash key, so Spark can only
+    * execute it as a nested loop — n·m predicate evaluations at any
+    * scale, invisible to the cross-join sweep above (the condition
+    * exists) and to every value check (the OUTPUT can be tiny: q390's
+    * rank-band join fanned W per row but compared n² rank pairs, ≥300 s
+    * at the ×10 carve until it was bucketed into an equi join). Flagged
+    * unless a side is an explicit broadcast-strategy hint (the
+    * bounded-frame-vs-scan pattern: the author sized it) or provably
+    * ≤4096 rows, or the site is on the documented bounded-frame
+    * allowlist below. */
+  test("no batch query plans an unkeyed conditioned join over two unbounded frames") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // Documented bounded-frame sites — every entry names the bound the
+    // optimizer can't see through maxRows. All three are nested loops
+    // over frames bounded by a DOMAIN (types, calendar), not the corpus
+    // row count: 10× the data is the same grid, so the loop never grows.
+    val allowlisted = Set(
+      // |event_types|²-row pairwise t-test frame over the 5-6-type
+      // post-aggregation moments (Relational11.scala q157 scaladoc:
+      // "the pairwise frame is |types|²")
+      "q157_welch_ttest",
+      // calendar² day-pair frame for Mann-Kendall/Theil-Sen — "bounded
+      // by the date span, not the row count (daily counts fold
+      // map-side first)" (Relational56.scala q358 scaladoc)
+      "q358_theil_sen",
+      // 6-hour trailing band join on the calendar-bounded hour grid,
+      // fan-out 6 (Relational65.scala q385 scaladoc)
+      "q385_burn_rate"
+    )
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val batch = SparkEntry.queries.filter {
+      case (n, _) => !SparkEntry.streamingQueries.contains(n)
+    }
+    val problems = batch.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case j: Join if j.condition.isDefined =>
+            val hasEqui = conjuncts(j.condition.get).exists {
+              case EqualTo(l, r) =>
+                (l.references.nonEmpty && r.references.nonEmpty) &&
+                  ((l.references.subsetOf(j.left.outputSet) &&
+                    r.references.subsetOf(j.right.outputSet)) ||
+                   (l.references.subsetOf(j.right.outputSet) &&
+                    r.references.subsetOf(j.left.outputSet)))
+              case EqualNullSafe(l, r) =>
+                (l.references.nonEmpty && r.references.nonEmpty) &&
+                  ((l.references.subsetOf(j.left.outputSet) &&
+                    r.references.subsetOf(j.right.outputSet)) ||
+                   (l.references.subsetOf(j.right.outputSet) &&
+                    r.references.subsetOf(j.left.outputSet)))
+              case _ => false
+            }
+            val hinted = j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined)
+            val bounded = j.left.maxRows.exists(_ <= 4096) ||
+              j.right.maxRows.exists(_ <= 4096)
+            if (hasEqui || hinted || bounded) None
+            else Some(s"$name: unkeyed conditioned join (nested loop at " +
+              s"any scale) with no hint and no bounded side")
+        }.flatten
+        if (allowlisted.contains(name)) Nil else bad
+      } catch {
+        case e: Exception => Seq(s"$name: failed to plan — ${e.getMessage}")
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
   test("q168 running max carves with zero unpartitioned windows (two-level, not a global window)") {
     val bad = unpartitionedWindows(graft.engine.Relational13.q168OooAudit(spark, sf))
     assert(bad.isEmpty,
