@@ -481,9 +481,12 @@ object Relational10 {
       count(lit(1)), count(lit(1)) - countDistinct($"c_custkey"), customer)
     def orphans(name: String, child: DataFrame, key: String,
         parent: DataFrame, pkey: String) =
+      // no broadcast pin: the parent key set is Θ(parent rows), so the
+      // scaladoc's "broadcast while dimension-sized, shuffle-joinable
+      // when not" is AQE's runtime size decision, not a static hint
       row(name, max(lit(null).cast("long")), count(lit(1)),
         child.select(col(key))
-          .join(broadcast(parent.select(col(pkey).as(key)).distinct()),
+          .join(parent.select(col(pkey).as(key)).distinct(),
             Seq(key), "left_anti"))
     val fkOrders = orphans("fk_orders_custkey", orders, "o_custkey",
       customer, "c_custkey")

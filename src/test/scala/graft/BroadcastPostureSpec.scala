@@ -7,8 +7,8 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   * hand-pinned `broadcast()` freezes a size decision that is only valid
   * while the frame fits in one executor, so frames that GROW with the
   * corpus — q239's probe keys (Θ(n/101)), q145's per-document fold map
-  * (Θ(n)) and cluster labels, q130's drop set (Θ(dup-rate·n)) — must
-  * not carry one: AQE's runtime size check reproduces the broadcast
+  * (Θ(n)) and cluster labels, q130's drop set (Θ(dup-rate·n)), q153's
+  * FK-parent key sets (Θ(parent rows)) — must not carry one: AQE's runtime size check reproduces the broadcast
   * exactly while the side fits and degrades to a key-partitioned
   * shuffle when it doesn't. These specs pin BOTH halves of that
   * contract on the de-pinned queries:
@@ -34,7 +34,8 @@ class BroadcastPostureSpec extends SparkTestBase {
   }
 
   private val depinned: Seq[String] = Seq(
-    "q130_dedup_apply", "q145_grouped_split", "q239_containment_join")
+    "q130_dedup_apply", "q145_grouped_split", "q153_constraint_audit",
+    "q239_containment_join")
 
   test("de-pinned dedup queries: AQE still broadcasts the small side at gate SF") {
     depinned.foreach { name =>
