@@ -1199,9 +1199,11 @@ object Dedup {
     * but unboundedly growing, so a hand-pinned broadcast is a latent
     * driver OOM at full scale — and the sets frame is corpus-sized
     * outright. AQE's runtime size check reproduces the broadcast
-    * exactly while each side fits (measured plan-identical at the ×10
-    * carve) and degrades to a key-partitioned shuffle when it no
-    * longer does, which is the posture that holds at 100 TB. */
+    * exactly while each side fits (BroadcastPostureSpec pins the
+    * gate-SF conversion; the ×10 carve measured hash-identical at
+    * timing parity with the old pinned form) and degrades to a
+    * key-partitioned shuffle when it no longer does, which is the
+    * posture that holds at 100 TB. */
   def q239ContainmentJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
