@@ -55,10 +55,19 @@ object DistRank {
     val cuts = df.agg(
       percentile_approx(col(key), probs, lit(10000)).as("__cuts"))
       .localCheckpoint()
+    // explicit bucket exchange (r14): the ranking window and the
+    // bucket-population aggregate both consume `bucketed`, and each
+    // consumer used to re-derive df from scratch behind its own
+    // implicit exchange. Repartitioning by bucket HERE gives both
+    // consumers the exact same exchange subtree — ReusedExchange makes
+    // the input evaluate once and shuffle once (the window needed this
+    // exchange anyway; the aggregate now reads it instead of paying a
+    // second derivation + partial-agg exchange).
     val bucketed = df.crossJoin(broadcast(cuts))
       .withColumn(b,
         expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
       .drop("__cuts")
+      .repartition(col(b))
     val order =
       if (desc) Seq(col(key).desc, col(tie).asc) else Seq(col(key).asc, col(tie).asc)
     val local = bucketed.withColumn(lrn,
@@ -106,6 +115,7 @@ object DistRank {
       .withColumn(b,
         expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
       .drop("__cuts")
+      .repartition(col(b))
     val local = bucketed.withColumn(lmax,
       max(col(value)).over(Window.partitionBy(col(b))
         .orderBy(col(key).asc, col(tie).asc)
@@ -148,6 +158,7 @@ object DistRank {
       .withColumn(b,
         expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
       .drop("__cuts")
+      .repartition(col(b))
     val w = Window.partitionBy(col(b))
       .orderBy(col(key).asc, col(tie).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -205,6 +216,7 @@ object DistRank {
       .withColumn(b,
         expr(s"aggregate(__cuts, 0, (a, c) -> a + IF($key > c, 1, 0))"))
       .drop("__cuts")
+      .repartition((groups :+ b).map(col): _*)
     val w = Window.partitionBy((groups :+ b).map(col): _*)
       .orderBy(col(key).asc, col(tie).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
