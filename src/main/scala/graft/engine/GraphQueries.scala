@@ -150,15 +150,24 @@ object GraphQueries {
   }
 
   /** One alternating-star round: large-star then small-star, each
-    * built from m(u) = min(Γ⁺(u)) — a groupBy-u min joined back on u
-    * (co-partitioned with its own aggregate, so each pass is ONE
-    * shuffle of the directed edge list). Large-star links every
-    * neighbor v > u to m(u); small-star links every v < u and u
-    * itself to m(u). Edges re-canonicalize (min, max) and dedup after
-    * each pass; self-loops drop. */
+    * built from m(u) = min(Γ⁺(u)) — a groupBy-u min joined back on u.
+    * Large-star links every neighbor v > u to m(u); small-star links
+    * every v < u and u itself to m(u). Edges re-canonicalize
+    * (min, max); self-loops drop.
+    *
+    * Exchange diet (r14): each pass repartitions the directed list by
+    * u ONCE — the min-aggregate and the join-back both read that same
+    * exchange (ReusedExchange), and the aggregate's output is already
+    * u-partitioned for the join — so a pass is ONE shuffle of the
+    * directed edge list instead of two. The inter-pass dedup is
+    * dropped: duplicate emitted arms cannot change any min(Γ⁺) or the
+    * emitted SET, and the round's closing distinct restores
+    * canonical-set form before the convergence probe (which hashes
+    * the set). Per round: 3 edge-scale exchanges, was ~6. */
   private def starRound(edges: DataFrame): DataFrame = {
     def pass(e: DataFrame, large: Boolean): DataFrame = {
       val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val mins = dir.groupBy(col("u"))
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
@@ -172,9 +181,8 @@ object GraphQueries {
       emitted.filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v"))
-        .distinct()
     }
-    pass(pass(edges, large = true), large = false)
+    pass(pass(edges, large = true), large = false).distinct()
   }
 
   /** Alternating-star to fixpoint: returns (node, comp) labels. The

@@ -145,18 +145,33 @@ object Relational25 {
     * directions), so no dangling-mass term is needed. */
   def q242PageRank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // r14 shuffle diet: nodes are LONGS inside the loop (customer 2k,
+    // supplier 2k+1 — half the shuffle bytes and cheaper hashing than
+    // the 'c…'/'s…' strings, which only the 20 output rows need), the
+    // sender's degree rides ON the edge list (one build-time join
+    // instead of a ranks⋈deg join every iteration), and both loop
+    // frames are checkpointed PRE-PARTITIONED on their join key — the
+    // edge side by src, ranks by node (the groupBy(dst) output
+    // partitioning carries through the checkpoint) — so each iteration
+    // pays exactly ONE exchange: the contribution groupBy.
     val pairs = Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("c"),
-        concat(lit("s"), $"l_suppkey").as("s"))
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
       .distinct()
     val edges = pairs.select($"c".as("src"), $"s".as("dst"))
       .unionByName(pairs.select($"s".as("src"), $"c".as("dst")))
+      .repartition(col("src"))
       .transform(Loops.cut)
+    // downstream of the one edge shuffle, deg and the deg-carrying edge
+    // list both reuse the src partitioning — no further edge-scale
+    // exchange in the build either
     val deg = edges.groupBy($"src".as("node"))
       .agg(count(lit(1)).as("outdeg"))
+      .transform(Loops.cut)
+    val edgesDeg = edges
+      .join(deg.select($"node".as("src"), $"outdeg"), Seq("src"))
       .transform(Loops.cut)
     var ranks = deg.select($"node", lit(1000000L).as("r"))
     (1 to Q242Iters).foreach { _ =>
@@ -165,18 +180,17 @@ object Relational25 {
       // iteration history — the discipline that lets the iteration
       // count grow without the optimizer re-planning an ever-taller
       // tree. (At cluster scale: checkpoint to storage instead.)
-      ranks = ranks.join(deg, "node")
-        .withColumn("contrib", expr("r div outdeg"))
-        .join(edges, $"node" === $"src")
+      ranks = ranks.join(edgesDeg, $"node" === $"src")
         .groupBy($"dst")
-        .agg(sum($"contrib").as("in_sum"))
+        .agg(sum(expr("r div outdeg")).as("in_sum"))
         .select($"dst".as("node"),
           (lit(150000L) + expr("850L * in_sum div 1000")).as("r"))
         .transform(Loops.cut)
     }
-    ranks.filter($"node".startsWith("s"))
+    ranks.filter($"node" % 2 === 1)
       .join(deg, "node")
-      .select($"node", $"outdeg".as("n_partners"), $"r".as("rank_units"))
+      .select(concat(lit("s"), expr("node div 2")).as("node"),
+        $"outdeg".as("n_partners"), $"r".as("rank_units"))
       .orderBy($"rank_units".desc, $"node")
       .limit(Q242TopN)
   }

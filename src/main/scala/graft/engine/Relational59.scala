@@ -176,33 +176,37 @@ object Relational59 {
     * with fixpoint asserted in the spec (same bounded-iteration
     * contract as q360/q340).
     *
-    * Scale: each round is two semi-join passes of the edge list
-    * against the alive set plus one degree aggregate — all key-
-    * partitioned; the driver sees ONE scalar per round
-    * (q230/q302/q340 discipline) and localCheckpoint cuts the loop
-    * lineage. */
+    * Scale: each round is one dst-keyed semi join of the PRE-dst-
+    * PARTITIONED edge list against the alive set (no edge-scale
+    * exchange — the checkpoint carries the partitioning), one degree
+    * aggregate (the round's single edge-scale shuffle), and a src-
+    * keyed alive filter that reuses the aggregate's partitioning; the
+    * driver sees ONE scalar per round (q230/q302/q340 discipline) and
+    * localCheckpoint cuts the loop lineage. Counting alive neighbors
+    * BEFORE intersecting with the alive sources is equivalent: the
+    * final semi join discards exactly the dead sources the old
+    * src-first form excluded up front. The thresholded co-order pair
+    * frame itself comes from the memoized
+    * [[Relational56.coOrderCounts]] index (one build per session
+    * serves q360/q368/q383/q386 instead of four identical
+    * distinct-self-join pair builds). */
   def q368KcorePeel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-      .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
-      .agg(count(lit(1)).as("cnt"))
+    val pairs = Relational56.coOrderCounts(spark, sfDir)
       .filter($"cnt" >= 2L)
     val und = pairs.select($"u".as("src"), $"v".as("dst"))
       .unionAll(pairs.select($"v".as("src"), $"u".as("dst")))
+      .repartition($"dst")
       .localCheckpoint()
     var alive = und.select($"src".as("n")).distinct().localCheckpoint()
     var nAlive = alive.count()
     val traj = ArrayBuffer[(Long, Long, Long)]((0L, nAlive, 0L))
     for (r <- 1 to Q368Rounds) {
       val next = und
-        .join(alive.select($"n".as("sn")), $"src" === $"sn")
         .join(alive.select($"n".as("dn")), $"dst" === $"dn")
         .groupBy($"src").agg(count(lit(1)).as("deg"))
         .filter($"deg" >= Q368K)
+        .join(alive.select($"n".as("sn")), $"src" === $"sn")
         .select($"src".as("n"))
         .localCheckpoint()
       val nNext = next.count()

@@ -90,19 +90,20 @@ object Relational64 {
     * Scale: each round is one edge-list join against the color frame
     * plus a node-keyed aggregate — the PageRank shuffle shape; rounds
     * are unrolled ([[Q383Rounds]]), nothing driver-side but the
-    * 3-row stats union. */
+    * 3-row stats union. r14: the edge list is PRE-dst-PARTITIONED
+    * (the per-round neighbor join pays no edge-scale exchange — only
+    * the groupBy(src) aggregate shuffles edge-scale), the color⋈sum
+    * join reuses both sides' node partitioning, and the thresholded
+    * pair frame comes from the memoized
+    * [[Relational56.coOrderCounts]] index shared with
+    * q360/q368/q386. */
   def q383WlRefinement(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-      .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
-      .agg(count(lit(1)).as("cnt"))
+    val pairs = Relational56.coOrderCounts(spark, sfDir)
       .filter($"cnt" >= 2L)
     val und = pairs.select($"u".as("src"), $"v".as("dst"))
       .unionAll(pairs.select($"v".as("src"), $"u".as("dst")))
+      .repartition($"dst")
       .transform(Loops.cut)
     val deg = und.groupBy($"src".as("node"))
       .agg(count(lit(1)).as("deg"))

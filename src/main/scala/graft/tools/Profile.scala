@@ -202,6 +202,20 @@ object Profile {
         time("q23 jaccard", graft.engine.Dedup.q23NgramJaccard(spark, sfDir).count())
         time("q19 fingerprint", graft.engine.TextQueries.q19Fingerprint(spark, sfDir).count())
       },
+      "q302" -> { () =>
+        val e0 = graft.engine.Tables.lineitem(spark, sfDir)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-02-01").cast("timestamp"))
+          .select(($"l_suppkey" * 2).as("u"), ($"l_partkey" * 2 + 1).as("v"))
+          .distinct()
+        time("q302 edge build", e0.count())
+        time("q302 full", graft.engine.GraphQueries
+          .q302ConnectedComponents(spark, sfDir).count())
+        time("q302 full again", graft.engine.GraphQueries
+          .q302ConnectedComponents(spark, sfDir).count())
+        time("q302 third", graft.engine.GraphQueries
+          .q302ConnectedComponents(spark, sfDir).count())
+      },
     )
     sections.filter(_._1.contains(only)).foreach { case (name, fn) =>
       println(s"== $name"); fn()
