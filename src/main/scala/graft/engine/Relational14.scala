@@ -116,9 +116,15 @@ object Relational14 {
       .localCheckpoint()
     val n = metrics.agg(count(lit(1)).as("n_users"))
     // recency rank: most recent first ⇒ score 5 = most recent quintile
+    // checkpoint BETWEEN the three rank passes (r14): each withRank
+    // consumes its input twice (bucket exchange + cut points), so an
+    // unchecked chain re-runs rank #1's whole pipeline inside every
+    // branch of rank #2 and #3 — multiplicative recompute over a
+    // |users|-row frame whose materialization is nearly free
     val ranked = Seq(("last_us", "rk_r"), ("freq", "rk_f"), ("monetary", "rk_m"))
       .foldLeft(metrics) { case (df, (key, rk)) =>
         DistRank.withRank(df, key, "user_id", rk, desc = true)
+          .localCheckpoint()
       }
     ranked.crossJoin(broadcast(n))
       .withColumn("r", lit(5L) - expr("(rk_r - 1) * 5 div n_users"))

@@ -122,7 +122,15 @@ object Relational56 {
     * via [[DistRank.withGroupedRunningSums]] (per-(class, bucket)
     * local sorts + triangular broadcast lift — no per-class
     * single-partition window), and the final fence count is one
-    * broadcast join back to the folded value frame. */
+    * broadcast join back to the folded value frame.
+    *
+    * Materialization discipline (r14): every multiply-consumed frame
+    * is localCheckpoint'ed — the grouped value frame (three reads
+    * inside the running-sums machinery), the deviation frame (MAD
+    * median + the fence aggregate), and the two 5-row median frames,
+    * which the final projection would otherwise RE-DERIVE by running
+    * the whole median pipeline a second time. Class totals fold from
+    * the grouped frame (Σcnt) instead of re-scanning orders. */
   def q359MadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rows = Tables.orders(spark, sfDir)
@@ -131,17 +139,20 @@ object Relational56 {
     // lower median of a grouped multiset given (cls, value, cnt)
     def groupedMedian(vals: DataFrame, out: String): DataFrame = {
       val g = vals.groupBy($"cls", $"v").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val cum = DistRank.withGroupedRunningSums(
         g, Seq("cls"), "v", "v", Seq("cnt" -> "cum"))
-      val totals = vals.groupBy($"cls").agg(count(lit(1)).as("n"))
+      val totals = g.groupBy($"cls").agg(sum($"cnt").as("n"))
       cum.join(broadcast(totals), Seq("cls"))
         .filter(expr("(n + 1) div 2 > cum - cnt") &&
           expr("(n + 1) div 2 <= cum"))
         .select($"cls", $"v".as(out))
+        .localCheckpoint()
     }
     val med = groupedMedian(rows, "med")
     val devs = rows.join(broadcast(med), Seq("cls"))
       .select($"cls", $"v", abs($"v" - $"med").as("dev"))
+      .localCheckpoint()
     val mad = groupedMedian(devs.select($"cls", $"dev".as("v")), "mad")
     devs.join(broadcast(mad), Seq("cls"))
       .groupBy($"cls")
@@ -240,10 +251,16 @@ object Relational56 {
   def q360SsspMinplus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = coOrderCounts(spark, sfDir)
+    // pre-partitioned on the per-round join key: the relaxation join
+    // reads the checkpoint's src partitioning instead of re-shuffling
+    // the edge list every round (dist arrives node-partitioned from the
+    // previous round's min-aggregate), so a round's only edge-scale
+    // exchange is the min-aggregate itself
     val edges = pairs
       .select($"u".as("src"), $"v".as("dst"), $"cnt")
       .unionAll(pairs.select($"v".as("src"), $"u".as("dst"), $"cnt"))
       .select($"src", $"dst", expr("1 + (1000 div cnt)").as("w"))
+      .repartition($"src")
       .transform(Loops.cut)
     val seeds = Tables.part(spark, sfDir)
       .filter($"p_size" === 50)

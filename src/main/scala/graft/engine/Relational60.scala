@@ -191,14 +191,19 @@ object Relational60 {
       .select($"c_custkey", $"c_nationkey")
     val nat = Tables.nation(spark, sfDir)
       .select($"n_nationkey", $"n_name")
+    // demands is a |nations|-row frame derived from an orders-scale
+    // join — checkpoint it (and between the two chained DistRank
+    // passes, the q170 discipline) so the prefix/rank machinery and
+    // the totals aggregate don't re-run the join per consumer
     val demands = Tables.orders(spark, sfDir)
       .select($"o_custkey", Exact.cents($"o_totalprice").as("c"))
       .join(cust, $"o_custkey" === $"c_custkey")
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name").agg(sum($"c").as("demand"))
+      .localCheckpoint()
     val ranked = DistRank.withRank(
       DistRank.withRunningSums(demands, "demand", "n_name",
-        Seq("demand" -> "prefix")),
+        Seq("demand" -> "prefix")).localCheckpoint(),
       "demand", "n_name", "rk", desc = false)
     val totals = demands.agg(sum($"demand").as("tot"),
       count(lit(1)).as("nt"))

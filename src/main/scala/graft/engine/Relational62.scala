@@ -142,12 +142,17 @@ object Relational62 {
   def q378CoorderRecsEval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // op is read FIVE times downstream (train twice in the pair
+    // self-join, the sized test frame, and both sides of the hit
+    // join) — materialize the join+distinct once instead of paying the
+    // lineitem⋈orders join per consumer
     val op = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir),
         $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"),
         (to_date($"o_orderdate") < lit(Q378Split)).as("is_train"))
       .distinct()
+      .localCheckpoint()
     val train = op.filter($"is_train").select($"ok", $"pk")
     val pairs = train.as("a").join(train.as("b"),
         $"a.ok" === $"b.ok" && $"a.pk" =!= $"b.pk")
@@ -157,10 +162,11 @@ object Relational62 {
     val recs = pairs.select($"u", $"v", $"cnt",
         row_number().over(w).as("rk"))
       .filter($"rk" <= Q378K)
-    val testSized = op.filter(!$"is_train").select($"ok", $"pk")
+    // slots feeds both sides of the hit join AND the denominator count
+    val slots = op.filter(!$"is_train").select($"ok", $"pk")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy($"ok")))
       .filter($"sz" >= 2).select($"ok", $"pk")
-    val slots = testSized
+      .localCheckpoint()
     val hits = slots.join(recs, slots("pk") === recs("u"))
       .join(slots.select($"ok".as("ok2"), $"pk".as("present")),
         $"ok" === $"ok2" && $"v" === $"present")

@@ -202,9 +202,13 @@ object Relational68 {
     val ranked = DistRank.withRank(keys, "k", "ok", "rk", desc = false)
     val bounds = keys.agg(min($"k").as("mn"), max($"k").as("mx"),
       count(lit(1)).as("n"))
+    // errs feeds the error histogram AND the total aggregate —
+    // checkpoint so the second consumer doesn't re-run the whole rank
+    // pipeline (the q170/q359 multiply-consumed-frame discipline)
     val errs = ranked.crossJoin(broadcast(bounds))
       .select(abs(expr("(k - mn) * (n - 1) div (mx - mn) + 1") - $"rk")
         .as("e"), $"n")
+      .localCheckpoint()
     val grouped = errs.groupBy($"e").agg(count(lit(1)).as("cnt"))
     val cum = DistRank.withRunningSums(grouped, "e", "e",
       Seq("cnt" -> "cum"))

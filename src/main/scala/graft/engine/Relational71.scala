@@ -268,7 +268,11 @@ object Relational71 {
       .groupBy($"o_custkey".cast("long").as("ck"))
       .agg(max(Exact.cents($"o_totalprice")).as("s2"))
     val obj = cust.join(ords, Seq("ck"))
+    // checkpoint between the two rank passes (the q170 discipline):
+    // rank #2 consumes its input twice, which would re-run rank #1's
+    // whole pipeline per branch
     val ranked0 = DistRank.withRank(obj, "s1", "ck", "r1", desc = true)
+      .localCheckpoint()
     val ranked = DistRank.withRank(ranked0, "s2", "ck", "r2", desc = true)
       .select($"ck", $"s1", $"s2", ($"s1" + $"s2").as("total"),
         $"r1", $"r2", least($"r1", $"r2").as("dobj"))
