@@ -79,7 +79,9 @@ object Dedup {
 
   private def bandsUncached(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val sh = docs
+    // tokenize → shingle-explode → md5 is a ~|tokens|-fold fan-out that
+    // must not run behind a one-split scan (Tables.spreadForFanout)
+    val sh = Tables.spreadForFanout(docs)
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
       .select($"doc_id", md5($"sh").as("h"))
@@ -483,7 +485,9 @@ object Dedup {
   private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
     memoByDir(shinglesCache, spark, sfDir) {
       import spark.implicits._
-      Tables.documents(spark, sfDir)
+      // shingle explode behind a one-split scan would tokenize the
+      // whole corpus in one task (Tables.spreadForFanout scaladoc)
+      Tables.spreadForFanout(Tables.documents(spark, sfDir))
         .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
         .select($"doc_id", explode(shinglesOf($"toks")).as("sh"))
         .distinct()
@@ -1406,7 +1410,9 @@ object Dedup {
     * result-invisible. */
   private[graft] def simhash60Signatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables.documents(spark, sfDir)
+    // tokenize + per-token md5 + 60 vote expressions: a fan-out stage
+    // that must not run behind a one-split scan (Tables.spreadForFanout)
+    val tok = Tables.spreadForFanout(Tables.documents(spark, sfDir))
       .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
       .select($"doc_id", md5($"t").as("h"))
     val votes = (0 until PhashBits).map { j =>

@@ -72,7 +72,16 @@ object Relational28 {
         "div 100) * 100 - 100000 " +
         "ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) END")
         .as("b_cents"))
+    // the registry arrives as ONE input split, and with the dirty copy
+    // broadcast the whole quadratic compare stage would run inside that
+    // single probe task — spread the probe side across the cluster by
+    // block key first. The partition count is EXPLICIT (cluster
+    // parallelism, not a constant) because byte-based AQE coalescing
+    // would fold the small probe input back to one partition: the
+    // per-row join fan-out (×|block|) and per-pair edit-distance cost
+    // are invisible to advisory byte sizing.
     val cand = a.withColumn("blk", expr("right(a_nm, 2)"))
+      .repartition(spark.sparkContext.defaultParallelism, col("blk"))
       .join(b.withColumn("blk", expr("right(b_nm, 2)")), "blk")
     val scored = cand
       .withColumn("score",

@@ -1224,7 +1224,9 @@ object Similarity {
     * accumulator emitting one partial triangle per partition). */
   def q246Covariance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir)
+    // d(d+1)/2 = 2080 products per row: a fan-out stage that must not
+    // run behind a one-split scan (Tables.spreadForFanout scaladoc)
+    val emb = Tables.spreadForFanout(Tables.embeddings(spark, sfDir))
     val sExpr = (idx: String) =>
       s"CAST(floor(CAST(element_at(embedding, $idx + 1) AS DOUBLE) * $Q246Scale) AS BIGINT)"
     val gram = emb.select(explode(expr(

@@ -22,6 +22,21 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a frame that is about to enter a high per-row fan-out /
+    * per-row-CPU stage (d²-fold expression fan-outs, blocking joins,
+    * shingle explodes) to at least cluster parallelism. AQE sizes
+    * partitions by BYTES, so a one-split scan feeding a fan-out stage
+    * runs as ONE task no matter how much CPU the stage burns (the q255
+    * find: a single-task 2.25M-pair Levenshtein stage behind a 15k-row
+    * scan). No-op whenever the input already has enough partitions — a
+    * 100 TB table always does, so the exchange only exists in the
+    * small-input regime where it is nearly free. */
+  def spreadForFanout(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p)
+  }
+
   /** Legacy-compat flag for TIMESTAMP(NANOS) fixtures (rounds 1–5
     * shipped events.ts that way; Spark's vectorized reader rejects
     * NANOS footers without it). Kept session-wide because it is
