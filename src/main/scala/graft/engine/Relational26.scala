@@ -327,6 +327,14 @@ object Relational26 {
       .withColumn("z", Relational5.zValue($"x", $"y"))
       .withColumn("arr", $"l_orderkey" * 8 + $"l_linenumber")
       .localCheckpoint()
+    // r14 note: a fused single-exchange form (one labeled ×3 union, one
+    // window over (layout, bucket)) was implemented, oracle-verified,
+    // and A/B-measured — parity at sf0.1 and ~20% SLOWER at the ×10
+    // carve (the union shuffles the same total bytes as the three
+    // per-layout exchanges, and the 3-wide bucket-expression projection
+    // feeds one long exchange instead of three pipelined ones), so the
+    // per-layout DistRank carve stays; it inherits the r14 DistRank
+    // exchange-sharing improvement (input evaluations 3 → 2 per carve).
     def carve(df: DataFrame, key: String, layout: String): DataFrame =
       DistRank.withRank(df, key, "arr", "rn", desc = false)
         .select(lit(layout).as("layout"),
